@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Benchmark: run the full query catalog at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print
+ONE JSON line with per-query wall-clock seconds.
+
+Each query is executed to completion (collect for small results; count
+for large ones would hide the projection cost, so we collect rows but
+cap materialization via toLocalIterator when huge — in practice every
+catalog query returns a small or bounded result except the scan/explode
+shaped ones, which we drain with count).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from block_data_fetcher_spark import api  # noqa: E402
+from block_data_fetcher_spark.session import get_spark  # noqa: E402
+
+# Queries whose result is O(input) rows: drain with count() instead of
+# collecting everything to the driver.
+LARGE_RESULT = {
+    "q_scan_project",
+    "q_filter_project",
+    "q_json_extract",
+    "q_coalesce_cast",
+    "q_explode",
+    "q_array_size",
+    "q_array_distinct",
+    "q_first_element",
+    "q_first_match",
+    "q_left_join_null",
+    "q_self_join",
+    "q_anti_join",
+    "q_last_wins_window",
+    "q_token_count",
+    "q_lang_id",
+    "q_quality_score",
+    "q_embed_near_dup",
+    "q_dedup_exact",
+}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bdf-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = api.queries()
+    timings: dict[str, float] = {}
+    t_all = time.perf_counter()
+    for name in sorted(queries):
+        fn = queries[name]
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            if name in LARGE_RESULT:
+                df.count()
+            else:
+                df.collect()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # record failures as -1, keep benching
+            sys.stderr.write(f"{name} FAILED: {e}\n")
+            timings[name] = -1.0
+    total = round(time.perf_counter() - t_all, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

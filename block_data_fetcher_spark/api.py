@@ -1,0 +1,46 @@
+"""Central query/oracle registry.
+
+Aggregates every operator module's ``q_*`` functions and ``ORACLE``
+SQL into the two dicts the driver consumes through
+``__spark_entry__.py``. Adding an operator = adding its module here.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Dict
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .functions import similarity, text
+from .operators import classify, json_ops, relational, windows
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_MODULES = [relational, json_ops, classify, windows, text, similarity]
+
+
+def _collect() -> tuple[Dict[str, QueryFn], Dict[str, str]]:
+    queries: Dict[str, QueryFn] = {}
+    oracles: Dict[str, str] = {}
+    for mod in _MODULES:
+        for name in dir(mod):
+            if name.startswith("q_"):
+                fn = getattr(mod, name)
+                if callable(fn):
+                    if name in queries:
+                        raise ValueError(f"duplicate query name {name}")
+                    queries[name] = fn
+        for name, sql in getattr(mod, "ORACLE", {}).items():
+            if name in oracles:
+                raise ValueError(f"duplicate oracle name {name}")
+            oracles[name] = sql
+    return queries, oracles
+
+
+def queries() -> Dict[str, QueryFn]:
+    return _collect()[0]
+
+
+def oracle_sql() -> Dict[str, str]:
+    return _collect()[1]

@@ -1,0 +1,68 @@
+"""Fixture catalog: load the driver's parquet tables and register views.
+
+The reference's catalog is its PostgreSQL schema (5 tables created by
+``migrations/`` — see SURVEY §1.1); here the catalog is the driver's
+TPC-H-ish star schema plus ``events``/``documents``/``embeddings``
+(FIXTURES.md §A). Schema-on-write parquet, never schema inference in
+production paths (SURVEY §1.3).
+
+Scale posture: at 100 TB these would be partitioned tables
+(``date(block_time)`` / slot-bucket in the reference's terms —
+``o_orderdate`` / ``date(ts)`` here); `spark.read.parquet` on a
+partitioned root gets partition pruning for free from Catalyst. The
+dimension tables (region, nation, supplier, part at low SFs) stay
+broadcast-sized at any data scale — they are the analog of the
+21-row ``program_registry`` dim (reference
+``migrations/20251023000005_create_program_registry.sql``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at ANY scale factor.
+DIM_TABLES = frozenset({"region", "nation"})
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
+        # reader rejects; read nanos as long, then integer-divide to
+        # micros — the same floor-truncation DuckDB applies, so both
+        # engines see identical microsecond timestamps. (Plain `/ 1000`
+        # would round through double and lose precision at 1.7e18 ns.)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load(spark: SparkSession, sf_dir: str, register_views: bool = False) -> dict[str, DataFrame]:
+    """Load every fixture table; optionally register temp views so the
+    same catalog serves both the DataFrame API and ``spark.sql``."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = table(spark, sf_dir, name)
+        out[name] = df
+        if register_views:
+            df.createOrReplaceTempView(name)
+    return out

@@ -1,0 +1,217 @@
+"""Text analysis for LLM-training-data pipelines (SURVEY §2.9 X1-X3 +
+north-star text ops): exact dedup, tokenization, corpus stats,
+language-ID heuristic, quality scoring, token counting, document
+fingerprinting.
+
+All pure Catalyst expressions — `split`/`explode`/higher-order array
+functions — so they codegen and scale linearly with no Python in the
+hot path. At 100 TB the dominant cost is the explode-shuffle of
+`q_text_tokenize`; partial aggregation collapses each partition's word
+counts before the exchange, so the shuffle is ~|vocab| per partition,
+not |tokens|."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+
+# Tiny per-language stopword lists for the language-ID heuristic.
+# Deterministic and mirrored literally in the DuckDB oracle.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "es": ["el", "la", "de", "y", "que"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "de", "et", "est"],
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (documents fixture is space-separated)."""
+    return F.split(text, " ")
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count — the cheap `wc -w` analog."""
+    return F.size(tokens(text)).cast("long")
+
+
+def bpe_ish_piece_count(text: Column | str) -> Column:
+    """BPE-ish sub-token estimate: count maximal runs of letters,
+    digits, or single punctuation — a deterministic regex stand-in for
+    a real BPE tokenizer (which isn't in this container)."""
+    return F.size(F.regexp_extract_all(F.col(text) if isinstance(text, str) else text,
+                                       F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0)).cast("long")
+
+
+def stopword_hits(toks: Column, lang: str) -> Column:
+    """How many tokens are stopwords of `lang`."""
+    arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast("long")
+
+
+def quality_score(text: Column | str) -> Column:
+    """Quality heuristic in [0,1]: mean-word-length band + stopword
+    ratio + length band. Deterministic arithmetic, mirrored in SQL."""
+    t = F.col(text) if isinstance(text, str) else text
+    toks = tokens(t)
+    n_tok = F.size(toks).cast("double")
+    mean_wlen = (F.length(t) - (n_tok - 1)) / n_tok  # total chars minus spaces
+    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    stop_ratio = F.size(F.filter(toks, lambda x: F.array_contains(en_stop, x))).cast("double") / n_tok
+    # +1e-9 before round: ratios of small ints can land exactly on a
+    # .00005 half-boundary where Spark's and DuckDB's round() disagree;
+    # the identical nudge on both sides makes the choice consistent.
+    return F.round(
+        0.4 * F.when((mean_wlen >= 3) & (mean_wlen <= 10), 1.0).otherwise(0.0)
+        + 0.3 * F.least(stop_ratio * 5, F.lit(1.0))
+        + 0.3 * F.when((n_tok >= 10) & (n_tok <= 1000), 1.0).otherwise(0.0)
+        + 1e-9,
+        4,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Catalog queries
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (X1): distinct (lang, source) pairs — `dropDuplicates`
+    on the dedup key. Scale: hash-aggregate, map-side partials."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("lang", "source").dropDuplicates()
+
+
+def q_text_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize + top-10 words (X2): explode → count → total-ordered
+    top-k (count desc, word asc)."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("word").asc())
+        .limit(10)
+    )
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats (X3)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars") + 1e-9, 4).alias("avg_chars"),
+    )
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (north star): whitespace tokens + BPE-ish pieces
+    per document."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        bpe_ish_piece_count("text").alias("n_pieces"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (north star): argmax of stopword hits per
+    language, priority order en > es > de > fr on ties, 'und'
+    (undetermined) when no hits. Compared against nothing — it's a
+    prediction — but the oracle replicates the identical rule."""
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    hits = {lang: stopword_hits(toks, lang) for lang in ("en", "es", "de", "fr")}
+    best = F.greatest(*hits.values())
+    pred = (
+        F.when(best == 0, "und")
+        .when(hits["en"] == best, "en")
+        .when(hits["es"] == best, "es")
+        .when(hits["de"] == best, "de")
+        .otherwise("fr")
+    )
+    return docs.select("doc_id", pred.alias("pred_lang"))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (north star): deterministic heuristic in [0,1]."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score("text").alias("quality"))
+
+
+def _stop_sql(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+
+def _hits_sql(lang: str) -> str:
+    return (
+        f"CAST(len(list_filter(string_split(text, ' '), "
+        f"t -> list_contains({_stop_sql(lang)}, t))) AS BIGINT)"
+    )
+
+
+ORACLE: dict[str, str] = {
+    "q_dedup_exact": "SELECT DISTINCT lang, source FROM documents",
+    "q_text_tokenize": """
+        SELECT word, count(*) AS cnt FROM (
+          SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        ) WHERE word <> ''
+        GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 10
+    """,
+    "q_text_stats": """
+        SELECT lang, count(*) AS n_docs, round(avg(n_chars) + 1e-9, 4) AS avg_chars
+        FROM documents GROUP BY lang
+    """,
+    "q_token_count": r"""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+                    AS BIGINT) AS n_pieces
+        FROM documents
+    """,
+    "q_lang_id": f"""
+        SELECT doc_id,
+               CASE WHEN best = 0 THEN 'und'
+                    WHEN h_en = best THEN 'en'
+                    WHEN h_es = best THEN 'es'
+                    WHEN h_de = best THEN 'de'
+                    ELSE 'fr' END AS pred_lang
+        FROM (
+          SELECT doc_id, h_en, h_es, h_de, h_fr,
+                 greatest(h_en, h_es, h_de, h_fr) AS best
+          FROM (
+            SELECT doc_id,
+                   {_hits_sql("en")} AS h_en,
+                   {_hits_sql("es")} AS h_es,
+                   {_hits_sql("de")} AS h_de,
+                   {_hits_sql("fr")} AS h_fr
+            FROM documents
+          )
+        )
+    """,
+    "q_quality_score": f"""
+        SELECT doc_id,
+               round(0.4 * (CASE WHEN mean_wlen BETWEEN 3 AND 10 THEN 1.0 ELSE 0.0 END)
+                   + 0.3 * least(stop_ratio * 5, 1.0)
+                   + 0.3 * (CASE WHEN n_tok BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END)
+                   + 1e-9,
+                   4) AS quality
+        FROM (
+          SELECT doc_id,
+                 (length(text) - (n_tok - 1)) / n_tok AS mean_wlen,
+                 CAST(len(list_filter(string_split(text, ' '),
+                          t -> list_contains({_stop_sql("en")}, t))) AS DOUBLE)
+                   / n_tok AS stop_ratio,
+                 n_tok
+          FROM (
+            SELECT doc_id, text,
+                   CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok
+            FROM documents
+          )
+        )
+    """,
+}

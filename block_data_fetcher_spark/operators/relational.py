@@ -1,0 +1,394 @@
+"""Relational core: scans, filters, joins, aggregations, sort/limit, set ops.
+
+Re-expresses SURVEY §2.2/§2.3/§2.4/§2.6 Spark-first. Each public
+``q_*`` function is a correctness query from SURVEY §2.10: it takes
+``(spark, sf_dir)``, builds a declarative DataFrame plan (Catalyst owns
+predicate pushdown / column pruning / join strategy), and returns the
+result DataFrame. ``ORACLE[name]`` is the equivalent DuckDB ANSI SQL.
+
+Scale notes are inline per operator; the common rules:
+
+- dims (region/nation/program-registry analog) are ``broadcast()``
+  joined — no shuffle of the fact side (reference J1,
+  ``src/etl/transform.rs:34-61``, resolved a HashMap per row; the
+  broadcast hash join is the distributed restatement).
+- fact⋈fact joins (lineitem⋈orders) shuffle on the join key once and
+  aggregate partially map-side; at 100 TB these become sort-merge
+  joins over co-bucketed tables.
+- every ``limit`` sits above a total order with a unique tie-break so
+  results are deterministic (SURVEY §2.10 rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+
+# ---------------------------------------------------------------------------
+# Scans / projections (S1/S4, P8, P10)
+# ---------------------------------------------------------------------------
+
+
+def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan+project+filter (reference S1/S4: fetch a slot range, keep a
+    few fields — ``src/rpc/mod.rs:64-83``, ``src/etl/extract.rs:223-287``).
+
+    Scale: filter + 4-column projection reach the parquet scan
+    (PushedFilters / ReadSchema) — at 100 TB this reads only the
+    row-groups whose min/max overlap 1996 and only 5 columns.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+
+
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-then-project (reference P10 system-transfer parse shape:
+    keep rows of one type, project a few fields —
+    ``src/etl/parsers/system.rs:14-52``)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "value")
+    )
+
+
+def q_arith_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic projection + group agg (reference P8 lamports→SOL,
+    ``src/etl/extract.rs:300``). revenue = extendedprice*(1-discount).
+
+    Scale: partial (map-side) aggregation before the exchange; only
+    |distinct returnflag| rows shuffle."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+def q_ts_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unix→timestamp→day bucketing (reference P7,
+    ``src/etl/load.rs:169``): daily event counts."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (J1/J2/J3)
+# ---------------------------------------------------------------------------
+
+
+def q_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension (registry-analog) join, reference J1
+    (``src/etl/transform.rs:34-61``): customer ⋈ nation ⋈ region.
+
+    Scale: both dims are broadcast — zero shuffle of the customer fact
+    table; the plan is scan → two BroadcastHashJoins → partial agg →
+    single exchange of ≤|regions| rows."""
+    c = table(spark, sf_dir, "customer")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    r = F.broadcast(table(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("num_customers"))
+    )
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence check as LEFT SEMI join (reference J2 parent-exists,
+    ``src/etl/load.rs:172-182``): customers that have orders.
+
+    Scale: semi join never materializes the right side's payload
+    columns — only the key shuffles."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .agg(F.count("*").cast("long").alias("customers_with_orders"))
+    )
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Insert-if-absent as LEFT ANTI join (reference S9 ``ON CONFLICT DO
+    NOTHING``, ``migrations/20251023000006_add_kamino_drift.sql:3-6``)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+def q_left_join_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT JOIN with NULL-side handling (reference J2: absent parent →
+    NULL FK, ``src/etl/load.rs:172-182``)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "left")
+        .select(
+            "o_orderkey",
+            F.when(F.isnull("c_name"), F.lit("unknown")).otherwise(F.col("c_name")).alias("cust_name"),
+        )
+    )
+
+
+def q_join_fk_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship fact⋈fact FK join + aggregate (reference J3:
+    blocks⟕transactions on block_slot,
+    ``migrations/...create_transactions.sql:10``): revenue per order
+    priority.
+
+    Scale: this is the one genuinely large join in the catalog — both
+    sides shuffle on orderkey (sort-merge at 100 TB; AQE may pick
+    shuffled-hash); revenue aggregates partially before the second
+    exchange. With production tables we would bucket both tables by
+    orderkey to eliminate the shuffle entirely."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+def q_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self join on adjacent keys (reference J3: blocks self-join on
+    parent_slot, ``migrations/...create_blocks.sql:18``): consecutive
+    events by the same user."""
+    ev = table(spark, sf_dir, "events")
+    e1 = ev.alias("e1")
+    e2 = ev.alias("e2")
+    return (
+        e1.join(
+            e2,
+            (F.col("e2.event_id") == F.col("e1.event_id") + 1)
+            & (F.col("e1.user_id") == F.col("e2.user_id")),
+        )
+        .select(
+            F.col("e1.event_id").alias("event_id"),
+            F.col("e1.user_id").alias("user_id"),
+            F.col("e1.event_type").alias("et_first"),
+            F.col("e2.event_type").alias("et_next"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A1-A4)
+# ---------------------------------------------------------------------------
+
+
+def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global scalar aggregates (reference A1 extraction stats,
+    ``src/etl/extract.rs:38-52``: counts, conditional counts, sums,
+    and S2 max-offset discovery ``src/rpc/mod.rs:86-90``)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("cnt"),
+        F.count_if(F.col("l_returnflag") == "R").alias("cnt_r"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.max("l_orderkey").alias("max_orderkey"),
+    )
+
+
+def q_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type distribution (reference A2,
+    ``src/etl/extract.rs:263-272``)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(F.count("*").alias("cnt"))
+
+
+def q_pivot_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Report-shaped conditional aggregation (reference A2 printed
+    distribution, ``src/etl/extract.rs:303-309``): one count column per
+    event type, per user.
+
+    Scale: conditional aggregation (not ``pivot()``) — single pass,
+    map-side partials, no second job to discover pivot values."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count_if(F.col("event_type") == "click").alias("n_click"),
+        F.count_if(F.col("event_type") == "purchase").alias("n_purchase"),
+        F.count_if(F.col("event_type") == "error").alias("n_error"),
+        F.count_if(F.col("event_type") == "signup").alias("n_signup"),
+        F.count_if(F.col("event_type") == "view").alias("n_view"),
+    )
+
+
+def q_rate_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived rates with div-by-zero guard (reference A3 success_rate,
+    ``src/pipeline.rs:30-54``)."""
+    ev = table(spark, sf_dir, "events")
+    # +1e-9 before round: p/q ratios can land exactly on a .00005
+    # half-boundary where Spark's and DuckDB's round() disagree.
+    return ev.groupBy("user_id").agg(
+        F.round(
+            F.count_if(F.col("event_type") == "error") * 100.0 / F.count("*") + 1e-9, 4
+        ).alias("error_rate")
+    )
+
+
+def q_group_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Account-activity rollup (reference A4,
+    ``migrations/20251023000004_create_accounts.sql:4-25``: per-address
+    first/last seen, counts, conditional counts)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.count("*").alias("cnt"),
+        F.count_if(F.col("event_type") == "purchase").alias("n_purchase"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / set ops (O1-O3)
+# ---------------------------------------------------------------------------
+
+
+def q_orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k with unique tie-break (reference O2 error top-5,
+    ``src/pipeline.rs:303-308``; O1 sorted dim scan ``src/db/mod.rs:49``).
+
+    Scale: Spark compiles orderBy+limit to TakeOrderedAndProject —
+    per-partition top-k then a k-row merge on the driver; no global
+    sort."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.col("value").desc(), F.col("event_id").asc())
+        .select("event_id", "value")
+        .limit(5)
+    )
+
+
+def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set union + key dedup (reference O3: continuous-mode batches
+    appended through UPSERT, ``src/main.rs:123-148``). Two overlapping
+    slices; count union-all vs union-distinct."""
+    ev = table(spark, sf_dir, "events")
+    a = ev.where(F.col("value") > 100.0).select("event_id", "user_id", "event_type", "value")
+    b = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    cnt_all = a.unionByName(b).agg(F.count("*").alias("cnt_all"))
+    cnt_distinct = a.unionByName(b).distinct().agg(F.count("*").alias("cnt_distinct"))
+    return cnt_all.crossJoin(cnt_distinct)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+ORACLE: dict[str, str] = {
+    "q_scan_project": """
+        SELECT l_orderkey, l_partkey, l_linenumber, l_quantity, l_extendedprice
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+    """,
+    "q_filter_project": """
+        SELECT event_id, user_id, value
+        FROM events WHERE event_type = 'purchase'
+    """,
+    "q_arith_expr": """
+        SELECT l_returnflag,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "q_ts_convert": """
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS cnt
+        FROM events GROUP BY 1
+    """,
+    "q_broadcast_join": """
+        SELECT r_name, count(*) AS num_customers
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    "q_semi_join": """
+        SELECT count(*) AS customers_with_orders
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "q_anti_join": """
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "q_left_join_null": """
+        SELECT o_orderkey,
+               CASE WHEN c_name IS NULL THEN 'unknown' ELSE c_name END AS cust_name
+        FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    """,
+    "q_join_fk_agg": """
+        SELECT o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """,
+    "q_self_join": """
+        SELECT e1.event_id AS event_id, e1.user_id AS user_id,
+               e1.event_type AS et_first, e2.event_type AS et_next
+        FROM events e1
+        JOIN events e2
+          ON e2.event_id = e1.event_id + 1 AND e1.user_id = e2.user_id
+    """,
+    "q_agg_global": """
+        SELECT count(*) AS cnt,
+               count(*) FILTER (WHERE l_returnflag = 'R') AS cnt_r,
+               round(sum(l_quantity), 2) AS sum_qty,
+               max(l_orderkey) AS max_orderkey
+        FROM lineitem
+    """,
+    "q_group_count": """
+        SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type
+    """,
+    "q_pivot_types": """
+        SELECT user_id,
+               count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+               count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+               count(*) FILTER (WHERE event_type = 'error')    AS n_error,
+               count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+               count(*) FILTER (WHERE event_type = 'view')     AS n_view
+        FROM events GROUP BY user_id
+    """,
+    "q_rate_derived": """
+        SELECT user_id,
+               round(count(*) FILTER (WHERE event_type = 'error') * 100.0
+                     / count(*) + 1e-9, 4) AS error_rate
+        FROM events GROUP BY user_id
+    """,
+    "q_group_minmax": """
+        SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts,
+               count(*) AS cnt,
+               count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+               round(sum(value), 2) AS total_value
+        FROM events GROUP BY user_id
+    """,
+    "q_orderby_limit": """
+        SELECT event_id, value FROM events
+        ORDER BY value DESC, event_id ASC LIMIT 5
+    """,
+    "q_union": """
+        WITH a AS (SELECT event_id, user_id, event_type, value FROM events WHERE value > 100.0),
+             b AS (SELECT event_id, user_id, event_type, value FROM events WHERE event_type = 'purchase')
+        SELECT
+          (SELECT count(*) FROM (SELECT * FROM a UNION ALL SELECT * FROM b)) AS cnt_all,
+          (SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b)) AS cnt_distinct
+    """,
+}

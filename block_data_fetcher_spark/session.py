@@ -1,0 +1,59 @@
+"""SparkSession factory tuned for this engine.
+
+Scale posture: these configs are the local-mode analog of what we would
+set on a 1000-executor cluster against ~100 TB:
+
+- AQE on (runtime coalescing, skew-join splitting, dynamic broadcast
+  selection) — replaces hand-tuned shuffle partition counts.
+- UTC session timezone — deterministic timestamp semantics across
+  engines (the DuckDB oracle reads the same parquet files).
+- Arrow enabled — any Pandas-UDF path (multimodal decode) is
+  Arrow-batched, never row-at-a-time pickling.
+- shuffle partitions sized to cores locally; on a real cluster AQE
+  coalesces from a deliberately high initial number instead.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "block-data-fetcher-spark",
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        shuffle_partitions = max(int(cpus), 8)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "12g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.filterPushdown", "true")
+    )
+    return builder.getOrCreate()
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply engine session-level conf to an externally provided session
+    (the driver passes its own SparkSession to ``entry``/``queries``).
+
+    Only touches runtime-settable confs; static confs (master, memory)
+    are left alone.
+    """
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    except Exception:
+        pass  # conf may be immutable on some deployments; defaults are fine
+    return spark
