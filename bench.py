@@ -43,6 +43,7 @@ LARGE_RESULT = {
     "q_quality_score",
     "q_embed_near_dup",
     "q_dedup_exact",
+    "q_stream_dedup",
 }
 
 

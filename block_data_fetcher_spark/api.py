@@ -14,10 +14,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .functions import similarity, text
 from .operators import classify, json_ops, relational, windows
+from .streaming import jobs as streaming_jobs
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-_MODULES = [relational, json_ops, classify, windows, text, similarity]
+_MODULES = [relational, json_ops, classify, windows, text, similarity, streaming_jobs]
 
 
 def _collect() -> tuple[Dict[str, QueryFn], Dict[str, str]]:

@@ -1,0 +1,160 @@
+"""Extract: raw block/transaction JSON → relational DataFrames
+(reference ``src/etl/extract.rs`` re-expressed declaratively).
+
+Input contract: a DataFrame ``(slot bigint, raw string)`` where ``raw``
+is a `getBlock` JsonParsed response (the RPC source in
+:mod:`..sources.rpc` produces exactly this; tests build it from the
+reference's own fixture shapes).
+
+Every step is a built-in expression: from_json → posexplode →
+projections. Malformed rows don't kill the job: a failed parse yields
+NULLs which are filtered — the declarative PERMISSIVE analog of the
+reference's log-and-skip (``extract.rs:63-67``, ST5).
+
+Scale: the flatten is a generator inside the scan stage (no shuffle);
+blocks/transactions/instructions derive from one pass over the raw
+data; classification is a map-literal lookup (zero shuffle). At 100 TB
+the only exchanges are the ones the sinks need (partitioning by
+date/slot-bucket at write).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .parsers import first_transfer_details
+from .schema import BLOCK_JSON_SCHEMA, TX_JSON_SCHEMA
+from .transform import classify_transaction, label_transaction
+
+
+def normalize_account_keys(keys: Column) -> Column:
+    """accountKeys elements are `{"pubkey": ...}` objects or bare
+    strings; normalize to plain pubkeys (reference transform.rs:232-248).
+    Object elements arrive as raw JSON strings from the array<string>
+    parse, so `get_json_object($.pubkey)` + coalesce does the union."""
+    return F.transform(
+        keys, lambda k: F.coalesce(F.get_json_object(k, "$.pubkey"), k)
+    )
+
+
+def extract_program_ids(instructions: Column, account_keys: Column) -> Column:
+    """Per-instruction program id with first-seen-order dedup
+    (reference extract.rs:116-163): coalesce(programId, program,
+    accountKeys[programIdIndex]); array_distinct preserves first
+    occurrence (the reference's O(n²) contains-loop, hash-based)."""
+    per_instr = F.transform(
+        instructions,
+        lambda i: F.coalesce(
+            i["programId"],
+            i["program"],
+            F.try_element_at(account_keys, i["programIdIndex"] + 1),
+        ),
+    )
+    return F.array_distinct(F.filter(per_instr, lambda p: p.isNotNull()))
+
+
+def parse_blocks(raw_blocks: DataFrame) -> DataFrame:
+    """(slot, raw) → blocks table (reference models.rs:12-18 /
+    migrations/...create_blocks.sql)."""
+    b = F.from_json("raw", BLOCK_JSON_SCHEMA)
+    return raw_blocks.select(
+        F.col("slot").cast("long").alias("slot"),
+        b["blockhash"].alias("blockhash"),
+        b["parentSlot"].alias("parent_slot"),
+        F.timestamp_seconds(b["blockTime"]).alias("block_time"),
+        b["blockHeight"].alias("block_height"),
+        F.size(b["transactions"]).cast("int").alias("transaction_count"),
+    ).where(F.col("blockhash").isNotNull())
+
+
+def flatten_transactions(raw_blocks: DataFrame) -> DataFrame:
+    """(slot, raw) → one row per transaction with its in-block index
+    (reference P1, extract.rs:55-71): posexplode keeps
+    transaction_index; unparseable txs are skipped (ST5)."""
+    b = F.from_json("raw", BLOCK_JSON_SCHEMA)
+    return raw_blocks.select(
+        F.col("slot").cast("long").alias("block_slot"),
+        F.posexplode(b["transactions"]).alias("transaction_index", "tx_raw"),
+    )
+
+
+def extract_transactions(raw_blocks: DataFrame) -> DataFrame:
+    """The full tx-level extraction (reference extract.rs:74-163 +
+    enrichment transform.rs:252-335): fields, classification, label,
+    first transfer details."""
+    flat = flatten_transactions(raw_blocks)
+    tx = F.from_json("tx_raw", TX_JSON_SCHEMA)
+    with_tx = flat.select("block_slot", "transaction_index", tx.alias("tx"))
+
+    keys = normalize_account_keys(F.col("tx.message.accountKeys"))
+    instrs = F.col("tx.message.instructions")
+    pids = extract_program_ids(instrs, keys)
+    details = first_transfer_details(instrs)
+
+    out = with_tx.select(
+        F.try_element_at(F.col("tx.signatures"), F.lit(1)).alias("signature"),
+        "block_slot",
+        "transaction_index",
+        # success = meta.err IS NULL (extract.rs:79)
+        F.col("tx.meta.err").isNull().alias("success"),
+        F.coalesce(F.col("tx.meta.fee"), F.lit(0)).alias("fee"),
+        pids.alias("program_ids"),
+        classify_transaction(pids).alias("transaction_type"),
+        label_transaction(pids).alias("transaction_label"),
+        F.try_element_at(keys, F.lit(1)).alias("signer"),
+        F.size(F.col("tx.message.accountKeys")).cast("int").alias("num_accounts"),
+        F.size(instrs).cast("int").alias("num_instructions"),
+        details["amount"].alias("amount"),
+        details["token"].alias("token"),
+        details["from_address"].alias("from_address"),
+        details["to_address"].alias("to_address"),
+    )
+    # log-and-skip analog: a tx with no signature is unparseable
+    return out.where(F.col("signature").isNotNull())
+
+
+def extract_instructions(raw_blocks: DataFrame) -> DataFrame:
+    """tx → one row per instruction (reference models.rs:36-43;
+    instructions explode to their own table, SURVEY §1.1)."""
+    flat = flatten_transactions(raw_blocks)
+    tx = F.from_json("tx_raw", TX_JSON_SCHEMA)
+    with_tx = flat.select("block_slot", "transaction_index", tx.alias("tx"))
+    keys = normalize_account_keys(F.col("tx.message.accountKeys"))
+    exploded = with_tx.select(
+        F.try_element_at(F.col("tx.signatures"), F.lit(1)).alias("transaction_signature"),
+        keys.alias("account_keys"),
+        F.posexplode(F.col("tx.message.instructions")).alias("instruction_index", "instr"),
+    )
+    pid = F.coalesce(
+        F.col("instr.programId"),
+        F.col("instr.program"),
+        F.try_element_at(F.col("account_keys"), F.col("instr.programIdIndex") + 1),
+    )
+    from .transform import name_map
+
+    return exploded.select(
+        "transaction_signature",
+        "instruction_index",
+        pid.alias("program_id"),
+        F.element_at(name_map(), pid).alias("program_name"),
+        F.col("instr.parsed.type").alias("instruction_type"),
+        F.col("instr.accounts").alias("accounts"),
+    ).where(F.col("transaction_signature").isNotNull())
+
+
+def extraction_stats(transactions: DataFrame) -> DataFrame:
+    """Reference A1 ExtractionStats (extract.rs:38-52) + A3 rates
+    (pipeline.rs:30-54) as one agg."""
+    return transactions.agg(
+        F.count("*").alias("total_transactions"),
+        F.count_if(F.col("success")).alias("successful_transactions"),
+        F.count_if(~F.col("success")).alias("failed_transactions"),
+        F.sum("fee").alias("total_fees"),
+        F.round(
+            F.when(F.count("*") == 0, 0.0).otherwise(
+                F.count_if(F.col("success")) * 100.0 / F.count("*")
+            ),
+            2,
+        ).alias("success_rate"),
+    )

@@ -1,0 +1,137 @@
+"""Structured Streaming restatement of the reference's continuous mode
+(SURVEY §2.7).
+
+The reference's continuous mode is a polling loop — every `interval`
+seconds fetch the latest slot and process `[latest-20-(n-1),
+latest-20]` (``src/main.rs:123-148``; the loop body is a stub that only
+logs). The idiomatic Spark expression is a micro-batch file/RPC stream:
+
+- ST1 polling loop     → ``trigger(processingTime=...)`` /
+  ``Trigger.AvailableNow`` for the bounded correctness runs here;
+- the 20-slot finality lag → ``withWatermark`` (late-data margin);
+- ST4 slot-range batches  → event-time ``window()`` aggregates;
+- ST6 UPSERT idempotence  → ``dropDuplicatesWithinWatermark``;
+- S6-S8 atomic batch load → ``foreachBatch`` + last-wins-by-key
+  (:mod:`..operators.windows`), per-micro-batch atomicity from the
+  sink's commit protocol.
+
+Correctness queries run the stream over the ``events`` parquet with
+``availableNow`` and land in a memory sink; the returned DataFrame is
+the sink table (the driver's rows-only check collects it). Each query
+uses a unique sink name + a temp checkpoint so re-invocation is safe.
+
+Scale: at 100 TB the same code runs with a real trigger against a
+partitioned landing zone; state-store size is bounded by the watermark
+horizon, and `maxFilesPerTrigger` is the ST2 rate-limit analog.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Explicit schema — streaming file sources require one; never inference
+# in production paths (SURVEY §1.3). ts arrives as nanos (see catalog).
+_EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as long
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet — the batch-analog
+    micro-batch source (reference ST1)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file source requires a directory: stream the sf_dir and
+    # glob-filter to the events file.
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # ST2 rate-limit analog
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def _run_to_memory(df: DataFrame, name: str, mode: str) -> DataFrame:
+    """Run a stream to a memory sink with availableNow — bounded,
+    deterministic, returns the sink table. ``complete`` for windowed
+    aggregations (bounded input — emits every window even though the
+    final watermark never passes the last one), ``append`` for
+    row-level streams."""
+    sink = f"{name}_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode(mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return df.sparkSession.table(sink)
+
+
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1/ST4: 1-hour tumbling event-time windows with a watermark
+    (the 20-slot finality lag analog)."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("hour"), "cnt", "sum_value")
+    )
+    return _run_to_memory(agg, "stream_tumbling", "complete")
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST6: in-stream duplicate suppression within the watermark —
+    the streaming half of UPSERT idempotence."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    dedup = ev.dropDuplicatesWithinWatermark(["event_id"]).select(
+        "event_id", "user_id", "event_type"
+    )
+    return _run_to_memory(dedup, "stream_dedup", "append")
+
+
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7: 1-hour windows sliding every 30 minutes."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("w_start"), F.col("w.end").alias("w_end"), "cnt")
+    )
+    return _run_to_memory(agg, "stream_sliding", "complete")
+
+
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7: per-user session windows with a 30-minute gap."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    agg = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "cnt",
+        )
+    )
+    return _run_to_memory(agg, "stream_session", "complete")

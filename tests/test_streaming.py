@@ -1,0 +1,49 @@
+"""Streaming correctness beyond the driver's rows-only check: with a
+bounded input and availableNow, each stream must agree with its batch
+equivalent (SURVEY §7 risk list — rows-only checks hide errors)."""
+
+from __future__ import annotations
+
+from block_data_fetcher_spark.operators.windows import q_tumbling_window
+from block_data_fetcher_spark.streaming.jobs import (
+    q_stream_dedup,
+    q_stream_session,
+    q_stream_sliding,
+    q_stream_tumbling,
+)
+from block_data_fetcher_spark.catalog import table
+
+
+def _rows(df):
+    return sorted(tuple(str(c) for c in r) for r in df.collect())
+
+
+def test_stream_tumbling_matches_batch(spark, sf_dir):
+    stream = q_stream_tumbling(spark, sf_dir)
+    batch = q_tumbling_window(spark, sf_dir)
+    assert _rows(stream) == _rows(batch)
+
+
+def test_stream_dedup_preserves_unique_ids(spark, sf_dir):
+    n_events = table(spark, sf_dir, "events").count()
+    dedup = q_stream_dedup(spark, sf_dir)
+    # event_id is unique in the fixture → dedup is a no-op on counts
+    assert dedup.count() == n_events
+    assert dedup.select("event_id").distinct().count() == n_events
+
+
+def test_stream_sliding_window_count(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    n_events = ev.count()
+    sliding = q_stream_sliding(spark, sf_dir)
+    # every event lands in exactly 2 sliding windows (1h window / 30m slide)
+    total = sliding.groupBy().sum("cnt").collect()[0][0]
+    assert total == 2 * n_events
+
+
+def test_stream_session_covers_all_events(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    n_events = ev.count()
+    sessions = q_stream_session(spark, sf_dir)
+    total = sessions.groupBy().sum("cnt").collect()[0][0]
+    assert total == n_events
