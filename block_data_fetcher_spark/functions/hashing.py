@@ -1,0 +1,276 @@
+"""Hash-based near-duplicate detection for LLM training corpora
+(north star): MinHash+LSH, SimHash, n-gram Jaccard, document
+fingerprinting.
+
+Everything is built on ONE portable token hash both engines compute
+identically — the first 15 hex chars of md5 parsed as a 60-bit int —
+so the DuckDB oracles can replicate the exact signatures:
+
+    Spark : conv(substring(md5(t), 1, 15), 16, 10)::long
+    DuckDB: CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)
+
+All pure Catalyst expressions (no UDFs). Scale posture:
+
+- signatures are per-row map work — embarrassingly parallel;
+- LSH candidate generation is an equi-join on (band_idx, band_hash) —
+  the shuffle is on tiny band keys, never on all-pairs; at 100 TB
+  band skew (a degenerate band value) is handled by AQE skew-join or
+  salting the band key;
+- only candidate pairs (≪ n²) ever carry full signatures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+
+P = 1_000_000_007  # modulus for permutations (fits 63-bit products)
+# fixed permutation coefficients (a_i * h + b_i) % P, i = 0..7
+MINHASH_A = [7, 11, 13, 17, 19, 23, 29, 31]
+MINHASH_B = [3, 5, 101, 211, 307, 401, 503, 601]
+N_HASHES = 8
+BAND_ROWS = 2  # 4 bands × 2 rows
+SIMHASH_BITS = 16
+
+
+def token_hash(t: Column) -> Column:
+    """60-bit md5-prefix hash — identical in Spark and DuckDB."""
+    return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+
+
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct n-gram shingles of a token array. `concat` (not
+    concat_ws) so out-of-range tail positions yield NULL and are
+    filtered — no short shingles at the end."""
+    def mk(x: Column, i: Column) -> Column:
+        parts: list[Column] = []
+        for j in range(n):
+            if j:
+                parts.append(F.lit(" "))
+            parts.append(F.get(toks, i + j))
+        return F.concat(*parts)
+
+    return F.array_distinct(
+        F.filter(F.transform(toks, mk), lambda s: s.isNotNull())
+    )
+
+
+def shingle_hashes(text: Column) -> Column:
+    """text → array of (md5-hash % P) over distinct 3-gram shingles."""
+    return F.transform(
+        shingles(F.split(text, " ")), lambda s: token_hash(s) % P
+    )
+
+
+def minhash_signature(hashes: Column) -> Column:
+    """k=8 minhash components as an array<long>."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % P)
+            )
+            for a, b in zip(MINHASH_A, MINHASH_B)
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Catalog queries
+# ---------------------------------------------------------------------------
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs: shingle → minhash(8) → band(4×2) →
+    bucket-equijoin → estimated similarity = matching components / 8.
+
+    The scale path for corpus dedup: no all-pairs comparison ever
+    happens; candidates come from the band-bucket join."""
+    docs = table(spark, sf_dir, "documents")
+    sig = docs.select(
+        "doc_id", minhash_signature(shingle_hashes(F.col("text"))).alias("sig")
+    )
+    n_bands = N_HASHES // BAND_ROWS
+    bands = sig.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.struct(
+                        *[
+                            F.get("sig", i * BAND_ROWS + r).alias(f"h{r}")
+                            for r in range(BAND_ROWS)
+                        ]
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band_idx", "band"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band_idx", "band"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band_idx", "band"
+    )
+    pairs = (
+        a.join(b, ["band_idx", "band"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()  # a pair may collide in several bands
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
+            )
+        ).cast("double")
+        / N_HASHES
+    )
+    return pairs.select("doc_a", "doc_b", est.alias("est_sim"))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document over distinct unigram hashes:
+    bit_j = sign of Σ ±1 weighted by hash bit j."""
+    docs = table(spark, sf_dir, "documents")
+    hs = F.transform(
+        F.array_distinct(F.split("text", " ")), lambda t: token_hash(t)
+    )
+    with_h = docs.select("doc_id", hs.alias("hs"))
+    def bit_sum(j: int) -> Column:
+        # closure (not a default arg): pyspark dispatches on lambda
+        # arity, so the merge lambda must be exactly binary
+        return F.aggregate(
+            "hs",
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+
+    bit_sums = [bit_sum(j) for j in range(SIMHASH_BITS)]
+    simhash = None
+    for j, s in enumerate(bit_sums):
+        term = F.when(s > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    return with_h.select("doc_id", simhash.cast("long").alias("simhash"))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard for consecutive doc pairs — the
+    verify-stage companion to LSH candidate generation."""
+    docs = table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", shingles(F.split("text", " ")).alias("s"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    pairs = a.join(b, F.col("doc_b") == F.col("doc_a") + 1)
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    union = F.size(F.array_union("sa", "sb")).cast("double")
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.round(inter / union + 1e-9, 4).alias("jaccard"),
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint: left-fold polynomial hash
+    over token hashes — (acc*31 + h) % P, init 7."""
+    docs = table(spark, sf_dir, "documents")
+    hs = F.transform(F.split("text", " "), lambda t: token_hash(t) % P)
+    fp = F.aggregate(
+        hs, F.lit(7).cast("long"), lambda acc, h: (acc * 31 + h) % P
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles (generated to share the exact constants)
+# ---------------------------------------------------------------------------
+
+_TOKS = "string_split(text, ' ')"
+_SHINGLES = (
+    f"list_distinct(list_transform(range(1, len({_TOKS}) - 1), "
+    f"i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]))"
+)
+_H = "CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)"
+_SHINGLE_HASHES = f"list_transform({_SHINGLES}, s -> {_H} % {P})"
+_SIG_COMPONENTS = ", ".join(
+    f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {P})) AS m{i}"
+    for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+)
+_BANDS = ", ".join(
+    f"(SELECT doc_id, {i} AS band_idx, m{i*2} AS h0, m{i*2+1} AS h1, sig FROM sig)"
+    for i in range(N_HASHES // BAND_ROWS)
+)
+_EST = (
+    "CAST(len(list_filter(range(1, 9), i -> a.sig[i] = b.sig[i])) AS DOUBLE) / 8"
+)
+
+_MINHASH_SQL = f"""
+WITH hsh AS (
+  SELECT doc_id, {_SHINGLE_HASHES} AS hs FROM documents
+), sig AS (
+  SELECT doc_id, {_SIG_COMPONENTS},
+         [{", ".join(f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {P}))" for a, b in zip(MINHASH_A, MINHASH_B))}] AS sig
+  FROM hsh
+), bands AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {i} AS band_idx, m{i*2} AS h0, m{i*2+1} AS h1, sig FROM sig" for i in range(N_HASHES // BAND_ROWS))}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.h0 = b.h0 AND a.h1 = b.h1
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(len(list_filter(range(1, 9), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / 8
+         AS est_sim
+FROM pairs
+"""
+
+_SIMHASH_BIT_SUMS = ", ".join(
+    f"list_sum(list_transform(hs, h -> ((h >> {j}) & 1) * 2 - 1)) AS s{j}"
+    for j in range(SIMHASH_BITS)
+)
+_SIMHASH_VALUE = " + ".join(
+    f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+)
+
+_SIMHASH_SQL = f"""
+WITH hsh AS (
+  SELECT doc_id,
+         list_transform(list_distinct({_TOKS}),
+                        s -> {_H}) AS hs
+  FROM documents
+), sums AS (
+  SELECT doc_id, {_SIMHASH_BIT_SUMS} FROM hsh
+)
+SELECT doc_id, CAST({_SIMHASH_VALUE} AS BIGINT) AS simhash FROM sums
+"""
+
+_NGRAM_JACCARD_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES} AS s FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.s, b.s))) + 1e-9, 4) AS jaccard
+FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+"""
+
+_FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       list_reduce(
+         list_concat([CAST(7 AS BIGINT)],
+                     list_transform({_TOKS}, s -> {_H} % {P})),
+         (acc, h) -> (acc * 31 + h) % {P}) AS fingerprint
+FROM documents
+"""
+
+ORACLE: dict[str, str] = {
+    "q_minhash_lsh": _MINHASH_SQL,
+    "q_simhash": _SIMHASH_SQL,
+    "q_ngram_jaccard": _NGRAM_JACCARD_SQL,
+    "q_fingerprint": _FINGERPRINT_SQL,
+}
