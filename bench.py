@@ -44,6 +44,13 @@ LARGE_RESULT = {
     "q_embed_near_dup",
     "q_dedup_exact",
     "q_stream_dedup",
+    "q_media_features",
+    "q_minhash_lsh",
+    "q_simhash",
+    "q_ngram_jaccard",
+    "q_fingerprint",
+    "q_lang_id",
+    "q_token_count",
 }
 
 

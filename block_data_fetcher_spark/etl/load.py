@@ -1,0 +1,105 @@
+"""Load: idempotent keyed upserts to parquet tables (reference
+``src/etl/load.rs`` — `INSERT ... ON CONFLICT DO UPDATE` inside one
+atomic transaction per batch, S6-S8).
+
+Plain parquet has no MERGE, so upsert = union(existing, incoming) →
+last-wins-by-key window (:func:`..operators.windows.last_wins`) →
+atomic directory swap. Idempotence contract (ST6): re-loading any
+batch leaves the table unchanged; newest write wins per key, ordered
+by an explicit version column (the reference's `processed_at=NOW()`).
+
+Scale: at 100 TB the swap-rewrite becomes partition-overwrite
+(`partitionOverwriteMode=dynamic` on date/slot-bucket partitions) or a
+Delta/Iceberg MERGE — only touched partitions rewrite; the last-wins
+window shuffles once on the key, which matches the target layout, so
+the shuffle doubles as the write-partitioning.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.windows import last_wins
+
+
+def _exists(spark: SparkSession, path: str) -> bool:
+    return os.path.exists(path) and any(
+        f.endswith(".parquet") for f in os.listdir(path)
+    )
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    incoming: DataFrame,
+    path: str,
+    keys: list[str],
+    order: list[str],
+) -> int:
+    """UPSERT-by-key into a parquet table (reference S6/S7). `order`
+    columns break ties DESC — incoming rows must carry a version column
+    (e.g. `processed_at`, `ts`) so newest wins deterministically.
+
+    Returns the post-upsert row count. The write is
+    write-temp-then-swap: readers see the old or the new table, never
+    a partial one (the batch-atomicity analog of load.rs:161-287)."""
+    if _exists(spark, path):
+        existing = spark.read.parquet(path)
+        merged = existing.unionByName(incoming)
+    else:
+        merged = incoming
+    deduped = last_wins(merged, keys, order)
+
+    tmp = tempfile.mkdtemp(prefix="upsert_", dir=os.path.dirname(path) or ".")
+    deduped.write.mode("overwrite").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.replace(tmp, path)
+    return n
+
+
+def insert_if_absent(
+    spark: SparkSession, incoming: DataFrame, path: str, keys: list[str]
+) -> int:
+    """`ON CONFLICT DO NOTHING` (reference S9): anti-join incoming
+    against existing keys, append only the new rows."""
+    if _exists(spark, path):
+        existing = spark.read.parquet(path)
+        new_rows = incoming.join(existing.select(*keys), keys, "left_anti")
+        merged = existing.unionByName(new_rows)
+    else:
+        merged = incoming
+    tmp = tempfile.mkdtemp(prefix="seed_", dir=os.path.dirname(path) or ".")
+    merged.write.mode("overwrite").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.replace(tmp, path)
+    return n
+
+
+def stream_upsert(
+    stream_df: DataFrame,
+    path: str,
+    keys: list[str],
+    order: list[str],
+    checkpoint: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Streaming sink: foreachBatch → keyed upsert (reference S8's
+    per-batch atomic transaction; exactly-once-by-key across retries
+    because the upsert is idempotent)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_parquet(batch_df.sparkSession, batch_df, path, keys, order)
+
+    writer = stream_df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint or tempfile.mkdtemp(prefix="ckpt_upsert_")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

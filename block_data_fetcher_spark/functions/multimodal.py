@@ -1,0 +1,168 @@
+"""Multimodal columns for LLM-data pipelines (north star).
+
+Design: image/audio/video payloads are opaque ``binary`` columns with a
+typed metadata struct riding alongside — the Spark-native shape for
+petabyte media corpora (payload bytes stay columnar/compressed in
+parquet; metadata predicates prune row-groups without touching bytes).
+
+Heavy per-item work (decode, resize, feature extraction, frame
+sampling) runs as Arrow-batched ``mapInPandas`` — the ONLY sanctioned
+Python hot path in this engine (SURVEY §2.8 policy): vectorized
+transfer, bounded batches, no row-at-a-time pickling. The actual codec
+calls are STUBBED deterministically (no PIL/ffmpeg in this container,
+and none may be installed); the stubs are clearly marked and the
+surrounding plumbing — schema, batch iteration, partition behavior —
+is real and tested.
+
+Scale: mapInPandas streams Arrow batches; memory is bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch``. Media tables
+partition by (kind, date); feature extraction is embarrassingly
+parallel — zero shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+
+MEDIA_SCHEMA = (
+    "media_id bigint, kind string, data binary, "
+    "meta struct<format:string, n_bytes:bigint, tag:string>"
+)
+
+FEATURE_SCHEMA = (
+    "media_id bigint, kind string, n_bytes bigint, checksum bigint, "
+    "feat array<double>"
+)
+
+_KINDS = ["image", "audio", "video"]
+
+
+def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic media table derived from ``documents``: payload =
+    utf-8 bytes of the text (a stand-in for real image/audio bytes),
+    kind = doc_id % 3. Exercises the real binary-column plumbing."""
+    docs = table(spark, sf_dir, "documents")
+    kind = F.element_at(
+        F.array(*[F.lit(k) for k in _KINDS]), (F.col("doc_id") % 3 + 1).cast("int")
+    )
+    data = F.encode("text", "utf-8")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        data.alias("data"),
+        F.struct(
+            F.lit("raw/v1").alias("format"),
+            F.length(data).cast("long").alias("n_bytes"),
+            F.col("lang").alias("tag"),
+        ).alias("meta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# STUB decode — deterministic fake in place of a real codec.
+# ---------------------------------------------------------------------------
+
+
+def _fake_decode(payload: bytes) -> list[float]:
+    """STUB: stands in for image decode / audio PCM extraction.
+    Deterministic 4-dim 'feature': byte-statistics of the payload.
+    Replace with PIL/torchaudio/ffmpeg in a real deployment."""
+    if not payload:
+        return [0.0, 0.0, 0.0, 0.0]
+    n = len(payload)
+    return [
+        float(n),
+        float(payload[0]),
+        float(payload[-1]),
+        float(sum(payload) % 997),
+    ]
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over the binary column."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            data = pdf["data"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": data.map(len).astype("int64"),
+                    "checksum": data.map(lambda b: sum(b) % 997).astype("int64"),
+                    "feat": data.map(_fake_decode),
+                }
+            )
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every: int = 64) -> DataFrame:
+    """STUB frame sampler: slice the payload every `every` bytes — the
+    plumbing shape of video frame-sampling (one input row → N frame
+    rows) without a codec."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_idx, out_frames = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["data"]):
+                for i, off in enumerate(range(0, len(payload), every)):
+                    out_ids.append(mid)
+                    out_idx.append(i)
+                    out_frames.append(bytes(payload[off : off + every]))
+            yield pd.DataFrame(
+                {"media_id": out_ids, "frame_idx": out_idx, "frame": out_frames}
+            )
+
+    return media.mapInPandas(run, "media_id bigint, frame_idx int, frame binary")
+
+
+# ---------------------------------------------------------------------------
+# Catalog queries
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only rollup over the media table: proves predicates on
+    the typed meta struct never touch payload bytes (column pruning —
+    the scan reads meta+kind only)."""
+    media = synth_media(spark, sf_dir)
+    return media.groupBy("kind").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("meta.n_bytes")).alias("total_bytes"),
+        F.count_if(F.col("meta.tag") == "en").alias("n_en"),
+    )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction (rows-only check — byte-level
+    arithmetic is not expressible in the DuckDB oracle; unit-tested
+    against plain-Python instead)."""
+    media = synth_media(spark, sf_dir)
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "checksum",
+        F.round(F.element_at("feat", 4), 1).alias("f_sum"),
+    )
+
+
+ORACLE: dict[str, str] = {
+    "q_multimodal_meta": """
+        SELECT CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+                    WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+               count(*) AS n_items,
+               sum(CAST(octet_length(encode(text)) AS BIGINT)) AS total_bytes,
+               count(*) FILTER (WHERE lang = 'en') AS n_en
+        FROM documents GROUP BY 1
+    """,
+}

@@ -67,33 +67,129 @@ def q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def unit(a: Column) -> Column:
+    """L2-normalize into array<double> — computed ONCE per vector so
+    pairwise cosine degrades to a single dot-product fold."""
+    n = norm(a)
+    return F.transform(a, lambda x: x.cast("double") / n)
+
+
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (north star), blocked by
     `label` as an IVF-style coarse cell: pairs (a<b) in the same cell
     with cosine > 0.99.
 
-    Scale: the blocking join shuffles on `label` only; within-cell
-    pairing is quadratic per cell, bounded by cell size — the same
-    contract as IVF probing. Salting applies if one cell dominates."""
-    em = table(spark, sf_dir, "embeddings")
+    Scale: vectors are L2-normalized on the map side (one fold per
+    vector, not three per pair — 3x fewer array folds through the
+    quadratic stage); the blocking join shuffles on `label` only;
+    within-cell pairing is quadratic per cell, bounded by cell size —
+    the same contract as IVF probing. Salting applies if one cell
+    dominates."""
+    em = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", unit(F.col("embedding")).alias("u")
+    )
     a = em.select(
-        F.col("vec_id").alias("vec_a"), F.col("label").alias("la"), F.col("embedding").alias("ea")
+        F.col("vec_id").alias("vec_a"), F.col("label").alias("la"), F.col("u").alias("ua")
     )
     b = em.select(
-        F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"), F.col("embedding").alias("eb")
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"), F.col("u").alias("ub")
     )
     pairs = a.join(b, (F.col("la") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
     return (
         pairs.select(
             "vec_a",
             "vec_b",
-            F.round(cosine(F.col("ea"), F.col("eb")), 4).alias("cos_sim"),
+            F.round(dot(F.col("ua"), F.col("ub")), 4).alias("cos_sim"),
         )
         .where(F.col("cos_sim") > 0.99)
     )
 
 
+# --- ANN: random-hyperplane LSH ------------------------------------------
+# Deterministic integer hyperplane coefficients shared with the oracle:
+# c[j][i] = ((j*64 + i) * 2654435761) % 1000003 - 501501
+N_PLANES = 4
+DIM = 64
+
+
+def _plane(j: int) -> list[int]:
+    return [((j * DIM + i) * 2654435761) % 1000003 - 501501 for i in range(DIM)]
+
+
+HYPERPLANES = [_plane(j) for j in range(N_PLANES)]
+
+
+def lsh_bucket(emb: Column) -> Column:
+    """Sign-bit bucket id in [0, 2^N_PLANES): bit j = (emb · c_j) >= 0."""
+    bucket = None
+    for j, coefs in enumerate(HYPERPLANES):
+        proj = F.aggregate(
+            F.zip_with(
+                emb,
+                F.array(*[F.lit(float(c)) for c in coefs]),
+                lambda x, c: x.cast("double") * c,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        term = F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    return bucket.cast("long")
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 to the vec_id=0 query via random-hyperplane LSH:
+    4 sign bits → 16 buckets; rank by cosine ONLY within the query's
+    bucket.
+
+    Scale: bucketing is map-side; the candidate set is |bucket|, not
+    n — brute force only inside the bucket. More planes / multi-probe
+    trade recall for candidate count; at 100 TB the bucket id becomes
+    the table's partition key so a query touches one partition."""
+    em = table(spark, sf_dir, "embeddings")
+    with_b = em.select(
+        "vec_id", "embedding", lsh_bucket(F.col("embedding")).alias("bucket")
+    )
+    qrow = with_b.where(F.col("vec_id") == 0).select("embedding", "bucket").head()
+    qlit = F.array(*[F.lit(float(x)) for x in qrow[0]])
+    return (
+        with_b.where((F.col("bucket") == int(qrow[1])) & (F.col("vec_id") != 0))
+        .select(
+            "vec_id",
+            (F.round(cosine(F.col("embedding"), qlit), 4) + 0.0).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(5)
+    )
+
+
+def _plane_sql(j: int) -> str:
+    coefs = ", ".join(f"{c}.0" for c in HYPERPLANES[j])
+    return (
+        f"(CASE WHEN list_sum(list_transform(list_zip(CAST(embedding AS DOUBLE[]), "
+        f"[{coefs}]), p -> p[1] * p[2])) >= 0 THEN {1 << j} ELSE 0 END)"
+    )
+
+
+_ANN_SQL = f"""
+WITH wb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         CAST({" + ".join(_plane_sql(j) for j in range(N_PLANES))} AS BIGINT) AS bucket
+  FROM embeddings
+), q AS (SELECT e AS qe, bucket AS qb FROM wb WHERE vec_id = 0)
+SELECT vec_id,
+       round(
+         list_sum(list_transform(list_zip(e, qe), p -> p[1] * p[2]))
+         / (sqrt(list_sum(list_transform(e, x -> x * x)))
+            * sqrt(list_sum(list_transform(qe, x -> x * x)))),
+         4) + 0.0 AS cos_sim
+FROM wb, q
+WHERE bucket = qb AND vec_id <> 0
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 5
+"""
+
 ORACLE: dict[str, str] = {
+    "q_ann_lsh": _ANN_SQL,
     "q_knn_topk": """
         WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
         SELECT vec_id,
@@ -107,16 +203,18 @@ ORACLE: dict[str, str] = {
         ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
     """,
     "q_embed_near_dup": """
+        WITH un AS (
+          SELECT vec_id, label,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> x / sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), y -> y * y))))
+                   AS u
+          FROM embeddings
+        )
         SELECT * FROM (
           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                 round(
-                   list_sum(list_transform(list_zip(CAST(a.embedding AS DOUBLE[]),
-                                                    CAST(b.embedding AS DOUBLE[])),
-                                           p -> p[1] * p[2]))
-                   / (sqrt(list_sum(list_transform(CAST(a.embedding AS DOUBLE[]), x -> x * x)))
-                      * sqrt(list_sum(list_transform(CAST(b.embedding AS DOUBLE[]), x -> x * x)))),
-                   4) AS cos_sim
-          FROM embeddings a JOIN embeddings b
+                 round(list_sum(list_transform(list_zip(a.u, b.u), p -> p[1] * p[2])), 4)
+                   AS cos_sim
+          FROM un a JOIN un b
             ON a.label = b.label AND a.vec_id < b.vec_id
         ) WHERE cos_sim > 0.99
     """,

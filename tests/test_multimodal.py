@@ -1,0 +1,48 @@
+"""Multimodal plumbing tests: binary columns + Arrow-batched
+mapInPandas verified against plain-Python computation."""
+
+from __future__ import annotations
+
+from block_data_fetcher_spark.functions.multimodal import (
+    extract_features,
+    frame_sample,
+    synth_media,
+)
+from block_data_fetcher_spark.catalog import table
+
+
+def test_media_schema(spark, sf_dir):
+    media = synth_media(spark, sf_dir)
+    dt = dict(media.dtypes)
+    assert dt["data"] == "binary"
+    assert dt["kind"] == "string"
+    assert "struct" in dt["meta"]
+
+
+def test_features_match_python(spark, sf_dir):
+    docs = {r.doc_id: r.text for r in table(spark, sf_dir, "documents").collect()}
+    feats = {r.media_id: r for r in extract_features(synth_media(spark, sf_dir)).collect()}
+    assert set(feats) == set(docs)
+    for doc_id, text in list(docs.items())[:50]:
+        payload = text.encode("utf-8")
+        f = feats[doc_id]
+        assert f.n_bytes == len(payload)
+        assert f.checksum == sum(payload) % 997
+        assert f.feat == [
+            float(len(payload)),
+            float(payload[0]),
+            float(payload[-1]),
+            float(sum(payload) % 997),
+        ]
+
+
+def test_frame_sample_reassembles(spark, sf_dir):
+    media = synth_media(spark, sf_dir).where("media_id < 20")
+    frames = frame_sample(media, every=64).collect()
+    by_id: dict[int, list] = {}
+    for r in frames:
+        by_id.setdefault(r.media_id, []).append((r.frame_idx, bytes(r.frame)))
+    docs = {r.doc_id: r.text for r in table(spark, sf_dir, "documents").where("doc_id < 20").collect()}
+    for mid, parts in by_id.items():
+        joined = b"".join(p for _, p in sorted(parts))
+        assert joined == docs[mid].encode("utf-8")

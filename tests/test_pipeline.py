@@ -1,0 +1,115 @@
+"""End-to-end pipeline tests: custom RPC source (offline) → extract →
+classify → upsert sink; batch and streaming; idempotence (ST6)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from block_data_fetcher_spark.etl.extract import (
+    extract_transactions,
+    parse_blocks,
+)
+from block_data_fetcher_spark.etl.load import (
+    insert_if_absent,
+    stream_upsert,
+    upsert_parquet,
+)
+from block_data_fetcher_spark.sources.rpc import SolanaRpcDataSource
+
+
+@pytest.fixture(scope="module")
+def rpc_registered(spark):
+    spark.dataSource.register(SolanaRpcDataSource)
+    return spark
+
+
+def _read_range(spark, start, end):
+    return (
+        spark.read.format("solana_rpc")
+        .option("start_slot", start)
+        .option("end_slot", end)
+        .option("mode", "offline")
+        .load()
+    )
+
+
+def test_rpc_batch_source(rpc_registered, spark):
+    raw = _read_range(spark, 100, 119)
+    assert raw.count() == 20
+    assert raw.schema.simpleString() == "struct<slot:bigint,raw:string>"
+    blocks = parse_blocks(raw)
+    assert blocks.count() == 20
+    txs = extract_transactions(raw)
+    assert txs.count() == 80  # 4 per block
+    types = {r.transaction_type for r in txs.select("transaction_type").distinct().collect()}
+    # offline generator emits system transfers, token transfers, and
+    # program_interaction-shaped txs (DEX id present via accountKeys)
+    assert "sol_transfer" in types or "program_interaction" in types
+    assert "spl_token_transfer" in types
+
+
+def test_rpc_source_partitioned_fetch(rpc_registered, spark):
+    raw = _read_range(spark, 0, 99)
+    # batch_size default 10 → 10 partitions — the parallel fetch the
+    # reference lists as future work
+    assert raw.rdd.getNumPartitions() == 10
+    assert raw.count() == 100
+
+
+def test_upsert_idempotent(spark, tmp_path):
+    path = str(tmp_path / "tx_table")
+    df1 = spark.createDataFrame(
+        [("a", 1, 10.0), ("b", 1, 20.0)], "k string, v long, ts double"
+    )
+    assert upsert_parquet(spark, df1, path, ["k"], ["ts"]) == 2
+    # re-load same batch → unchanged (ST6)
+    assert upsert_parquet(spark, df1, path, ["k"], ["ts"]) == 2
+    # newer write wins
+    df2 = spark.createDataFrame([("a", 2, 11.0)], "k string, v long, ts double")
+    assert upsert_parquet(spark, df2, path, ["k"], ["ts"]) == 2
+    rows = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert rows == {"a": 2, "b": 1}
+    # older write does NOT win (last-wins ordered by ts)
+    df3 = spark.createDataFrame([("a", 99, 5.0)], "k string, v long, ts double")
+    upsert_parquet(spark, df3, path, ["k"], ["ts"])
+    rows = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert rows["a"] == 2
+
+
+def test_insert_if_absent(spark, tmp_path):
+    path = str(tmp_path / "registry")
+    seed = spark.createDataFrame([("p1", "Prog1"), ("p2", "Prog2")], "id string, name string")
+    assert insert_if_absent(spark, seed, path, ["id"]) == 2
+    # conflicting row ignored, new row added (reference S9)
+    more = spark.createDataFrame([("p2", "CHANGED"), ("p3", "Prog3")], "id string, name string")
+    assert insert_if_absent(spark, more, path, ["id"]) == 3
+    rows = {r.id: r.name for r in spark.read.parquet(path).collect()}
+    assert rows == {"p1": "Prog1", "p2": "Prog2", "p3": "Prog3"}
+
+
+def test_stream_pipeline_end_to_end(rpc_registered, spark, tmp_path):
+    """Continuous mode done right (the reference's loop is a stub):
+    RPC stream source → extract → foreachBatch upsert → parquet."""
+    path = str(tmp_path / "stream_txs")
+    stream = (
+        spark.readStream.format("solana_rpc")
+        .option("start_slot", 500)
+        .option("mode", "offline")
+        .option("max_slots_per_trigger", 7)
+        .load()
+    )
+    txs = extract_transactions(stream).withColumn(
+        "processed_at", F.current_timestamp()
+    )
+    q = stream_upsert(txs, path, ["signature"], ["processed_at"])
+    q.awaitTermination(120)
+    out = spark.read.parquet(path)
+    n = out.count()
+    assert n > 0
+    assert out.select("signature").distinct().count() == n
+    # every tx classified
+    assert out.where(F.col("transaction_type").isNull()).count() == 0

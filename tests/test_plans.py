@@ -1,0 +1,84 @@
+"""Physical-plan quality gates (SURVEY §4): these assert the properties
+that make the catalog survive a 100x scale-up — pushdown, pruning,
+broadcast dims, map-side partials, real top-k."""
+
+from __future__ import annotations
+
+from block_data_fetcher_spark import api
+from block_data_fetcher_spark.plans.explain import (
+    count_exchanges,
+    formatted_plan,
+    has_partial_aggregate,
+    has_pushed_filters,
+    is_top_k,
+    scan_read_schema,
+    uses_broadcast_join,
+)
+
+_Q = api.queries()
+
+
+def test_scan_project_pushdown_and_pruning(spark, sf_dir):
+    df = _Q["q_scan_project"](spark, sf_dir)
+    assert has_pushed_filters(df), formatted_plan(df)
+    cols = set(scan_read_schema(df))
+    # 5 projected + shipdate filter column; nothing else leaves the scan
+    assert cols == {
+        "l_orderkey",
+        "l_partkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_shipdate",
+    }, cols
+
+
+def test_filter_project_pushdown(spark, sf_dir):
+    df = _Q["q_filter_project"](spark, sf_dir)
+    assert has_pushed_filters(df)
+    assert set(scan_read_schema(df)) == {"event_id", "user_id", "value", "event_type"}
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    for name in ("q_broadcast_join", "q_label_concat", "q_rollup"):
+        df = _Q[name](spark, sf_dir)
+        assert uses_broadcast_join(df), f"{name}: no broadcast\n{formatted_plan(df)}"
+
+
+def test_semi_and_anti_join_shapes(spark, sf_dir):
+    plan = formatted_plan(_Q["q_semi_join"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    plan = formatted_plan(_Q["q_anti_join"](spark, sf_dir))
+    assert "LeftAnti" in plan
+
+
+def test_aggregates_have_map_side_partials(spark, sf_dir):
+    for name in ("q_agg_global", "q_group_count", "q_join_fk_agg"):
+        df = _Q[name](spark, sf_dir)
+        assert has_partial_aggregate(df), f"{name} lacks partial agg"
+
+
+def test_orderby_limit_is_top_k(spark, sf_dir):
+    assert is_top_k(_Q["q_orderby_limit"](spark, sf_dir))
+    assert is_top_k(_Q["q_text_tokenize"](spark, sf_dir))
+    assert is_top_k(_Q["q_knn_topk"](spark, sf_dir))
+
+
+def test_knn_is_shuffle_free(spark, sf_dir):
+    # brute-force kNN to a literal query vector: map + top-k merge only
+    assert count_exchanges(_Q["q_knn_topk"](spark, sf_dir)) == 0
+
+
+def test_group_count_single_shuffle(spark, sf_dir):
+    assert count_exchanges(_Q["q_group_count"](spark, sf_dir)) <= 1
+
+
+def test_multimodal_meta_prunes_payload(spark, sf_dir):
+    # metadata rollup must not read the payload bytes column
+    df = _Q["q_multimodal_meta"](spark, sf_dir)
+    cols = set(scan_read_schema(df))
+    assert "text" in cols  # synth payload derives from text (expected)
+    # the real assertion at scale: a stored media table scan reads
+    # meta/kind only — covered by schema design; here we assert the
+    # scan reads only the columns synth_media needs
+    assert cols <= {"doc_id", "text", "lang"}, cols
