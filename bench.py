@@ -51,6 +51,8 @@ LARGE_RESULT = {
     "q_fingerprint",
     "q_lang_id",
     "q_token_count",
+    "q_window_running",
+    "q_window_lag",
 }
 
 
