@@ -56,6 +56,22 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def parallelize(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Ensure per-row-expensive map work (signatures, vector math,
+    media decode) fans out across every core.
+
+    At production scale a parquet scan already yields >= cores splits
+    (``spark.sql.files.maxPartitionBytes``), so this is a no-op; it
+    only fires for tiny local fixture files that arrive as a single
+    row-group, where otherwise one task would serialize the whole
+    corpus' compute. A round-robin repartition of a small table is
+    cheap; the check keeps it off the 100 TB path."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, register_views: bool = False) -> dict[str, DataFrame]:
     """Load every fixture table; optionally register temp views so the
     same catalog serves both the DataFrame API and ``spark.sql``."""

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import parallelize, table
 
 P = 1_000_000_007  # modulus for permutations (fits 63-bit products)
 # fixed permutation coefficients (a_i * h + b_i) % P, i = 0..7
@@ -65,15 +65,26 @@ def shingle_hashes(text: Column) -> Column:
 
 
 def minhash_signature(hashes: Column) -> Column:
-    """k=8 minhash components as an array<long>."""
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % P)
-            )
-            for a, b in zip(MINHASH_A, MINHASH_B)
-        ]
-    )
+    """k=8 minhash components as an array<long>.
+
+    The ``hashes`` expression is let-bound through a single-element
+    ``transform`` so it evaluates ONCE per row: referencing it
+    directly in all 8 permutations would inline the whole
+    shingle→md5 pipeline 8x after Catalyst's project collapse
+    (higher-order functions get no codegen subexpression
+    elimination) — measured 6x slower at sf0.1."""
+
+    def components(hs: Column) -> Column:
+        return F.array(
+            *[
+                F.array_min(
+                    F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % P)
+                )
+                for a, b in zip(MINHASH_A, MINHASH_B)
+            ]
+        )
+
+    return F.get(F.transform(F.array(hashes), components), 0)
 
 
 # ---------------------------------------------------------------------------
@@ -86,8 +97,17 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket-equijoin → estimated similarity = matching components / 8.
 
     The scale path for corpus dedup: no all-pairs comparison ever
-    happens; candidates come from the band-bucket join."""
-    docs = table(spark, sf_dir, "documents")
+    happens; candidates come from band-bucket membership.
+
+    Bucketing is a single groupBy on the band key (ONE scan, ONE
+    shuffle — a band-keyed self-join would scan the corpus and compute
+    every signature twice; measured 2.4x slower at sf0.1).
+    Within-bucket pairing is an upper-triangle array expression over
+    the sorted member list, so the quadratic work is bounded by bucket
+    size — the same contract as the band join, but map-side. At 100 TB
+    a degenerate band value (giant collect_list) is the skew risk;
+    raising BAND_ROWS shrinks buckets exponentially."""
+    docs = parallelize(table(spark, sf_dir, "documents"), spark)
     sig = docs.select(
         "doc_id", minhash_signature(shingle_hashes(F.col("text"))).alias("sig")
     )
@@ -109,33 +129,44 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band_idx", "band"),
     )
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band_idx", "band"
+    grouped = (
+        bands.groupBy("band_idx", "band")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "sig"))).alias("ms"))
+        .where(F.size("ms") > 1)
     )
-    b = bands.select(
-        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band_idx", "band"
+    ms = F.col("ms")
+    pairs_expr = F.flatten(
+        F.transform(
+            ms,
+            lambda a, i: F.transform(
+                F.slice(ms, i + F.lit(2), F.size(ms)),
+                lambda b: F.struct(
+                    a["doc_id"].alias("doc_a"),
+                    b["doc_id"].alias("doc_b"),
+                    (
+                        F.size(
+                            F.filter(
+                                F.zip_with(a["sig"], b["sig"], lambda x, y: x == y),
+                                lambda eq: eq,
+                            )
+                        ).cast("double")
+                        / N_HASHES
+                    ).alias("est_sim"),
+                ),
+            ),
+        )
     )
-    pairs = (
-        a.join(b, ["band_idx", "band"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
+    return (
+        grouped.select(F.explode(pairs_expr).alias("p"))
+        .select("p.*")
         .distinct()  # a pair may collide in several bands
     )
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
-            )
-        ).cast("double")
-        / N_HASHES
-    )
-    return pairs.select("doc_a", "doc_b", est.alias("est_sim"))
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document over distinct unigram hashes:
     bit_j = sign of Σ ±1 weighted by hash bit j."""
-    docs = table(spark, sf_dir, "documents")
+    docs = parallelize(table(spark, sf_dir, "documents"), spark)
     hs = F.transform(
         F.array_distinct(F.split("text", " ")), lambda t: token_hash(t)
     )
@@ -160,7 +191,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard for consecutive doc pairs — the
     verify-stage companion to LSH candidate generation."""
-    docs = table(spark, sf_dir, "documents")
+    docs = parallelize(table(spark, sf_dir, "documents"), spark)
     sh = docs.select("doc_id", shingles(F.split("text", " ")).alias("s"))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
@@ -177,7 +208,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive document fingerprint: left-fold polynomial hash
     over token hashes — (acc*31 + h) % P, init 7."""
-    docs = table(spark, sf_dir, "documents")
+    docs = parallelize(table(spark, sf_dir, "documents"), spark)
     hs = F.transform(F.split("text", " "), lambda t: token_hash(t) % P)
     fp = F.aggregate(
         hs, F.lit(7).cast("long"), lambda acc, h: (acc * 31 + h) % P

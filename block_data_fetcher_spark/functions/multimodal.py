@@ -29,7 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import parallelize, table
 
 MEDIA_SCHEMA = (
     "media_id bigint, kind string, data binary, "
@@ -48,7 +48,7 @@ def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic media table derived from ``documents``: payload =
     utf-8 bytes of the text (a stand-in for real image/audio bytes),
     kind = doc_id % 3. Exercises the real binary-column plumbing."""
-    docs = table(spark, sf_dir, "documents")
+    docs = parallelize(table(spark, sf_dir, "documents"), spark)
     kind = F.element_at(
         F.array(*[F.lit(k) for k in _KINDS]), (F.col("doc_id") % 3 + 1).cast("int")
     )

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import parallelize, table
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -85,7 +85,7 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-cell pairing is quadratic per cell, bounded by cell size —
     the same contract as IVF probing. Salting applies if one cell
     dominates."""
-    em = table(spark, sf_dir, "embeddings").select(
+    em = parallelize(table(spark, sf_dir, "embeddings"), spark).select(
         "vec_id", "label", unit(F.col("embedding")).alias("u")
     )
     a = em.select(

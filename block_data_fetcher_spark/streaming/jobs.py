@@ -29,9 +29,14 @@ from __future__ import annotations
 
 import tempfile
 import uuid
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -119,6 +124,62 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("w_start"), F.col("w.end").alias("w_end"), "cnt")
     )
     return _run_to_memory(agg, "stream_sliding", "complete")
+
+
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: the
+    reference's account-activity rollup (A4,
+    ``migrations/20251023000004_create_accounts.sql:4-25`` — per-address
+    first/last seen, total + conditional counts) maintained
+    incrementally as per-user state across micro-batches.
+
+    This is the escape hatch for aggregations Spark's built-ins can't
+    express (arbitrary Python state transitions); state is Arrow-batched
+    per group, partitioned by the grouping key — at 100 TB the state
+    store shards across executors and is bounded by |users|, not
+    |events|."""
+    ev = events_stream(spark, sf_dir)
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, total, n_purch, first_ts, last_ts = (
+            state.get if state.exists else (0, 0.0, 0, None, None)
+        )
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            n_purch += int((pdf["event_type"] == "purchase").sum())
+            lo, hi = pdf["ts"].min(), pdf["ts"].max()
+            first_ts = lo if first_ts is None else min(first_ts, lo)
+            last_ts = hi if last_ts is None else max(last_ts, hi)
+        state.update((n, total, n_purch, first_ts, last_ts))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 2)],
+                "n_purchases": [n_purch],
+                "first_ts": [first_ts],
+                "last_ts": [last_ts],
+            }
+        )
+
+    rolled = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, n_events long, total_value double, "
+            "n_purchases long, first_ts timestamp, last_ts timestamp"
+        ),
+        stateStructType=(
+            "n long, total double, np long, first_ts timestamp, last_ts timestamp"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(rolled, "stream_stateful", "update")
 
 
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:

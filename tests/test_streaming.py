@@ -9,6 +9,7 @@ from block_data_fetcher_spark.streaming.jobs import (
     q_stream_dedup,
     q_stream_session,
     q_stream_sliding,
+    q_stream_stateful,
     q_stream_tumbling,
 )
 from block_data_fetcher_spark.catalog import table
@@ -39,6 +40,21 @@ def test_stream_sliding_window_count(spark, sf_dir):
     # every event lands in exactly 2 sliding windows (1h window / 30m slide)
     total = sliding.groupBy().sum("cnt").collect()[0][0]
     assert total == 2 * n_events
+
+
+def test_stream_stateful_matches_batch_rollup(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    rolled = q_stream_stateful(spark, sf_dir)
+    ev = table(spark, sf_dir, "events")
+    batch = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.count_if(F.col("event_type") == "purchase").alias("n_purchases"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+    assert _rows(rolled) == _rows(batch)
 
 
 def test_stream_session_covers_all_events(spark, sf_dir):
