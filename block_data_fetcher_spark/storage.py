@@ -1,0 +1,113 @@
+"""Production table layout: partitioned writes, bucketed co-located
+joins, and skew salting — the engine's answer to the reference's index
+set (SURVEY §4.1).
+
+The reference encodes its query workload as PostgreSQL B-tree/GIN
+indexes (``migrations/20251023000002_create_transactions.sql:36-41``
+etc.); at 100 TB the analogs are physical layout choices:
+
+- time-range index  → hive-style **partition columns** (partition
+  pruning: a day-scoped query touches one directory of thousands);
+- FK join index     → **bucketing** on the join key (two tables
+  bucketed the same way join with NO shuffle exchange on either side);
+- hot-key contention → **salting** (two-stage aggregation: partial agg
+  on (key, salt) spreads a dominant key over N reducers; algebraic
+  aggregates re-combine exactly).
+
+Everything here is exercised by ``tests/test_storage.py`` with plan
+assertions (PartitionFilters on pruned scans, zero Exchange under a
+bucketed join, two HashAggregate stages under salting).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: Sequence[str], mode: str = "overwrite"
+) -> None:
+    """Hive-layout parquet write. ``spark.read.parquet(path)`` on the
+    result gets partition pruning for free: Catalyst turns filters on
+    ``partition_cols`` into directory-level PartitionFilters, so a
+    selective query never opens non-matching files."""
+    df.write.partitionBy(*partition_cols).mode(mode).parquet(path)
+
+
+def with_event_date(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Standard time-partition column: ``date(ts)`` — the engine's
+    analog of the reference's ``idx_blocks_block_time``
+    (``migrations/20251023000001_create_blocks.sql:22-24``)."""
+    return df.withColumn("event_date", F.to_date(F.col(ts_col)))
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int,
+    sort_cols: Sequence[str] | None = None,
+) -> None:
+    """Bucketed managed table: rows are hash-distributed into
+    ``n_buckets`` files by ``bucket_cols`` at WRITE time, so any
+    equi-join or aggregation on those columns later runs with no
+    shuffle — the co-located-join contract for repeated fact⋈fact
+    joins (lineitem⋈orders here; transactions⋈instructions in the
+    reference's schema)."""
+    writer = df.write.bucketBy(n_buckets, *bucket_cols)
+    writer = writer.sortBy(*(sort_cols or bucket_cols))
+    writer.mode("overwrite").format("parquet").saveAsTable(table_name)
+
+
+def salt_column(key: Column, n_salts: int, entropy: Column) -> Column:
+    """Deterministic salt in [0, n_salts): spreads one hot key over
+    ``n_salts`` reducers. ``entropy`` is any column uncorrelated with
+    the key (a row id); deterministic so retried tasks re-salt
+    identically (Spark task retries must be idempotent)."""
+    return F.pmod(F.xxhash64(entropy), F.lit(n_salts)).cast("int")
+
+
+def salted_sum_count(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    n_salts: int,
+    entropy_col: str,
+) -> DataFrame:
+    """Skew-safe ``groupBy(key).agg(sum, count)`` as two-stage
+    aggregation: partial on (key, salt) — at most ``n_salts`` rows per
+    key reach the final stage, no reducer sees a whole hot key.
+
+    Sum/count are algebraic (partials re-combine exactly); avg etc.
+    derive from them. This is what AQE's skew mitigation cannot do for
+    aggregations (it only splits skewed JOIN partitions) — salting is
+    the aggregation-side answer."""
+    salt = salt_column(F.col(key_cols[0]), n_salts, F.col(entropy_col))
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(*key_cols, "_salt")
+        .agg(
+            F.sum(value_col).alias("_psum"),
+            F.count("*").alias("_pcnt"),
+        )
+    )
+    return partial.groupBy(*key_cols).agg(
+        F.sum("_psum").alias(f"sum_{value_col}"),
+        F.sum("_pcnt").alias("cnt"),
+    )
+
+
+def repartition_for_write(
+    df: DataFrame, partition_cols: Sequence[str], files_per_partition: int = 1
+) -> DataFrame:
+    """Pre-shuffle so each hive partition is written by few tasks —
+    avoids the tiny-files problem (every task writing every partition
+    yields tasks x partitions files; at 1000 executors that is the
+    difference between 10^3 and 10^6 files per day)."""
+    cols = [F.col(c) for c in partition_cols]
+    if files_per_partition > 1:
+        cols.append(F.pmod(F.spark_partition_id(), F.lit(files_per_partition)))
+    return df.repartition(*cols)
