@@ -53,6 +53,8 @@ LARGE_RESULT = {
     "q_token_count",
     "q_window_running",
     "q_window_lag",
+    "q_sessionize",
+    "q_asof_join",
 }
 
 

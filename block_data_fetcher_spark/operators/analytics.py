@@ -89,6 +89,67 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_both.crossJoin(n_only)
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS ((lang), (source)) — two independent breakdowns
+    in one pass over the corpus (one shuffle, not two scans)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupingSets([["lang"], ["source"]], "lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): a new session starts
+    after a >30-minute silence; per session emit bounds and size.
+
+    The batch twin of the streaming ``session_window`` (X7): two
+    window functions over ONE shuffle on user_id — lag to flag
+    session starts, running sum to number them — then a grouped
+    aggregate that reuses the same partitioning."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    is_start = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    sessions = ev.withColumn(
+        "session_id",
+        F.sum(is_start).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (absent from the reference — SURVEY §2.3 'not
+    present'): each purchase paired with the user's most recent
+    at-or-before signup event.
+
+    Spark-first: NOT a range join (O(n·m) candidate explosion) — a
+    running ``max(ts) FILTER (event_type='signup')`` window over the
+    time-sorted stream gives the as-of match in one shuffle on
+    user_id; the sort inside the window is the merge step of a
+    sort-based as-of join."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_signup = F.max(
+        F.when(F.col("event_type") == "signup", F.col("ts"))
+    ).over(w)
+    return (
+        ev.withColumn("asof_signup_ts", last_signup)
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "asof_signup_ts")
+    )
+
+
 ORACLE: dict[str, str] = {
     "q_window_running": """
         SELECT event_id, user_id,
@@ -119,6 +180,39 @@ ORACLE: dict[str, str] = {
         SELECT event_type, count(DISTINCT user_id) AS n_users,
                count(*) AS n_events
         FROM events GROUP BY event_type
+    """,
+    "q_grouping_sets": """
+        SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars
+        FROM documents GROUP BY GROUPING SETS ((lang), (source))
+    """,
+    "q_sessionize": """
+        WITH flagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                      THEN 1 ELSE 0 END AS is_start
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), numbered AS (
+          SELECT user_id, ts,
+                 sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+          FROM flagged
+        )
+        SELECT user_id, session_id, count(*) AS n_events,
+               min(ts) AS session_start, max(ts) AS session_end
+        FROM numbered GROUP BY user_id, session_id
+    """,
+    "q_asof_join": """
+        SELECT event_id, user_id, ts, asof_signup_ts FROM (
+          SELECT event_id, user_id, ts, event_type,
+                 max(CASE WHEN event_type = 'signup' THEN ts END) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS asof_signup_ts
+          FROM events
+        ) WHERE event_type = 'purchase'
     """,
     "q_set_ops": """
         WITH buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
