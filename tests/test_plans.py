@@ -82,3 +82,21 @@ def test_multimodal_meta_prunes_payload(spark, sf_dir):
     # meta/kind only — covered by schema design; here we assert the
     # scan reads only the columns synth_media needs
     assert cols <= {"doc_id", "text", "lang"}, cols
+
+
+def test_tpch_q1_pushdown_and_partials(spark, sf_dir):
+    df = _Q["q_tpch_q1"](spark, sf_dir)
+    assert has_pushed_filters(df), formatted_plan(df)
+    assert has_partial_aggregate(df)
+    assert count_exchanges(df) == 1  # one shuffle on the group key
+
+
+def test_tpch_q3_is_top_k(spark, sf_dir):
+    df = _Q["q_tpch_q3"](spark, sf_dir)
+    assert is_top_k(df), formatted_plan(df)
+    assert has_pushed_filters(df)
+
+
+def test_tpch_q5_broadcasts_dims(spark, sf_dir):
+    df = _Q["q_tpch_q5"](spark, sf_dir)
+    assert uses_broadcast_join(df), formatted_plan(df)
