@@ -64,6 +64,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = api.queries()
+
+    # Warm-up: pay JVM/codegen/parquet-footer init once, outside the
+    # timings (otherwise the alphabetically-first query absorbs ~4 s
+    # of session startup that is not query cost).
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for t in ("lineitem", "events", "documents", "embeddings"):
+        try:
+            spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).collect()
+        except Exception:
+            pass
+
     timings: dict[str, float] = {}
     t_all = time.perf_counter()
     for name in sorted(queries):

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -76,12 +77,12 @@ def _fake_decode(payload: bytes) -> list[float]:
     Replace with PIL/torchaudio/ffmpeg in a real deployment."""
     if not payload:
         return [0.0, 0.0, 0.0, 0.0]
-    n = len(payload)
+    a = np.frombuffer(payload, dtype=np.uint8)
     return [
-        float(n),
-        float(payload[0]),
-        float(payload[-1]),
-        float(sum(payload) % 997),
+        float(a.size),
+        float(a[0]),
+        float(a[-1]),
+        float(int(a.sum(dtype=np.int64)) % 997),
     ]
 
 
@@ -91,13 +92,18 @@ def extract_features(media: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             data = pdf["data"]
+            feats = data.map(_fake_decode)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": data.map(len).astype("int64"),
-                    "checksum": data.map(lambda b: sum(b) % 997).astype("int64"),
-                    "feat": data.map(_fake_decode),
+                    # n_bytes/checksum reuse the decode output (feat[0] =
+                    # size, feat[3] = byte-sum % 997) — the payload is
+                    # traversed once per row, vectorized in numpy, not
+                    # three times through Python byte loops.
+                    "n_bytes": feats.map(lambda f: int(f[0])).astype("int64"),
+                    "checksum": feats.map(lambda f: int(f[3])).astype("int64"),
+                    "feat": feats,
                 }
             )
 

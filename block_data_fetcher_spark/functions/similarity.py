@@ -19,6 +19,8 @@ Scale posture:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -163,6 +165,122 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- ANN: IVF coarse quantizer --------------------------------------------
+N_CENTROIDS = 8  # cells = vectors with vec_id < 8 (deterministic "k-means")
+N_PROBE = 2
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via an IVF index (the other scale path next to LSH):
+    8 fixed centroid vectors define coarse cells; every vector is
+    assigned to its nearest cell map-side; the query probes its
+    ``N_PROBE`` nearest cells and ranks by exact cosine only within
+    those cells' members.
+
+    Spark-first shape: the centroid table is driver-collected (8 rows —
+    the legitimate dim collect, same as q_knn_topk's query vector) and
+    inlined as literals, so assignment is a pure projection: an array
+    of (sim, cell) structs, ``array_max`` for the arg-max — NO shuffle,
+    no cross join. Candidate selection is a 2-row broadcast semi-join
+    on the cell id. At 100 TB: centroids come from a sampled k-means
+    (`kmeans||` on a 1% sample), the table is written partitioned BY
+    cell, and a query reads only `N_PROBE` partitions — partition
+    pruning does the index lookup. Ties break toward the lower cell id
+    in both engines (struct max on (sim, -cid), mirrored by
+    ``ORDER BY sim DESC, cid ASC``)."""
+    em = table(spark, sf_dir, "embeddings")
+    cent_rows = sorted(
+        em.where(F.col("vec_id") < N_CENTROIDS)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+
+    def _unit(vec) -> list[float]:
+        n = math.sqrt(sum(float(x) * float(x) for x in vec))
+        return [float(x) / n for x in vec]
+
+    # Assignment ranks by dot(e, ce/|ce|): the row norm |e| is constant
+    # across centroids, so the arg-max equals the cosine arg-max — 8
+    # norm folds per row eliminated. Centroids are pre-normalized on
+    # the driver (8 vectors). Float ulp differences vs the oracle's
+    # full cosine cannot flip the arg-max on non-degenerate data.
+    sims = F.array(
+        *[
+            F.struct(
+                dot(
+                    F.col("embedding"),
+                    F.array(*[F.lit(x) for x in _unit(r["embedding"])]),
+                ).alias("sim"),
+                F.lit(-int(r["vec_id"])).alias("neg_cid"),
+            )
+            for r in cent_rows
+        ]
+    )
+    assigned = em.select(
+        "vec_id",
+        "embedding",
+        (-F.array_max(sims)["neg_cid"]).alias("cell"),
+    )
+    # desc by sim, tie → asc by cid: reverse of asc (sim, neg_cid) sort.
+    # Computed ONLY for the query row — never pay the sort on the scan.
+    probe = (
+        em.where(F.col("vec_id") == 0)
+        .select(
+            F.explode(
+                F.transform(
+                    F.slice(F.reverse(F.array_sort(sims)), 1, N_PROBE),
+                    lambda s: -s["neg_cid"],
+                )
+            ).alias("cell")
+        )
+    )
+    qvec = next(r["embedding"] for r in cent_rows if r["vec_id"] == 0)
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    return (
+        assigned.join(F.broadcast(probe), "cell", "left_semi")
+        .where(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            (F.round(cosine(F.col("embedding"), qlit), 4) + 0.0).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(5)
+    )
+
+
+_COS = (
+    "list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+    " / (sqrt(list_sum(list_transform({a}, x -> x * x)))"
+    " * sqrt(list_sum(list_transform({b}, x -> x * x))))"
+)
+
+_IVF_SQL = f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), cent AS (
+  SELECT vec_id AS cid, e AS ce FROM emb WHERE vec_id < {N_CENTROIDS}
+), sims AS (
+  SELECT vec_id, cid, {_COS.format(a="e", b="ce")} AS sim
+  FROM emb CROSS JOIN cent
+), ranked AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+  FROM sims
+), assign AS (
+  SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1
+), probe AS (
+  SELECT cid AS cell FROM ranked WHERE vec_id = 0 AND rn <= {N_PROBE}
+), q AS (
+  SELECT e AS qe FROM emb WHERE vec_id = 0
+)
+SELECT emb.vec_id, round({_COS.format(a="e", b="qe")}, 4) + 0.0 AS cos_sim
+FROM emb JOIN assign ON emb.vec_id = assign.vec_id, q
+WHERE assign.cell IN (SELECT cell FROM probe) AND emb.vec_id <> 0
+ORDER BY cos_sim DESC, emb.vec_id ASC LIMIT 5
+"""
+
+
 def _plane_sql(j: int) -> str:
     coefs = ", ".join(f"{c}.0" for c in HYPERPLANES[j])
     return (
@@ -190,6 +308,7 @@ ORDER BY cos_sim DESC, vec_id ASC LIMIT 5
 
 ORACLE: dict[str, str] = {
     "q_ann_lsh": _ANN_SQL,
+    "q_ann_ivf": _IVF_SQL,
     "q_knn_topk": """
         WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
         SELECT vec_id,

@@ -150,7 +150,54 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events per type by value — the ranked-window family
+    (row_number over a per-group order), the grouped twin of the O2
+    global top-k (``src/pipeline.rs:303-308``).
+
+    Scale: one shuffle on the (low-cardinality) group key; within each
+    partition the window ranks locally. For a handful of groups at
+    100 TB the per-group skew is the risk — AQE splits the oversized
+    partitions; if groups are truly few, a per-partition pre-top-k
+    (partial TakeOrdered per map task) bounds the shuffle to
+     3×partitions rows."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("event_type", "rnk", "event_id", "value")
+    )
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct users per event type — the
+    sketch path for cardinality at 100 TB (exact countDistinct needs a
+    full shuffle of the key; HLL carries a fixed ~kB sketch per group
+    through map-side partials).
+
+    Rows-only for the driver (Spark's HLL++ and DuckDB's HLL give
+    different estimates by construction); the unit test in
+    tests/test_pipeline.py asserts <5% relative error against the
+    exact count at rsd=0.02."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
 ORACLE: dict[str, str] = {
+    "q_topn_per_group": """
+        SELECT event_type, rnk, event_id, value FROM (
+          SELECT event_type, event_id, value,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY value DESC, event_id ASC) AS rnk
+          FROM events
+        ) WHERE rnk <= 3
+    """,
     "q_window_running": """
         SELECT event_id, user_id,
                count(*) OVER w AS run_cnt,

@@ -2,10 +2,13 @@
 
 The reference's query layer is PostgreSQL over a star-ish schema
 (SURVEY §3 entry point 3 — its migrations' indexes encode time-range
-scans, FK joins and per-type rollups). These three classics exercise
-exactly those access paths at benchmark shape: Q1 the wide scan +
-grouped aggregate, Q3 the selective dim-filtered 3-way join + top-k,
-Q5 the 6-table snowflake join with two broadcast dims.
+scans, FK joins and per-type rollups). These classics exercise exactly
+those access paths at benchmark shape: Q1 the wide scan + grouped
+aggregate, Q3 the selective dim-filtered 3-way join + top-k, Q4 the
+correlated EXISTS decorrelated to a semi join, Q5 the 6-table
+snowflake join with two broadcast dims, Q6 the pure
+scan-filter-aggregate, Q17 the correlated scalar subquery, Q18 the
+HAVING-over-aggregate join-back.
 
 Plan expectations at scale (asserted in tests/test_plans.py):
 - Q1: filter pushed to the scan, map-side partial aggregation, ONE
@@ -96,7 +99,152 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority checking (TPC-H Q4 shape): orders in a quarter
+    that have at least one returned lineitem, counted per priority.
+
+    Spark-first: the correlated ``EXISTS`` decorrelates to a LEFT SEMI
+    join — only the orderkey of the probe side shuffles, the lineitem
+    payload columns never move (reference J2's parent-exists check,
+    ``src/etl/load.rs:172-182``, at analytic shape)."""
+    od = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        od.join(li, od.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecasting-revenue-change (TPC-H Q6 shape): pure
+    scan→filter→global-agg, zero joins, zero shuffles past the partial
+    agg.
+
+    Scale: ALL three predicates and the 2-column projection push into
+    the parquet scan (PushedFilters + ReadSchema — asserted in
+    tests/test_plans.py); at 100 TB this reads only row-groups whose
+    min/max stats overlap 1997 and only 3 columns of 11."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.05)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (TPC-H Q17 shape): lineitems of one
+    brand whose quantity is below 20% of that part's average quantity.
+
+    Spark-first decorrelation of the correlated scalar subquery
+    (``l_quantity < 0.2 * (SELECT avg ... WHERE p_partkey = l_partkey)``):
+
+    1. filter ``part`` to the brand (broadcast — dim-sized);
+    2. semi-restrict lineitem to those parts BEFORE computing the
+       per-part average — the aggregate runs over the selected brand's
+       rows only, not the whole fact table;
+    3. join the (tiny) per-part threshold back by partkey.
+
+    The comparison is exact in both engines: quantities are
+    integer-valued doubles, so the partial-sum order behind avg()
+    cannot change the threshold bit pattern."""
+    pa = F.broadcast(
+        table(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#12")
+        .select("p_partkey")
+    )
+    li = table(spark, sf_dir, "lineitem").join(
+        pa, F.col("l_partkey") == F.col("p_partkey")
+    )
+    thresh = li.groupBy("l_partkey").agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_thresh")
+    )
+    return (
+        li.join(F.broadcast(thresh), "l_partkey")
+        .where(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+        )
+    )
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume customers (TPC-H Q18 shape): orders whose total
+    lineitem quantity exceeds 250, with customer attribution, top-10.
+
+    Exercises HAVING (filter above a grouped aggregate) + join of an
+    aggregate result back to facts. Scale: the HAVING filter reduces
+    the orderkey set to ~1% before any wide row is assembled — the
+    customer join sees only qualifying orders; top-10 compiles to
+    TakeOrderedAndProject."""
+    li = table(spark, sf_dir, "lineitem")
+    od = table(spark, sf_dir, "orders")
+    cu = table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .where(F.col("sum_qty") > 250)
+    )
+    return (
+        big.join(od, big.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
 ORACLE: dict[str, str] = {
+    "q_tpch_q4": """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-07-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority
+    """,
+    "q_tpch_q6": """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+          AND l_discount BETWEEN 0.02 AND 0.05
+          AND l_quantity < 24
+    """,
+    "q_tpch_q17": """
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#12'
+          AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                            FROM lineitem l2
+                            WHERE l2.l_partkey = lineitem.l_partkey)
+    """,
+    "q_tpch_q18": """
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+        FROM (
+          SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(l_quantity) > 250
+        ) big
+        JOIN orders   ON o_orderkey = big.l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
     "q_tpch_q1": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,

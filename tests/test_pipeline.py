@@ -113,3 +113,25 @@ def test_stream_pipeline_end_to_end(rpc_registered, spark, tmp_path):
     assert out.select("signature").distinct().count() == n
     # every tx classified
     assert out.where(F.col("transaction_type").isNull()).count() == 0
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    """HLL++ sketch (q_approx_distinct is rows-only for the driver):
+    assert the estimate lands within 5% of the exact distinct count."""
+    from block_data_fetcher_spark.operators.analytics import q_approx_distinct
+    from block_data_fetcher_spark.catalog import table
+
+    approx = {
+        r.event_type: r.approx_users
+        for r in q_approx_distinct(spark, sf_dir).collect()
+    }
+    exact = {
+        r.event_type: r.n_users
+        for r in table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, est in approx.items():
+        assert abs(est - exact[et]) / exact[et] < 0.05, (et, est, exact[et])

@@ -100,3 +100,40 @@ def test_tpch_q3_is_top_k(spark, sf_dir):
 def test_tpch_q5_broadcasts_dims(spark, sf_dir):
     df = _Q["q_tpch_q5"](spark, sf_dir)
     assert uses_broadcast_join(df), formatted_plan(df)
+
+
+def test_tpch_q4_is_semi_join(spark, sf_dir):
+    plan = formatted_plan(_Q["q_tpch_q4"](spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+
+
+def test_tpch_q6_full_pushdown_no_join(spark, sf_dir):
+    df = _Q["q_tpch_q6"](spark, sf_dir)
+    assert has_pushed_filters(df), formatted_plan(df)
+    # all predicate + projected columns prune to 4 of 11
+    assert set(scan_read_schema(df)) == {
+        "l_shipdate", "l_discount", "l_quantity", "l_extendedprice",
+    }
+    assert "Join" not in formatted_plan(df)
+
+
+def test_tpch_q17_broadcasts_threshold(spark, sf_dir):
+    # the decorrelated per-part threshold joins back as a broadcast —
+    # the fact side never shuffles for the comparison
+    df = _Q["q_tpch_q17"](spark, sf_dir)
+    assert uses_broadcast_join(df), formatted_plan(df)
+
+
+def test_tpch_q18_is_top_k(spark, sf_dir):
+    df = _Q["q_tpch_q18"](spark, sf_dir)
+    assert is_top_k(df), formatted_plan(df)
+
+
+def test_topn_per_group_single_shuffle(spark, sf_dir):
+    assert count_exchanges(_Q["q_topn_per_group"](spark, sf_dir)) <= 1
+
+
+def test_ann_ivf_assignment_is_shuffle_free(spark, sf_dir):
+    # centroid assignment is a projection; only the 2-row probe side
+    # broadcasts — candidate selection must not shuffle the fact table
+    assert count_exchanges(_Q["q_ann_ivf"](spark, sf_dir)) == 0
