@@ -74,6 +74,27 @@ def main() -> None:
             spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).collect()
         except Exception:
             pass
+    try:  # streaming machinery (StreamExecution, state store) init
+        import tempfile
+        import uuid
+
+        sink = f"warmup_{uuid.uuid4().hex[:8]}"
+        (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", 1)
+            .load()
+            .groupBy("value")
+            .count()
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_warm_"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(60)
+        )
+    except Exception:
+        pass
 
     timings: dict[str, float] = {}
     t_all = time.perf_counter()

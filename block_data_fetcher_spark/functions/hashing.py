@@ -43,18 +43,28 @@ def token_hash(t: Column) -> Column:
 def shingles(toks: Column, n: int = 3) -> Column:
     """Distinct n-gram shingles of a token array. `concat` (not
     concat_ws) so out-of-range tail positions yield NULL and are
-    filtered — no short shingles at the end."""
-    def mk(x: Column, i: Column) -> Column:
-        parts: list[Column] = []
-        for j in range(n):
-            if j:
-                parts.append(F.lit(" "))
-            parts.append(F.get(toks, i + j))
-        return F.concat(*parts)
+    filtered — no short shingles at the end.
 
-    return F.array_distinct(
-        F.filter(F.transform(toks, mk), lambda s: s.isNotNull())
-    )
+    ``toks`` (typically a ``split()``) is let-bound through a
+    single-element ``transform`` so it evaluates ONCE per row:
+    referencing it directly would re-evaluate the split 3x per shingle
+    position (no codegen subexpression elimination inside higher-order
+    functions) — measured ~4x slower on the shingle stage at sf0.1."""
+
+    def over(ts: Column) -> Column:
+        def mk(x: Column, i: Column) -> Column:
+            parts: list[Column] = []
+            for j in range(n):
+                if j:
+                    parts.append(F.lit(" "))
+                parts.append(F.get(ts, i + j))
+            return F.concat(*parts)
+
+        return F.array_distinct(
+            F.filter(F.transform(ts, mk), lambda s: s.isNotNull())
+        )
+
+    return F.get(F.transform(F.array(toks), over), 0)
 
 
 def shingle_hashes(text: Column) -> Column:

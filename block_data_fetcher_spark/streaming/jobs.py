@@ -79,18 +79,32 @@ def _run_to_memory(df: DataFrame, name: str, mode: str) -> DataFrame:
     deterministic, returns the sink table. ``complete`` for windowed
     aggregations (bounded input — emits every window even though the
     final watermark never passes the last one), ``append`` for
-    row-level streams."""
-    sink = f"{name}_{uuid.uuid4().hex[:8]}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode(mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    return df.sparkSession.table(sink)
+    row-level streams.
+
+    The state-store partition count is pinned LOW for the run: a
+    stateful query creates one state-store instance per shuffle
+    partition per trigger, so 32 partitions over a single-file source
+    is pure per-task overhead (~2x wall-clock measured at sf0.1). On a
+    real cluster the same knob is sized to |executors| at stream START
+    (it is frozen into the checkpoint, deliberately — state cannot be
+    re-sharded by config after the fact)."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        sink = f"{name}_{uuid.uuid4().hex[:8]}"
+        q = (
+            df.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode(mode)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(sink)
 
 
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
