@@ -55,6 +55,8 @@ LARGE_RESULT = {
     "q_window_lag",
     "q_sessionize",
     "q_asof_join",
+    "q_corpus_curate",
+    "q_topn_per_group",
 }
 
 

@@ -102,9 +102,11 @@ def minhash_signature(hashes: Column) -> Column:
 # ---------------------------------------------------------------------------
 
 
-def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidate pairs: shingle → minhash(8) → band(4×2) →
-    bucket-equijoin → estimated similarity = matching components / 8.
+def minhash_pairs(docs: DataFrame) -> DataFrame:
+    """MinHash+LSH candidate pairs over any (doc_id, text) DataFrame:
+    shingle → minhash(8) → band(4×2) → bucket-group → within-bucket
+    upper-triangle pairs, estimated similarity = matching components/8.
+    Returns (doc_a, doc_b, est_sim) with doc_a < doc_b.
 
     The scale path for corpus dedup: no all-pairs comparison ever
     happens; candidates come from band-bucket membership.
@@ -117,7 +119,6 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     size — the same contract as the band join, but map-side. At 100 TB
     a degenerate band value (giant collect_list) is the skew risk;
     raising BAND_ROWS shrinks buckets exponentially."""
-    docs = parallelize(table(spark, sf_dir, "documents"), spark)
     sig = docs.select(
         "doc_id", minhash_signature(shingle_hashes(F.col("text"))).alias("sig")
     )
@@ -171,6 +172,12 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.*")
         .distinct()  # a pair may collide in several bands
     )
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs over the documents corpus (see
+    :func:`minhash_pairs` for the algorithm and scale posture)."""
+    return minhash_pairs(parallelize(table(spark, sf_dir, "documents"), spark))
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -249,15 +256,21 @@ _EST = (
     "CAST(len(list_filter(range(1, 9), i -> a.sig[i] = b.sig[i])) AS DOUBLE) / 8"
 )
 
-_MINHASH_SQL = f"""
+def minhash_pairs_sql(src: str) -> str:
+    """DuckDB SELECT producing (doc_a, doc_b, est_sim) MinHash+LSH
+    candidate pairs over relation ``src`` (needs doc_id, text) — the
+    oracle twin of :func:`minhash_pairs`, sharing its constants.
+    Embeddable as a derived table: ``FROM (<minhash_pairs_sql(...)>)``.
+    """
+    return f"""
 WITH hsh AS (
-  SELECT doc_id, {_SHINGLE_HASHES} AS hs FROM documents
+  SELECT doc_id, {_SHINGLE_HASHES} AS hs FROM {src}
 ), sig AS (
   SELECT doc_id, {_SIG_COMPONENTS},
          [{", ".join(f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {P}))" for a, b in zip(MINHASH_A, MINHASH_B))}] AS sig
   FROM hsh
 ), bands AS (
-  {" UNION ALL ".join(f"SELECT doc_id, {i} AS band_idx, m{i*2} AS h0, m{i*2+1} AS h1, sig FROM sig" for i in range(N_HASHES // BAND_ROWS))}
+  {" UNION ALL ".join(f"SELECT doc_id, {i} AS band_idx, m{i * 2} AS h0, m{i * 2 + 1} AS h1, sig FROM sig" for i in range(N_HASHES // BAND_ROWS))}
 ), pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
   FROM bands a JOIN bands b
@@ -269,6 +282,9 @@ SELECT doc_a, doc_b,
          AS est_sim
 FROM pairs
 """
+
+
+_MINHASH_SQL = minhash_pairs_sql("documents")
 
 _SIMHASH_BIT_SUMS = ", ".join(
     f"list_sum(list_transform(hs, h -> ((h >> {j}) & 1) * 2 - 1)) AS s{j}"

@@ -154,6 +154,34 @@ def _hits_sql(lang: str) -> str:
     )
 
 
+def quality_sql(src: str) -> str:
+    """DuckDB SELECT of (doc_id, lang, text, quality) over relation
+    ``src`` — the oracle twin of :func:`quality_score`, shared so
+    composed pipelines (corpus curation) reuse the identical
+    expression."""
+    return f"""
+        SELECT doc_id, lang, text,
+               round(0.4 * (CASE WHEN mean_wlen BETWEEN 3 AND 10 THEN 1.0 ELSE 0.0 END)
+                   + 0.3 * least(stop_ratio * 5, 1.0)
+                   + 0.3 * (CASE WHEN n_tok BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END)
+                   + 1e-9,
+                   4) AS quality
+        FROM (
+          SELECT doc_id, lang, text,
+                 (length(text) - (n_tok - 1)) / n_tok AS mean_wlen,
+                 CAST(len(list_filter(string_split(text, ' '),
+                          t -> list_contains({_stop_sql("en")}, t))) AS DOUBLE)
+                   / n_tok AS stop_ratio,
+                 n_tok
+          FROM (
+            SELECT doc_id, lang, text,
+                   CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok
+            FROM {src}
+          )
+        )
+    """
+
+
 ORACLE: dict[str, str] = {
     "q_dedup_exact": "SELECT DISTINCT lang, source FROM documents",
     "q_text_tokenize": """
@@ -194,24 +222,6 @@ ORACLE: dict[str, str] = {
         )
     """,
     "q_quality_score": f"""
-        SELECT doc_id,
-               round(0.4 * (CASE WHEN mean_wlen BETWEEN 3 AND 10 THEN 1.0 ELSE 0.0 END)
-                   + 0.3 * least(stop_ratio * 5, 1.0)
-                   + 0.3 * (CASE WHEN n_tok BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END)
-                   + 1e-9,
-                   4) AS quality
-        FROM (
-          SELECT doc_id,
-                 (length(text) - (n_tok - 1)) / n_tok AS mean_wlen,
-                 CAST(len(list_filter(string_split(text, ' '),
-                          t -> list_contains({_stop_sql("en")}, t))) AS DOUBLE)
-                   / n_tok AS stop_ratio,
-                 n_tok
-          FROM (
-            SELECT doc_id, text,
-                   CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok
-            FROM documents
-          )
-        )
+        SELECT doc_id, quality FROM ({quality_sql("documents")})
     """,
 }
