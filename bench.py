@@ -57,6 +57,7 @@ LARGE_RESULT = {
     "q_asof_join",
     "q_corpus_curate",
     "q_topn_per_group",
+    "q_window_range",
 }
 
 

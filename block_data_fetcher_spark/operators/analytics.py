@@ -189,7 +189,82 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per event, the user's event count and value
+    sum over the trailing 1 hour (inclusive) — the time-decayed
+    rolling metric a rate limiter or anomaly detector keeps.
+
+    RANGE (value-based) frames differ from ROWS frames exactly when
+    timestamps tie or gap — the frame is bounded by `ts - 1h`, not by
+    a row count. One shuffle on user_id; the frame scan is linear per
+    partition (sliding two-pointer in Spark's window exec)."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("cnt_1h"),
+        F.round(F.sum("value").over(w), 2).alias("sum_1h"),
+    )
+
+
+def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two per-user aggregates (buyers ⟗ erroring
+    users): users appearing on either side, with zero-filled counts.
+    The reconciliation shape (reference O3's union-of-runs extended to
+    keyed merge).
+
+    Scale: both sides are already aggregated (≤|users| rows) before
+    the join — the full-outer shuffle moves group rows, never raw
+    events; aggregate-then-join beats join-then-aggregate by the
+    fan-out factor."""
+    ev = table(spark, sf_dir, "events")
+    buys = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_buys"))
+    )
+    errs = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_errs"))
+    )
+    return (
+        buys.join(errs, "user_id", "full_outer")
+        .select(
+            "user_id",
+            F.coalesce("n_buys", F.lit(0)).alias("n_buys"),
+            F.coalesce("n_errs", F.lit(0)).alias("n_errs"),
+        )
+    )
+
+
 ORACLE: dict[str, str] = {
+    "q_window_range": """
+        SELECT event_id, user_id,
+               count(*) OVER w AS cnt_1h,
+               round(sum(value) OVER w, 2) AS sum_1h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+    "q_full_outer_join": """
+        WITH buys AS (
+          SELECT user_id, count(*) AS n_buys FROM events
+          WHERE event_type = 'purchase' GROUP BY user_id
+        ), errs AS (
+          SELECT user_id, count(*) AS n_errs FROM events
+          WHERE event_type = 'error' GROUP BY user_id
+        )
+        SELECT coalesce(buys.user_id, errs.user_id) AS user_id,
+               coalesce(n_buys, 0) AS n_buys,
+               coalesce(n_errs, 0) AS n_errs
+        FROM buys FULL OUTER JOIN errs ON buys.user_id = errs.user_id
+    """,
     "q_topn_per_group": """
         SELECT event_type, rnk, event_id, value FROM (
           SELECT event_type, event_id, value,
