@@ -143,6 +143,58 @@ def extract_instructions(raw_blocks: DataFrame) -> DataFrame:
     ).where(F.col("transaction_signature").isNotNull())
 
 
+def account_activity(raw_blocks: DataFrame) -> DataFrame:
+    """Per-address activity rollup — the reference's 5th table,
+    ``accounts`` (``migrations/20251023000004_create_accounts.sql:4-25``),
+    which its Rust code DECLARES but never populates (SURVEY §1.1: no
+    ``INSERT INTO accounts`` exists). The engine populates it:
+    explode every transaction's account keys and aggregate
+    first/last-seen slot, total appearances, and as-signer count
+    (signer = first account key, ``load.rs:221-236``).
+
+    ``as_writable`` from the reference's DDL is NOT derivable from the
+    JsonParsed shape the pipeline stores (writability needs the message
+    header), so it is intentionally absent rather than faked.
+
+    Scale: explode is a generator in the scan stage; the rollup is one
+    hash aggregate on address with map-side partials — state is
+    O(|addresses|), the same bound as the reference's table."""
+    flat = flatten_transactions(raw_blocks)
+    tx = F.from_json("tx_raw", TX_JSON_SCHEMA)
+    keys = normalize_account_keys(tx["message"]["accountKeys"])
+    exploded = flat.select(
+        "block_slot",
+        F.posexplode(keys).alias("key_index", "address"),
+    ).where(F.col("address").isNotNull())
+    return exploded.groupBy("address").agg(
+        F.min("block_slot").alias("first_seen_slot"),
+        F.max("block_slot").alias("last_seen_slot"),
+        F.count("*").alias("transaction_count"),
+        F.count_if(F.col("key_index") == 0).alias("as_signer_count"),
+    )
+
+
+def observed_transactions(raw_blocks: DataFrame):
+    """Attach in-flight pipeline metrics to the tx extraction — the
+    reference's progress/stats counters (A5, ``extract.rs:224-239`` /
+    ``pipeline.rs:30-54``) restated as ``df.observe()``: metrics ride
+    the job that already runs (no second pass over the data), collected
+    on the driver after any action.
+
+    Returns ``(transactions_df, Observation)``; after an action on the
+    DataFrame, ``observation.get`` yields the counters."""
+    from pyspark.sql import Observation
+
+    obs = Observation("extraction_stats")
+    txs = extract_transactions(raw_blocks).observe(
+        obs,
+        F.count(F.lit(1)).alias("total_transactions"),
+        F.count_if(F.col("success")).alias("successful_transactions"),
+        F.sum("fee").alias("total_fees"),
+    )
+    return txs, obs
+
+
 def extraction_stats(transactions: DataFrame) -> DataFrame:
     """Reference A1 ExtractionStats (extract.rs:38-52) + A3 rates
     (pipeline.rs:30-54) as one agg."""

@@ -278,3 +278,34 @@ def test_extraction_stats(spark):
     assert s.failed_transactions == 1
     assert s.total_fees == 15000
     assert s.success_rate == 50.0
+
+
+def test_account_activity_rollup(spark):
+    """The reference's declared-but-unpopulated accounts table
+    (migrations/20251023000004) actually materializes here."""
+    from block_data_fetcher_spark.etl.extract import account_activity
+
+    raw = spark.createDataFrame(_block_fixture(), "slot long, raw string")
+    rows = {r.address: r for r in account_activity(raw).collect()}
+    # fee payers: exactly one signed appearance each
+    assert rows["Payer1"].as_signer_count == 1
+    assert rows["Payer2"].as_signer_count == 1
+    assert rows["Dest1"].as_signer_count == 0
+    assert rows["Payer1"].first_seen_slot == rows["Payer1"].last_seen_slot == 100
+    for r in rows.values():
+        assert r.first_seen_slot <= r.last_seen_slot
+        assert 0 <= r.as_signer_count <= r.transaction_count
+
+
+def test_observed_extraction_metrics(spark):
+    """A5 progress counters ride the extraction job via observe()."""
+    from block_data_fetcher_spark.etl.extract import observed_transactions
+
+    raw = spark.createDataFrame(_block_fixture(), "slot long, raw string")
+    txs, obs = observed_transactions(raw)
+    n = txs.count()
+    got = obs.get
+    assert n == 2
+    assert got["total_transactions"] == 2
+    assert got["successful_transactions"] == 1
+    assert got["total_fees"] == 15000
