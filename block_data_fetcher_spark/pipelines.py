@@ -54,6 +54,12 @@ def curate_corpus(docs: DataFrame) -> DataFrame:
         scored.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
         .drop("__rn")
+        # Two consumers read uniq (the LSH pair branch and the anti-join
+        # left side); without persist the scan+quality+dedup window runs
+        # twice. At 100 TB this is where the curated corpus would be
+        # checkpointed to storage anyway (stage outputs are the
+        # pipeline's restart points).
+        .persist()
     )
 
     dupes = (

@@ -134,6 +134,9 @@ def test_topn_per_group_single_shuffle(spark, sf_dir):
 
 
 def test_ann_ivf_assignment_is_shuffle_free(spark, sf_dir):
-    # centroid assignment is a projection; only the 2-row probe side
-    # broadcasts — candidate selection must not shuffle the fact table
-    assert count_exchanges(_Q["q_ann_ivf"](spark, sf_dir)) == 0
+    # centroid assignment is a vectorized projection and the probe
+    # cells are literal IN filters — the whole plan must be scan →
+    # filter → top-k with no exchange and no join
+    df = _Q["q_ann_ivf"](spark, sf_dir)
+    assert count_exchanges(df) == 0
+    assert "Join" not in formatted_plan(df)
