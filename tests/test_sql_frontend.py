@@ -1,0 +1,57 @@
+"""SQL front-end parity: the reference's query surface is PostgreSQL
+SQL (SURVEY §3 entry point 3), so a switching user writes SQL. The
+engine serves the same catalog through ``spark.sql`` over the
+registered views (catalog.load(register_views=True)); these tests pin
+that an ANSI-SQL text and the DataFrame-API plan produce identical
+results."""
+
+from __future__ import annotations
+
+import pytest
+
+from block_data_fetcher_spark import api
+from block_data_fetcher_spark.catalog import load
+
+_Q = api.queries()
+
+# Catalog oracles that are pure ANSI (run unchanged in Spark SQL).
+_ANSI_QUERIES = [
+    "q_broadcast_join",
+    "q_group_count",
+    "q_join_fk_agg",
+    "q_orderby_limit",
+    "q_label_concat",
+    "q_tpch_q1",
+    "q_tpch_q18",
+]
+
+
+@pytest.fixture(scope="module")
+def views(spark, sf_dir):
+    load(spark, sf_dir, register_views=True)
+    return spark
+
+
+@pytest.mark.parametrize("name", _ANSI_QUERIES)
+def test_sql_matches_dataframe_api(name, views, spark, sf_dir):
+    sql_rows = sorted(
+        tuple(r) for r in spark.sql(api.oracle_sql()[name]).collect()
+    )
+    df_rows = sorted(tuple(r) for r in _Q[name](spark, sf_dir).collect())
+    assert sql_rows == df_rows, name
+
+
+def test_sql_adhoc_over_views(views, spark):
+    """Ad-hoc SQL a reference user would write against the loaded
+    schema (the migrations' indexed access paths)."""
+    top = spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        GROUP BY o_orderpriority
+        ORDER BY n DESC, o_orderpriority LIMIT 3
+        """
+    ).collect()
+    assert len(top) == 3
+    assert all(r.n > 0 for r in top)
