@@ -77,6 +77,21 @@ def main() -> None:
             spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).collect()
         except Exception:
             pass
+    try:  # Python worker pool + Arrow array-column serializer init
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        @F.pandas_udf("int")
+        def _dims(s: pd.Series) -> pd.Series:
+            return s.map(len).astype("int32")
+
+        (
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .select(_dims("embedding"))
+            .count()
+        )
+    except Exception:
+        pass
     try:  # streaming machinery (StreamExecution, state store) init
         import tempfile
         import uuid

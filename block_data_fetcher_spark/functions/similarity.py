@@ -61,7 +61,7 @@ def q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     no join at all. Scale: map + top-k merge, no shuffle."""
     em = table(spark, sf_dir, "embeddings")
     qvec = em.where(F.col("vec_id") == 0).select("embedding").head()[0]
-    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    qlit = F.lit([float(x) for x in qvec])  # ONE array literal: 64 CreateArray children would each be a codegen node (~0.5s extra Janino compile per query shape)
     return (
         em.select(
             "vec_id",
@@ -131,7 +131,7 @@ def lsh_bucket(emb: Column) -> Column:
         proj = F.aggregate(
             F.zip_with(
                 emb,
-                F.array(*[F.lit(float(c)) for c in coefs]),
+                F.lit([float(c) for c in coefs]),
                 lambda x, c: x.cast("double") * c,
             ),
             F.lit(0.0),
@@ -156,7 +156,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding", lsh_bucket(F.col("embedding")).alias("bucket")
     )
     qrow = with_b.where(F.col("vec_id") == 0).select("embedding", "bucket").head()
-    qlit = F.array(*[F.lit(float(x)) for x in qrow[0]])
+    qlit = F.lit([float(x) for x in qrow[0]])
     return (
         with_b.where((F.col("bucket") == int(qrow[1])) & (F.col("vec_id") != 0))
         .select(
@@ -223,7 +223,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # desc by sim, tie → asc by cid (stable argsort of -sims)
     probe_cells = [int(c) for c in np.argsort(-qsims, kind="stable")[:N_PROBE]]
 
-    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    qlit = F.lit([float(x) for x in qvec])  # ONE array literal: 64 CreateArray children would each be a codegen node (~0.5s extra Janino compile per query shape)
     return (
         em.where(
             cell_of(F.col("embedding")).isin(probe_cells)
