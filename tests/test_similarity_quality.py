@@ -1,0 +1,83 @@
+"""Quality (not just correctness) of the approximate similarity paths:
+recall@k of the ANN indexes against brute force. The oracle suite pins
+that each index returns exactly what its algorithm defines; these pin
+that the algorithm is USEFUL — an index with recall 0 would still pass
+its oracle.
+
+Recall here is a property of the fixture data + fixed index parameters
+(4 hyperplanes / 8 centroids with 2 probes), so the thresholds are
+deliberately loose lower bounds: they catch sign errors, inverted
+comparisons, and bucket-assignment bugs, not tuning regressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from block_data_fetcher_spark import api
+from block_data_fetcher_spark.catalog import table
+from block_data_fetcher_spark.functions.similarity import cosine
+
+_Q = api.queries()
+
+
+def _brute_topk(spark, sf_dir, k: int) -> list[int]:
+    em = table(spark, sf_dir, "embeddings")
+    qvec = em.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    qlit = F.lit([float(x) for x in qvec])
+    rows = (
+        em.where(F.col("vec_id") != 0)
+        .select("vec_id", cosine(F.col("embedding"), qlit).alias("s"))
+        .orderBy(F.col("s").desc(), F.col("vec_id").asc())
+        .limit(k)
+        .collect()
+    )
+    return [r.vec_id for r in rows]
+
+
+def test_ann_lsh_candidates_beat_median(spark, sf_dir):
+    """Single-table 4-bit LSH on near-uniform vectors has low absolute
+    recall@5 BY CONSTRUCTION — P(collision) = (1 - θ/π)^4 ≈ 0.14 at
+    these cosine distances — so asserting top-5 recall would test the
+    fixture, not the code. What the structure does guarantee: returned
+    candidates are ranked by true cosine within the query's bucket, so
+    every one must beat the population median similarity (catches sign
+    inversions, reversed ordering, and garbage bucket assignment)."""
+    em = table(spark, sf_dir, "embeddings")
+    qvec = em.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    qlit = F.lit([float(x) for x in qvec])
+    sims = sorted(
+        r.s
+        for r in em.where(F.col("vec_id") != 0)
+        .select(cosine(F.col("embedding"), qlit).alias("s"))
+        .collect()
+    )
+    median = sims[len(sims) // 2]
+    got = _Q["q_ann_lsh"](spark, sf_dir).collect()
+    assert got, "query bucket empty"
+    assert min(r.cos_sim for r in got) > median
+
+
+def test_ann_ivf_recall(spark, sf_dir):
+    truth = set(_brute_topk(spark, sf_dir, 5))
+    got = {r.vec_id for r in _Q["q_ann_ivf"](spark, sf_dir).collect()}
+    # probing 2 of 8 cells must beat the 25% random baseline clearly
+    assert len(got & truth) >= 2, (sorted(got), sorted(truth))
+
+
+def test_embed_near_dup_finds_planted_pairs(spark, sf_dir):
+    """Within-label near-dup at cosine > 0.99: every reported pair must
+    genuinely exceed the threshold when recomputed brute-force (no
+    false positives from the blocking scheme)."""
+    pairs = _Q["q_embed_near_dup"](spark, sf_dir).collect()
+    em = {r.vec_id: r.embedding for r in table(spark, sf_dir, "embeddings").collect()}
+    import math
+
+    def cos(a, b):
+        d = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) ** 2 for x in a))
+        nb = math.sqrt(sum(float(y) ** 2 for y in b))
+        return d / (na * nb)
+
+    for r in pairs:
+        assert cos(em[r.vec_a], em[r.vec_b]) > 0.989, (r.vec_a, r.vec_b)
