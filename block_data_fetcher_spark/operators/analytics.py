@@ -189,6 +189,22 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based quantiles per event type (approx_percentile /
+    Greenwald-Khanna with relative error 0.01) — the quantile twin of
+    the HLL sketch: fixed-size state through map-side combine instead
+    of a full sort or shuffle of raw values.
+
+    Rows-only for the driver (GK and DuckDB's quantile algorithms
+    differ by construction); tests/test_pipeline.py bounds the error
+    against the exact interpolated percentiles."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.9], 100).alias("approx_p50_p90"),
+        F.count("*").alias("n_events"),
+    )
+
+
 def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-frame window: per event, the user's event count and value
     sum over the trailing 1 hour (inclusive) — the time-decayed

@@ -135,3 +135,24 @@ def test_approx_distinct_error_bound(spark, sf_dir):
     assert set(approx) == set(exact)
     for et, est in approx.items():
         assert abs(est - exact[et]) / exact[et] < 0.05, (et, est, exact[et])
+
+
+def test_approx_quantiles_error_bound(spark, sf_dir):
+    """GK sketch (q_approx_quantiles is rows-only for the driver):
+    estimates land within a few percentile ranks of the exact values."""
+    from block_data_fetcher_spark.operators.analytics import q_approx_quantiles
+    from block_data_fetcher_spark.catalog import table
+
+    approx = {
+        r.event_type: r.approx_p50_p90
+        for r in q_approx_quantiles(spark, sf_dir).collect()
+    }
+    vals: dict[str, list[float]] = {}
+    for r in table(spark, sf_dir, "events").select("event_type", "value").collect():
+        vals.setdefault(r.event_type, []).append(r.value)
+    for et, (a50, a90) in approx.items():
+        xs = sorted(vals[et])
+        # the estimate's rank must be within 5% of the target rank
+        for target, est in ((0.5, a50), (0.9, a90)):
+            rank = sum(1 for x in xs if x <= est) / len(xs)
+            assert abs(rank - target) < 0.05, (et, target, est, rank)
