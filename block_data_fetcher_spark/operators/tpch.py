@@ -207,7 +207,106 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume shipping (TPC-H Q7 shape): revenue flowing between two
+    specific nations, per direction and per order year.
+
+    Exercises a DISJUNCTIVE pair predicate over two dimension joins
+    ((cust=A and supp=B) or (cust=B and supp=A)) plus year extraction
+    and a 3-key aggregate. Both nation-name lookups broadcast; the
+    disjunction evaluates after the joins (Catalyst can't split it
+    into separate join paths, so keeping both dims broadcast keeps the
+    plan shuffle-minimal: only the fact⋈fact edges exchange)."""
+    n1, n2 = "NATION_3", "NATION_7"
+    li = table(spark, sf_dir, "lineitem")
+    od = table(spark, sf_dir, "orders")
+    cu = table(spark, sf_dir, "customer")
+    su = table(spark, sf_dir, "supplier")
+    cn = F.broadcast(
+        table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    sn = F.broadcast(
+        table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    pair = (
+        ((F.col("cust_nation") == n1) & (F.col("supp_nation") == n2))
+        | ((F.col("cust_nation") == n2) & (F.col("supp_nation") == n1))
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(su, li.l_suppkey == su.s_suppkey)
+        .join(cn, cu.c_nationkey == cn.c_nk)
+        .join(sn, su.s_nationkey == sn.s_nk)
+        .where(pair)
+        .groupBy(
+            "cust_nation",
+            "supp_nation",
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+    )
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts/supplier relationship (TPC-H Q16 shape): how many distinct
+    suppliers can ship parts of each (brand, type) bucket, excluding
+    one brand and excluding suppliers that ever shipped late-returns.
+
+    Exercises NOT-IN as a left-anti join against a derived exclusion
+    set + a grouped COUNT DISTINCT. The exclusion set (suppliers in
+    deficit — the fixture analog of Q16's complaints subquery) is
+    dim-sized and broadcast, so the fact side never shuffles for the
+    exclusion."""
+    li = table(spark, sf_dir, "lineitem")
+    pa = table(spark, sf_dir, "part").where(F.col("p_brand") != "Brand#1")
+    bad_supp = (
+        table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .join(F.broadcast(bad_supp), "l_suppkey", "left_anti")
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
 ORACLE: dict[str, str] = {
+    "q_tpch_q7": """
+        SELECT cust_nation, supp_nation, o_year,
+               round(sum(volume), 2) AS revenue
+        FROM (
+          SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+                 CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                 l_extendedprice * (1 - l_discount) AS volume
+          FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation cn ON c_nationkey = cn.n_nationkey
+          JOIN nation sn ON s_nationkey = sn.n_nationkey
+          WHERE (cn.n_name = 'NATION_3' AND sn.n_name = 'NATION_7')
+             OR (cn.n_name = 'NATION_7' AND sn.n_name = 'NATION_3')
+        )
+        GROUP BY cust_nation, supp_nation, o_year
+    """,
+    "q_tpch_q16": """
+        SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+        GROUP BY p_brand, p_type
+    """,
     "q_tpch_q4": """
         SELECT o_orderpriority, count(*) AS n_orders
         FROM orders
