@@ -80,3 +80,75 @@ def test_salted_agg_matches_plain(spark, sf_dir):
     assert got == want
     # two-stage: the salted plan carries an extra aggregation level
     assert formatted_plan(salted).count("HashAggregate") >= 4
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order vs single-column sort, measured on the actual parquet
+    row-group stats (pyarrow): for a predicate on the NON-leading
+    dimension, a user_id-sorted layout cannot prune anything (every
+    file spans the full value range), while the z-ordered layout keeps
+    value min/max tight per file and skips most row groups."""
+    import pyarrow.parquet as pq
+    from block_data_fetcher_spark.storage import (
+        linear_bucket,
+        write_zordered,
+        zorder_key,
+    )
+
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    lo_u, hi_u, lo_v, hi_v = ev.agg(
+        F.min("user_id"), F.max("user_id"), F.min("value"), F.max("value")
+    ).head()
+
+    zkey = zorder_key(
+        [
+            linear_bucket(F.col("user_id"), lo_u, hi_u + 1, bits=4),
+            linear_bucket(F.col("value"), lo_v, hi_v, bits=4),
+        ],
+        bits=4,
+    )
+    zpath = str(tmp_path / "events_z")
+    upath = str(tmp_path / "events_u")
+    write_zordered(ev, zpath, zkey, n_files=16)
+    (
+        ev.repartitionByRange(16, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(upath)
+    )
+
+    # predicate: middle quarter of the value range, any user
+    q_lo = lo_v + (hi_v - lo_v) * 0.4
+    q_hi = lo_v + (hi_v - lo_v) * 0.6
+
+    def overlap_fraction(path: str) -> float:
+        import os
+
+        touched = total = 0
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            idx = {
+                md.schema.column(i).name: i for i in range(md.num_columns)
+            }["value"]
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                total += 1
+                if st.min <= q_hi and st.max >= q_lo:
+                    touched += 1
+        assert total >= 8
+        return touched / total
+
+    frac_z = overlap_fraction(zpath)
+    frac_u = overlap_fraction(upath)
+    # user-sorted files all span the whole value range — no pruning
+    assert frac_u > 0.9, frac_u
+    # z-ordered files keep value spans tight — most row groups skipped
+    assert frac_z <= 0.5, (frac_z, frac_u)
+    # identical data either way
+    assert (
+        spark.read.parquet(zpath).count()
+        == spark.read.parquet(upath).count()
+        == ev.count()
+    )
