@@ -143,22 +143,30 @@ def lsh_bucket(emb: Column) -> Column:
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-5 to the vec_id=0 query via random-hyperplane LSH:
-    4 sign bits → 16 buckets; rank by cosine ONLY within the query's
-    bucket.
+    """ANN top-5 to the vec_id=0 query via random-hyperplane LSH with
+    MULTI-PROBE: 4 sign bits → 16 buckets; probe the query's bucket
+    plus every bucket at Hamming distance 1 (a near neighbor that
+    disagrees on one hyperplane lands one bit-flip away), rank by
+    exact cosine within the probed candidates.
 
-    Scale: bucketing is map-side; the candidate set is |bucket|, not
-    n — brute force only inside the bucket. More planes / multi-probe
-    trade recall for candidate count; at 100 TB the bucket id becomes
-    the table's partition key so a query touches one partition."""
+    Multi-probe lifts per-neighbor collision probability from
+    p^4 ≈ 0.55 to p^4 + 4p^3(1-p) ≈ 0.90 at these cosine distances
+    (p = 1 - θ/π per plane) while still touching 5/16 of the space.
+
+    Scale: bucketing is map-side; the probe set is a 5-literal IN
+    filter (pushable, no join); at 100 TB the bucket id becomes the
+    table's partition key so a query touches `1 + n_planes`
+    partitions — partition pruning does the index lookup."""
     em = table(spark, sf_dir, "embeddings")
     with_b = em.select(
         "vec_id", "embedding", lsh_bucket(F.col("embedding")).alias("bucket")
     )
     qrow = with_b.where(F.col("vec_id") == 0).select("embedding", "bucket").head()
     qlit = F.lit([float(x) for x in qrow[0]])
+    qb = int(qrow[1])
+    probes = [qb] + [qb ^ (1 << j) for j in range(N_PLANES)]
     return (
-        with_b.where((F.col("bucket") == int(qrow[1])) & (F.col("vec_id") != 0))
+        with_b.where(F.col("bucket").isin(probes) & (F.col("vec_id") != 0))
         .select(
             "vec_id",
             (F.round(cosine(F.col("embedding"), qlit), 4) + 0.0).alias("cos_sim"),
@@ -291,7 +299,8 @@ SELECT vec_id,
             * sqrt(list_sum(list_transform(qe, x -> x * x)))),
          4) + 0.0 AS cos_sim
 FROM wb, q
-WHERE bucket = qb AND vec_id <> 0
+WHERE (bucket = qb OR {" OR ".join(f"bucket = xor(qb, {1 << j})" for j in range(N_PLANES))})
+  AND vec_id <> 0
 ORDER BY cos_sim DESC, vec_id ASC LIMIT 5
 """
 

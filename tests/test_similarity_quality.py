@@ -35,14 +35,18 @@ def _brute_topk(spark, sf_dir, k: int) -> list[int]:
     return [r.vec_id for r in rows]
 
 
-def test_ann_lsh_candidates_beat_median(spark, sf_dir):
-    """Single-table 4-bit LSH on near-uniform vectors has low absolute
-    recall@5 BY CONSTRUCTION — P(collision) = (1 - θ/π)^4 ≈ 0.14 at
-    these cosine distances — so asserting top-5 recall would test the
-    fixture, not the code. What the structure does guarantee: returned
-    candidates are ranked by true cosine within the query's bucket, so
-    every one must beat the population median similarity (catches sign
-    inversions, reversed ordering, and garbage bucket assignment)."""
+def test_ann_lsh_recall_and_ranking(spark, sf_dir):
+    """Multi-probe LSH (query bucket + Hamming-1 neighbors) collides
+    with a true near neighbor with probability
+    p^4 + 4p^3(1-p) ≈ 0.9 per neighbor at these cosine distances, so
+    decent recall@5 is a property of the ALGORITHM, not the fixture.
+    Also: every returned candidate must beat the population median
+    similarity (catches sign inversions and reversed ordering)."""
+    truth = set(_brute_topk(spark, sf_dir, 5))
+    got_rows = _Q["q_ann_lsh"](spark, sf_dir).collect()
+    got = {r.vec_id for r in got_rows}
+    assert len(got & truth) >= 2, (sorted(got), sorted(truth))
+
     em = table(spark, sf_dir, "embeddings")
     qvec = em.where(F.col("vec_id") == 0).select("embedding").head()[0]
     qlit = F.lit([float(x) for x in qvec])
@@ -53,9 +57,7 @@ def test_ann_lsh_candidates_beat_median(spark, sf_dir):
         .collect()
     )
     median = sims[len(sims) // 2]
-    got = _Q["q_ann_lsh"](spark, sf_dir).collect()
-    assert got, "query bucket empty"
-    assert min(r.cos_sim for r in got) > median
+    assert min(r.cos_sim for r in got_rows) > median
 
 
 def test_ann_ivf_recall(spark, sf_dir):
