@@ -140,3 +140,12 @@ def test_ann_ivf_assignment_is_shuffle_free(spark, sf_dir):
     df = _Q["q_ann_ivf"](spark, sf_dir)
     assert count_exchanges(df) == 0
     assert "Join" not in formatted_plan(df)
+
+
+def test_tpch_q7_broadcasts_nations(spark, sf_dir):
+    assert uses_broadcast_join(_Q["q_tpch_q7"](spark, sf_dir))
+
+
+def test_tpch_q16_anti_join_exclusion(spark, sf_dir):
+    plan = formatted_plan(_Q["q_tpch_q16"](spark, sf_dir))
+    assert "LeftAnti" in plan, plan
