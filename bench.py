@@ -92,6 +92,20 @@ def main() -> None:
         )
     except Exception:
         pass
+    try:  # Python DataSource worker init (q_etl_* use the RPC source)
+        from block_data_fetcher_spark.sources.rpc import SolanaRpcDataSource
+
+        spark.dataSource.register(SolanaRpcDataSource)
+        (
+            spark.read.format("solana_rpc")
+            .option("start_slot", 0)
+            .option("end_slot", 0)
+            .option("mode", "offline")
+            .load()
+            .count()
+        )
+    except Exception:
+        pass
     try:  # streaming machinery (StreamExecution, state store) init
         import tempfile
         import uuid
