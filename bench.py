@@ -58,6 +58,7 @@ LARGE_RESULT = {
     "q_corpus_curate",
     "q_topn_per_group",
     "q_window_range",
+    "q_string_funcs",
 }
 
 

@@ -14,12 +14,21 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import pipelines
 from .functions import hashing, multimodal, similarity, text
-from .operators import analytics, classify, etl_queries, json_ops, relational, tpch, windows
+from .operators import (
+    analytics,
+    classify,
+    etl_queries,
+    json_ops,
+    relational,
+    scalar_funcs,
+    tpch,
+    windows,
+)
 from .streaming import jobs as streaming_jobs
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-_MODULES = [relational, json_ops, classify, windows, analytics, tpch, text, similarity, hashing, multimodal, streaming_jobs, pipelines, etl_queries]
+_MODULES = [relational, json_ops, classify, windows, analytics, tpch, text, similarity, hashing, multimodal, streaming_jobs, pipelines, etl_queries, scalar_funcs]
 
 
 def _collect() -> tuple[Dict[str, QueryFn], Dict[str, str]]:
