@@ -12,8 +12,11 @@ from typing import Dict
 
 from pyspark.sql import DataFrame, SparkSession
 
+import functools
+
 from . import pipelines
 from .functions import hashing, multimodal, similarity, text
+from .session import tune
 from .operators import (
     analytics,
     classify,
@@ -31,6 +34,21 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _MODULES = [relational, json_ops, classify, windows, analytics, tpch, text, similarity, hashing, multimodal, streaming_jobs, pipelines, etl_queries, scalar_funcs]
 
 
+def _tuned(fn: QueryFn) -> QueryFn:
+    """Every catalog entry pins engine session conf (UTC timezone, AQE)
+    before building its plan: the driver calls these with its OWN
+    SparkSession, and a non-UTC session timezone would shift every
+    collected timestamp against the DuckDB oracle (which reads the
+    same parquet instants as naive UTC)."""
+
+    @functools.wraps(fn)
+    def wrapped(spark, sf_dir):
+        tune(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def _collect() -> tuple[Dict[str, QueryFn], Dict[str, str]]:
     queries: Dict[str, QueryFn] = {}
     oracles: Dict[str, str] = {}
@@ -41,7 +59,7 @@ def _collect() -> tuple[Dict[str, QueryFn], Dict[str, str]]:
                 if callable(fn):
                     if name in queries:
                         raise ValueError(f"duplicate query name {name}")
-                    queries[name] = fn
+                    queries[name] = _tuned(fn)
         for name, sql in getattr(mod, "ORACLE", {}).items():
             if name in oracles:
                 raise ValueError(f"duplicate oracle name {name}")
