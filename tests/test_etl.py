@@ -309,3 +309,36 @@ def test_observed_extraction_metrics(spark):
     assert got["total_transactions"] == 2
     assert got["successful_transactions"] == 1
     assert got["total_fees"] == 15000
+
+
+def test_corrupt_records_skipped_not_fatal(spark):
+    """ST5 continue-on-error (reference extract.rs:63-67, 277-281):
+    malformed block or tx JSON yields NULLs that are filtered — the
+    pipeline proceeds, never throws."""
+    import json as _json
+
+    good_tx = {
+        "signatures": ["sigOK"],
+        "message": {"accountKeys": ["P"], "instructions": []},
+        "meta": {"err": None, "fee": 1},
+    }
+    block_with_bad_tx = {
+        "blockhash": "BH_OK",
+        "parentSlot": 1,
+        "blockTime": 1700000000,
+        "blockHeight": 2,
+        "transactions": [_json.dumps(good_tx), "{not json", '{"no_signature": true}'],
+    }
+    rows = [
+        (1, _json.dumps(block_with_bad_tx)),
+        (2, "totally not a block"),
+        (3, '{"parentSlot": 9}'),  # parseable but no blockhash
+    ]
+    raw = spark.createDataFrame(rows, "slot long, raw string")
+
+    blocks = parse_blocks(raw).collect()
+    assert [b.slot for b in blocks] == [1]  # corrupt + hashless dropped
+
+    txs = extract_transactions(raw).collect()
+    assert [t.signature for t in txs] == ["sigOK"]
+    assert txs[0].success and txs[0].fee == 1
