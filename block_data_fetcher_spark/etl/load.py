@@ -53,6 +53,7 @@ def upsert_parquet(
         merged = incoming
     deduped = last_wins(merged, keys, order)
 
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     tmp = tempfile.mkdtemp(prefix="upsert_", dir=os.path.dirname(path) or ".")
     deduped.write.mode("overwrite").parquet(tmp)
     n = spark.read.parquet(tmp).count()
@@ -73,6 +74,7 @@ def insert_if_absent(
         merged = existing.unionByName(new_rows)
     else:
         merged = incoming
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     tmp = tempfile.mkdtemp(prefix="seed_", dir=os.path.dirname(path) or ".")
     merged.write.mode("overwrite").parquet(tmp)
     n = spark.read.parquet(tmp).count()
