@@ -110,6 +110,29 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+def resize(media: DataFrame, factor: int = 4) -> DataFrame:
+    """STUB resize: keep every ``factor``-th byte of the payload — the
+    plumbing shape of image/audio downsampling (payload in → smaller
+    payload out, metadata updated) without a codec. Replace the numpy
+    slice with PIL.Image.resize / librosa.resample in a real
+    deployment; the mapInPandas contract (binary in, binary out,
+    Arrow-batched, schema preserved) is the real part."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["data"] = pdf["data"].map(
+                lambda b: np.frombuffer(b, dtype=np.uint8)[::factor].tobytes()
+            )
+            out["meta"] = [
+                {**m, "n_bytes": len(d), "format": f"{m['format']};ds{factor}"}
+                for m, d in zip(pdf["meta"], out["data"])
+            ]
+            yield out
+
+    return media.mapInPandas(run, MEDIA_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every: int = 64) -> DataFrame:
     """STUB frame sampler: slice the payload every `every` bytes — the
     plumbing shape of video frame-sampling (one input row → N frame

@@ -46,3 +46,18 @@ def test_frame_sample_reassembles(spark, sf_dir):
     for mid, parts in by_id.items():
         joined = b"".join(p for _, p in sorted(parts))
         assert joined == docs[mid].encode("utf-8")
+
+
+def test_resize_downsamples_payload(spark, sf_dir):
+    media = synth_media(spark, sf_dir).where("media_id < 20")
+    from block_data_fetcher_spark.functions.multimodal import resize
+
+    small = {r.media_id: r for r in resize(media, factor=4).collect()}
+    orig = {r.media_id: r for r in media.collect()}
+    assert set(small) == set(orig)
+    for mid, r in small.items():
+        payload = bytes(orig[mid].data)
+        expect = payload[::4]
+        assert bytes(r.data) == expect
+        assert r.meta.n_bytes == len(expect)
+        assert r.meta.format.endswith(";ds4")
