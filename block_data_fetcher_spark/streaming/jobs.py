@@ -196,6 +196,31 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(rolled, "stream_stateful", "update")
 
 
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against a static
+    dimension (per-user lifetime profile read from batch storage) — the
+    reference's registry-lookup J1 at streaming time.
+
+    Scale: the static side is re-read per micro-batch (picking up dim
+    updates) and broadcast when small; no state store is involved, so
+    this enrichment costs nothing in checkpoint size. The batch twin
+    is q_broadcast_join."""
+    from pyspark.sql import functions as _F
+
+    from ..catalog import table
+
+    profile = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(_F.count("*").alias("lifetime_events"))
+    )
+    ev = events_stream(spark, sf_dir)
+    joined = ev.join(_F.broadcast(profile), "user_id", "left").select(
+        "event_id", "user_id", "event_type", "lifetime_events"
+    )
+    return _run_to_memory(joined, "stream_static_join", "append")
+
+
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X7: per-user session windows with a 30-minute gap."""
     ev = events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
