@@ -8,7 +8,14 @@ aggregate, Q3 the selective dim-filtered 3-way join + top-k, Q4 the
 correlated EXISTS decorrelated to a semi join, Q5 the 6-table
 snowflake join with two broadcast dims, Q6 the pure
 scan-filter-aggregate, Q17 the correlated scalar subquery, Q18 the
-HAVING-over-aggregate join-back.
+HAVING-over-aggregate join-back. The second wave covers the rest of
+the benchmark's shapes expressible over the fixture star (no
+partsupp, no shipmode/phone columns — those shapes are adapted, see
+each docstring): Q8 conditional-ratio market share, Q9 profit
+rollup, Q10 returned-item top-k, Q12 priority split, Q13 outer-join
+histogram, Q14 promo ratio, Q15 max-equality join-back, Q19
+disjunctive residual predicate, Q21 double correlation, Q22
+scalar-subquery + anti join.
 
 Plan expectations at scale (asserted in tests/test_plans.py):
 - Q1: filter pushed to the scan, map-side partial aggregation, ONE
@@ -278,7 +285,474 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share (TPC-H Q8 shape): the share of one
+    supplier nation in the revenue sold into one region for one part
+    type, per order year.
+
+    Exercises a conditional-aggregate ratio over a snowflake join with
+    TWO distinct roles for the nation dim (customer side restricts to
+    the region; supplier side provides the share dimension). Both
+    nation lookups and region broadcast; only fact⟷fact edges
+    shuffle. The ratio divides two same-group sums, so the single
+    grouped aggregate computes both numerator and denominator in one
+    pass — no self-join, no second scan."""
+    li = table(spark, sf_dir, "lineitem")
+    od = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cu = table(spark, sf_dir, "customer")
+    su = table(spark, sf_dir, "supplier")
+    pa = F.broadcast(
+        table(spark, sf_dir, "part").where(F.col("p_type") == "STANDARD")
+    )
+    cn = F.broadcast(
+        table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+        )
+    )
+    sn = F.broadcast(
+        table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    re = F.broadcast(
+        table(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(pa, li.l_partkey == pa.p_partkey)
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(su, li.l_suppkey == su.s_suppkey)
+        .join(cn, cu.c_nationkey == cn.c_nk)
+        .join(re, cn.c_rk == re.r_regionkey)
+        .join(sn, su.s_nationkey == sn.s_nk)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-type profit (TPC-H Q9 shape, adapted — the fixture star
+    has no partsupp, so supply cost is modeled as 10% of the part's
+    retail price): profit per supplier nation per order year for parts
+    whose name contains a color token.
+
+    Exercises a LIKE-filtered dim join + multi-table join + 2-key agg
+    with an arithmetic measure mixing fact and dim columns."""
+    li = table(spark, sf_dir, "lineitem")
+    od = table(spark, sf_dir, "orders")
+    su = table(spark, sf_dir, "supplier")
+    pa = F.broadcast(
+        table(spark, sf_dir, "part").where(F.col("p_name").contains("red"))
+    )
+    na = F.broadcast(table(spark, sf_dir, "nation"))
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(pa, li.l_partkey == pa.p_partkey)
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .join(su, li.l_suppkey == su.s_suppkey)
+        .join(na, su.s_nationkey == na.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+    )
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item reporting (TPC-H Q10 shape): top-20 customers by
+    revenue lost to returns in one quarter.
+
+    Exercises fact⋈fact⋈dim with a selective date filter, a 4-key
+    grouped agg and a top-k that compiles to TakeOrderedAndProject —
+    at 100 TB only the quarter's row groups are read (min/max
+    pruning on o_orderdate) and the top-20 never sorts globally."""
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    od = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    cu = table(spark, sf_dir, "customer")
+    na = F.broadcast(table(spark, sf_dir, "nation"))
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(na, cu.c_nationkey == na.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-mode priority split (TPC-H Q12 shape; the fixture has
+    no l_shipmode, so l_linestatus plays the mode bucket): per bucket,
+    how many 1997-shipped lineitems belong to high- vs low-priority
+    orders.
+
+    Exercises a fact⋈fact join followed by conditional counts — the
+    reference's per-type distribution report (SURVEY A2) at join
+    shape."""
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    od = table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+    )
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (TPC-H Q13 shape): histogram
+    of how many (non-low-priority) orders each customer has, including
+    the zero bucket.
+
+    Exercises LEFT OUTER join + double aggregation: the first groupBy
+    preserves order-less customers as count 0 (count over a null
+    column), the second buckets customers by that count. Two shuffles
+    by design; the second input is customer-sized, not fact-sized."""
+    cu = table(spark, sf_dir, "customer")
+    od = table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    return (
+        cu.join(od, cu.c_custkey == od.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion effect (TPC-H Q14 shape): percentage of one month's
+    revenue coming from PROMO-type parts.
+
+    Exercises a scalar conditional-ratio aggregate over a broadcast
+    dim join: numerator and denominator in one grouped pass, no
+    self-join."""
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    pa = F.broadcast(table(spark, sf_dir, "part"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.join(pa, li.l_partkey == pa.p_partkey).agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0)))
+            / F.sum(vol),
+            4,
+        ).alias("promo_revenue")
+    )
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier (TPC-H Q15 shape): the supplier(s) whose quarterly
+    revenue equals the maximum.
+
+    Spark-first handling of the `= (SELECT max(...))` correlation: the
+    per-supplier revenue aggregate is supplier-sized, so its global
+    max is computed once and broadcast back as a 1-row join — no
+    window over a single partition, no second fact scan. Revenue is
+    rounded to cents BEFORE the equality so both engines compare the
+    same bit pattern."""
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    su = F.broadcast(table(spark, sf_dir, "supplier"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == mx.max_revenue)
+        .join(su, rev.l_suppkey == su.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted-revenue disjunction (TPC-H Q19 shape): revenue from
+    three (brand, quantity-range, size-range) conjunct groups OR-ed
+    together.
+
+    Exercises a join whose residual predicate is a 3-way disjunction
+    mixing fact and dim columns — Catalyst keeps the partkey equi-key
+    for the (broadcast) hash join and evaluates the disjunction as a
+    post-join filter; the common `p_size >= 1` conjunct is still
+    pushed to the part scan."""
+    li = table(spark, sf_dir, "lineitem")
+    pa = F.broadcast(table(spark, sf_dir, "part"))
+    pred = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("l_quantity").between(1, 11)
+            & F.col("p_size").between(1, 5)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("l_quantity").between(10, 20)
+            & F.col("p_size").between(1, 10)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("l_quantity").between(20, 30)
+            & F.col("p_size").between(1, 15)
+        )
+    )
+    return (
+        li.join(pa, li.l_partkey == pa.p_partkey)
+        .where(pred)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers-who-kept-orders-waiting (TPC-H Q21 shape, adapted —
+    the fixture has no commit/receipt dates, so "late" is modeled as a
+    returned lineitem): suppliers that were the ONLY supplier with a
+    return inside a multi-supplier finished order.
+
+    Exercises the classic EXISTS + NOT EXISTS double correlation.
+    Spark-first decorrelation: ONE grouped pass per order computes
+    both `count(distinct supplier)` (the EXISTS side) and
+    `count(distinct supplier with a return)` (the NOT-EXISTS side);
+    qualifying orderkeys are order-sized and broadcast back to the
+    returned rows. No per-predicate self-joins of the fact table."""
+    od_f = table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    li = table(spark, sf_dir, "lineitem").join(
+        od_f, F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_ret_supp"),
+    )
+    lone = per_order.where(
+        (F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1)
+    ).select("l_orderkey")
+    su = F.broadcast(table(spark, sf_dir, "supplier"))
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .join(F.broadcast(lone), "l_orderkey")
+        .join(su, F.col("l_suppkey") == su.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(10)
+    )
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-sales-opportunity (TPC-H Q22 shape; the 2-char customer
+    "country code" is the tail of c_name since the fixture has no
+    phone column): per code, count and total balance of
+    above-average-balance customers with no order since mid-2000
+    (every fixture customer has SOME order, so "dormant since" plays
+    Q22's "never ordered").
+
+    Exercises an uncorrelated scalar subquery (global average over
+    positive balances, broadcast as a 1-row cross join) + LEFT ANTI
+    join + grouped agg. The anti join's build side is the orders
+    custkey projection — one column of the fact table, never the
+    payload."""
+    cu = table(spark, sf_dir, "customer").withColumn(
+        "cntrycode", F.substring(F.col("c_name"), -2, 2)
+    )
+    avg_bal = cu.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    od_keys = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2000-06-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        cu.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(od_keys, cu.c_custkey == od_keys.o_custkey, "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
 ORACLE: dict[str, str] = {
+    "q_tpch_q8": """
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               round(sum(CASE WHEN sn.n_name = 'NATION_3'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region   ON cn.n_regionkey = r_regionkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE p_type = 'STANDARD'
+          AND r_name = 'AMERICA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY o_year
+    """,
+    "q_tpch_q9": """
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               round(sum(l_extendedprice * (1 - l_discount)
+                         - 0.1 * p_retailprice * l_quantity), 2) AS sum_profit
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY n_name, o_year
+    """,
+    "q_tpch_q10": """
+        SELECT c_custkey, c_name, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-04-01'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+    """,
+    "q_tpch_q12": """
+        SELECT l_linestatus,
+               count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+                   AS high_line_count,
+               count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+                   AS low_line_count
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY l_linestatus
+    """,
+    "q_tpch_q13": """
+        SELECT c_count, count(*) AS custdist
+        FROM (
+          SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer
+          LEFT JOIN orders ON c_custkey = o_custkey
+                          AND o_orderpriority <> '5-LOW'
+          GROUP BY c_custkey
+        )
+        GROUP BY c_count
+    """,
+    "q_tpch_q14": """
+        SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                      THEN l_extendedprice * (1 - l_discount)
+                                      ELSE 0.0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+          AND l_shipdate <  TIMESTAMP '1997-04-01'
+    """,
+    "q_tpch_q15": """
+        WITH revenue AS (
+          SELECT l_suppkey,
+                 round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate <  TIMESTAMP '1997-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM revenue
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
+    """,
+    "q_tpch_q19": """
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11
+               AND p_size BETWEEN 1 AND 5)
+           OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20
+               AND p_size BETWEEN 1 AND 10)
+           OR (p_brand = 'Brand#3'  AND l_quantity BETWEEN 20 AND 30
+               AND p_size BETWEEN 1 AND 15)
+    """,
+    "q_tpch_q21": """
+        WITH li_f AS (
+          SELECT l_orderkey, l_suppkey, l_returnflag
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderstatus = 'F'
+        ),
+        per_order AS (
+          SELECT l_orderkey,
+                 count(DISTINCT l_suppkey) AS n_supp,
+                 count(DISTINCT CASE WHEN l_returnflag = 'R'
+                                     THEN l_suppkey END) AS n_ret_supp
+          FROM li_f GROUP BY l_orderkey
+        )
+        SELECT s_name, count(DISTINCT li_f.l_orderkey) AS numwait
+        FROM li_f
+        JOIN per_order ON li_f.l_orderkey = per_order.l_orderkey
+        JOIN supplier  ON li_f.l_suppkey = s_suppkey
+        WHERE li_f.l_returnflag = 'R'
+          AND n_supp > 1 AND n_ret_supp = 1
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name ASC LIMIT 10
+    """,
+    "q_tpch_q22": """
+        SELECT substr(c_name, length(c_name) - 1, 2) AS cntrycode,
+               count(*) AS numcust,
+               round(sum(c_acctbal), 2) AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                           WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '2000-06-01')
+        GROUP BY cntrycode
+    """,
     "q_tpch_q7": """
         SELECT cust_nation, supp_nation, o_year,
                round(sum(volume), 2) AS revenue
