@@ -259,7 +259,80 @@ def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function family in one pass: rank /
+    dense_rank / ntile(4) / percent_rank / cume_dist per event type
+    ordered by value.
+
+    One shuffle on event_type serves all five functions (same window
+    spec ⇒ one Window physical operator). The order key carries
+    event_id as a unique tie-break so every rank is deterministic.
+    percent_rank/cume_dist are integer ratios — `+1e-9` before
+    round() keeps both engines on the same side of half-boundaries."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w) + 1e-9, 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w) + 1e-9, 4).alias("cdist"),
+    )
+
+
+def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-boundary value picks per user timeline: the first event's
+    value (growing frame), the last (full frame — NOT the default
+    frame, which would return the current row), and the second
+    (nth_value over the full frame).
+
+    last_value/nth_value over ORDER BY windows default to
+    `rows unbounded preceding .. current row` in both engines; the
+    full frame is spelled explicitly on both sides so the semantics
+    under comparison are the interesting ones."""
+    ev = table(spark, sf_dir, "events")
+    base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    grow = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    full = base.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.first("value").over(grow), 2).alias("first_val"),
+        F.round(F.last("value").over(full), 2).alias("last_val"),
+        F.round(F.nth_value("value", 2).over(full), 2).alias("second_val"),
+    )
+
+
 ORACLE: dict[str, str] = {
+    "q_window_rank": """
+        SELECT event_id, event_type,
+               rank() OVER w AS rnk,
+               dense_rank() OVER w AS drnk,
+               ntile(4) OVER w AS quartile,
+               round(percent_rank() OVER w + 1e-9, 4) AS pct_rank,
+               round(cume_dist() OVER w + 1e-9, 4) AS cdist
+        FROM events
+        WINDOW w AS (PARTITION BY event_type
+                     ORDER BY value DESC, event_id ASC)
+    """,
+    "q_window_first_last": """
+        SELECT event_id, user_id,
+               round(first_value(value) OVER grow, 2) AS first_val,
+               round(last_value(value) OVER wfull, 2) AS last_val,
+               round(nth_value(value, 2) OVER wfull, 2) AS second_val
+        FROM events
+        WINDOW grow AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wfull AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND UNBOUNDED FOLLOWING)
+    """,
     "q_window_range": """
         SELECT event_id, user_id,
                count(*) OVER w AS cnt_1h,

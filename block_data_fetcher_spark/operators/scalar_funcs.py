@@ -77,7 +77,136 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex function family over document text: group extraction,
+    global replacement, and a match predicate.
+
+    Parity note: Spark's regexp_replace is global by default; DuckDB
+    replaces only the first match unless the 'g' flag is passed — the
+    oracle spells the flag explicitly."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", r"^(\w+)", 1).alias("first_word"),
+        F.length(F.regexp_replace("text", r"[aeiou]", "")).cast("long").alias(
+            "len_novowels"
+        ),
+        F.col("text").rlike(r"\bdata\b").alias("mentions_data"),
+    )
+
+
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function family over embedding vectors: slicing,
+    element-wise transform, sort, and rounded extrema.
+
+    All higher-order built-ins (transform / array_sort) — JVM-side
+    expression evaluation, no Python. Elements round to 4 before any
+    comparison or sort so float32→double widening can't reorder."""
+    em = table(spark, sf_dir, "embeddings")
+    head3 = F.transform(
+        F.slice("embedding", 1, 3), lambda x: F.round(x.cast("double"), 4)
+    )
+    rounded = F.transform(
+        F.col("embedding"), lambda x: F.round(x.cast("double"), 4)
+    )
+    return em.select(
+        "vec_id",
+        head3.alias("head3"),
+        F.array_sort(head3).alias("head3_sorted"),
+        F.array_max(rounded).alias("vmax"),
+        F.array_min(rounded).alias("vmin"),
+        F.size("embedding").cast("long").alias("dim"),
+    )
+
+
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map function family: per region, build a name→key map of its
+    nations, then look up, count, and enumerate keys.
+
+    The map is assembled from an aggregated entry list
+    (map_from_entries ∘ collect_list) — Spark's idiom for the
+    reference's in-memory program-registry HashMap
+    (src/etl/transform.rs:13-31). Output columns are scalars/arrays
+    only: map-typed cells don't compare portably across engines."""
+    na = table(spark, sf_dir, "nation")
+    m = F.map_from_entries(
+        F.collect_list(F.struct(F.col("n_name"), F.col("n_nationkey")))
+    )
+    return (
+        na.groupBy("n_regionkey")
+        .agg(m.alias("m"))
+        .select(
+            "n_regionkey",
+            F.element_at(F.col("m"), "NATION_3").alias("key_of_n3"),
+            F.size("m").cast("long").alias("n_entries"),
+            F.array_sort(F.map_keys("m")).alias("names_sorted"),
+        )
+    )
+
+
+def q_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional scalar family over customers: least/greatest,
+    nullif, two-branch null defaulting (nvl2), all codegen'd
+    per-row projections."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.round(F.least(F.col("c_acctbal"), F.lit(5000.0)), 2).alias("bal_capped"),
+        F.round(F.greatest(F.col("c_acctbal"), F.lit(0.0)), 2).alias("bal_floor"),
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_or_null"),
+        F.when(F.col("c_acctbal") > 0, F.lit("funded"))
+        .otherwise(F.lit("unfunded"))
+        .alias("funding"),
+    )
+
+
 ORACLE: dict[str, str] = {
+    "q_regexp_funcs": """
+        SELECT doc_id,
+               regexp_extract(text, '^(\\w+)', 1) AS first_word,
+               CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT)
+                 AS len_novowels,
+               regexp_matches(text, '\\bdata\\b') AS mentions_data
+        FROM documents
+    """,
+    "q_array_funcs": """
+        SELECT vec_id,
+               list_transform(embedding[1:3],
+                              x -> round(CAST(x AS DOUBLE), 4)) AS head3,
+               list_sort(list_transform(embedding[1:3],
+                                        x -> round(CAST(x AS DOUBLE), 4)))
+                 AS head3_sorted,
+               list_max(list_transform(embedding,
+                                       x -> round(CAST(x AS DOUBLE), 4))) AS vmax,
+               list_min(list_transform(embedding,
+                                       x -> round(CAST(x AS DOUBLE), 4))) AS vmin,
+               CAST(len(embedding) AS BIGINT) AS dim
+        FROM embeddings
+    """,
+    "q_map_funcs": """
+        WITH m AS (
+          SELECT n_regionkey,
+                 map_from_entries(list({'k': n_name, 'v': n_nationkey})) AS m
+          FROM nation GROUP BY n_regionkey
+        )
+        SELECT n_regionkey,
+               -- DuckDB map extraction yields a LIST (empty on miss);
+               -- [1] unwraps it to value-or-NULL, matching Spark's
+               -- element_at(map, key)
+               m['NATION_3'][1] AS key_of_n3,
+               CAST(cardinality(m) AS BIGINT) AS n_entries,
+               list_sort(map_keys(m)) AS names_sorted
+        FROM m
+    """,
+    "q_conditional_funcs": """
+        SELECT c_custkey,
+               round(least(c_acctbal, 5000.0), 2) AS bal_capped,
+               round(greatest(c_acctbal, 0.0), 2) AS bal_floor,
+               nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+               CASE WHEN c_acctbal > 0 THEN 'funded'
+                    ELSE 'unfunded' END AS funding
+        FROM customer
+    """,
     "q_stats_agg": """
         SELECT event_type,
                round(stddev_samp(value) + 1e-9, 4) AS sd_value,
