@@ -289,11 +289,61 @@ def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cnt_all.crossJoin(cnt_distinct)
 
 
+def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-Bloom-filtered fact⋈fact join: a selective order slice
+    (one priority, one quarter) joined to lineitem, revenue per line
+    status.
+
+    Spark-first scale play: with
+    ``spark.sql.optimizer.runtime.bloomFilter.enabled`` Catalyst
+    builds a Bloom filter from the filtered (small) side's join keys
+    at runtime and pushes it into the lineitem scan — rows that can't
+    join are dropped BEFORE the shuffle. At 100 TB this is the
+    difference between shuffling the full fact table and shuffling
+    ~2% of it. The thresholds below exist only to make the same plan
+    shape reproducible at fixture scale (the production defaults —
+    10 GB probe-side scans — are already right on a real cluster);
+    ``tune()`` restores them, so the setting never leaks into other
+    catalog queries. Plan gate: tests/test_plans.py asserts the
+    bloom_filter_agg build and the might_contain probe."""
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    od = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
 
 ORACLE: dict[str, str] = {
+    "q_bloom_join": """
+        SELECT l_linestatus,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT'
+          AND o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-04-01'
+        GROUP BY l_linestatus
+    """,
     "q_scan_project": """
         SELECT l_orderkey, l_partkey, l_linenumber, l_quantity, l_extendedprice
         FROM lineitem

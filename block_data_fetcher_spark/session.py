@@ -54,6 +54,15 @@ def tune(spark: SparkSession) -> SparkSession:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Restore defaults that individual catalog queries override to
+        # reproduce at-scale plan shapes on tiny fixtures
+        # (q_bloom_join lowers the probe-side threshold and disables
+        # auto-broadcast) — every catalog entry runs tune() first, so
+        # overrides never leak across queries.
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     except Exception:
         pass  # conf may be immutable on some deployments; defaults are fine
     return spark

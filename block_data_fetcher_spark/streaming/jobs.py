@@ -221,6 +221,60 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(joined, "stream_static_join", "append")
 
 
+_DOCS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def q_stream_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus curation: the batch q_corpus_curate pipeline's
+    quality-gate + exact-dedup stages as a continuous ingest job —
+    documents arriving on a stream are scored, near-duplicate text is
+    suppressed within the watermark horizon, survivors are emitted
+    with token accounting.
+
+    Event time is synthesized from doc_id (the fixture corpus has no
+    arrival timestamp; a real ingest would carry one). Dedup keys on
+    the text digest, not the text — the state store holds 16-byte
+    hashes instead of documents, so state size is |distinct docs seen
+    within the watermark| × 16 B no matter how large the documents
+    are. At 100 TB the same job curates a landing zone continuously;
+    the batch twin's LSH near-dup stage stays a periodic batch job
+    (all-pairs banding needs the full corpus, not a stream prefix)."""
+    from ..functions.text import quality_score, token_count
+
+    raw = (
+        spark.readStream.schema(_DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    curated = (
+        # +86400: a row at exactly epoch 0 ties the stream's initial
+        # watermark and is discarded as late — shift the synthetic
+        # clock one day so doc_id=0 survives.
+        raw.withColumn("ts", F.timestamp_seconds(F.col("doc_id") + 86400))
+        .withWatermark("ts", "1 hour")
+        .withColumn("quality", quality_score("text"))
+        .where(F.col("quality") >= 0.5)
+        .withColumn("text_hash", F.md5("text"))
+        .dropDuplicatesWithinWatermark(["text_hash"])
+        .select(
+            "doc_id",
+            "lang",
+            "quality",
+            token_count("text").alias("n_tokens"),
+        )
+    )
+    return _run_to_memory(curated, "stream_curate", "append")
+
+
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X7: per-user session windows with a 30-minute gap."""
     ev = events_stream(spark, sf_dir).withWatermark("ts", "2 hours")

@@ -149,3 +149,14 @@ def test_tpch_q7_broadcasts_nations(spark, sf_dir):
 def test_tpch_q16_anti_join_exclusion(spark, sf_dir):
     plan = formatted_plan(_Q["q_tpch_q16"](spark, sf_dir))
     assert "LeftAnti" in plan, plan
+
+
+def test_bloom_join_injects_runtime_filter(spark, sf_dir):
+    """q_bloom_join's plan must build a Bloom filter from the selective
+    order slice (bloom_filter_agg) and probe it on the lineitem side
+    (might_contain) — the runtime semi-filter that keeps non-joining
+    fact rows out of the shuffle at scale."""
+    df = _Q["q_bloom_join"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "bloom_filter_agg" in plan, plan
+    assert "might_contain" in plan, plan

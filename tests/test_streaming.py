@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from block_data_fetcher_spark.operators.windows import q_tumbling_window
 from block_data_fetcher_spark.streaming.jobs import (
+    q_stream_curate,
     q_stream_dedup,
     q_stream_session,
     q_stream_sliding,
@@ -63,3 +64,33 @@ def test_stream_session_covers_all_events(spark, sf_dir):
     sessions = q_stream_session(spark, sf_dir)
     total = sessions.groupBy().sum("cnt").collect()[0][0]
     assert total == n_events
+
+
+def test_stream_curate_matches_batch_gate_and_dedup(spark, sf_dir):
+    """The streaming curation must keep exactly the documents its
+    batch twin keeps: quality >= 0.5, first occurrence per distinct
+    text (doc_id=0 included — regression for the epoch-0 watermark
+    tie)."""
+    from pyspark.sql import functions as F
+
+    from block_data_fetcher_spark.functions.text import quality_score
+
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "quality", quality_score("text")
+    )
+    # compare surviving TEXTS, not doc_ids: both sides keep one row
+    # per distinct text but may pick different winners in a dup group
+    curated = q_stream_curate(spark, sf_dir)
+    stream_texts = {
+        r.text
+        for r in curated.join(docs, "doc_id").select(docs.text).collect()
+    }
+    batch_texts = {
+        r.text
+        for r in docs.where(F.col("quality") >= 0.5)
+        .select("text")
+        .distinct()
+        .collect()
+    }
+    assert curated.count() == len(stream_texts)  # one survivor per text
+    assert stream_texts == batch_texts
