@@ -59,6 +59,12 @@ LARGE_RESULT = {
     "q_topn_per_group",
     "q_window_range",
     "q_string_funcs",
+    "q_window_rank",
+    "q_window_first_last",
+    "q_regexp_funcs",
+    "q_array_funcs",
+    "q_conditional_funcs",
+    "q_stream_curate",
 }
 
 
@@ -91,6 +97,14 @@ def main() -> None:
             .select(_dims("embedding"))
             .count()
         )
+    except Exception:
+        pass
+    try:  # py4j lambda-HOF bridge: the FIRST Column built from a
+        # Python lambda (filter/transform/aggregate) initializes the
+        # function-interface machinery (~1 s, measured); pay it here
+        from pyspark.sql import functions as F
+
+        spark.range(1).select(F.filter(F.array(F.lit(1)), lambda x: x > 0)).collect()
     except Exception:
         pass
     try:  # Python DataSource worker init (q_etl_* use the RPC source)

