@@ -82,6 +82,116 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate_corpus(parallelize(table(spark, sf_dir, "documents"), spark))
 
 
+# Portable deterministic hash (identical in Spark and DuckDB): first
+# 15 hex chars of md5 as a 60-bit integer. Seeded sample() would give
+# engine-specific draws; a hash-mod sample is reproducible anywhere.
+_HASH100 = "conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) % 100"
+_HASH100_DUCK = (
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100"
+)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified corpus sampling for training-mix construction: keep
+    10% of English (over-represented) and 50% of every other language,
+    chosen by a deterministic content hash.
+
+    Hash-mod sampling instead of ``sample()``/``sampleBy()``: the
+    draw is a pure function of the row, so it is reproducible across
+    engines, re-runs, and retries (a task retry re-sampling different
+    rows would break exactly-once sinks downstream). Map-side only —
+    the filter costs one md5 per row and the only shuffle is the
+    per-stratum accounting aggregate."""
+    docs = table(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", 10).otherwise(50)
+    return (
+        docs.withColumn("__h", F.expr(_HASH100))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count(F.when(F.col("__h") < rate, 1)).alias("n_sampled"),
+        )
+    )
+
+
+_GRAMS5 = (
+    "transform(sequence(1, greatest(size(split(text, ' ')) - 4, 0)), "
+    "i -> concat_ws(' ', slice(split(text, ' '), i, 5)))"
+)
+_GRAMS5_DUCK = (
+    "list_transform(range(1, greatest(len(string_split(text, ' ')) - 4, 0) + 1), "
+    "i -> array_to_string((string_split(text, ' '))[i:i+4], ' '))"
+)
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: drop every training document that
+    shares a 5-gram with the held-out set (here: source 'src0' plays
+    the benchmark), then account for what survives per language.
+
+    The canonical pre-training hygiene op. Spark-first shape: both
+    sides explode to (doc_id, gram); the benchmark grams are
+    DISTINCT'd (dimension-sized — |benchmark| ≪ |corpus|), the
+    contaminated ids come from a LEFT SEMI join on the gram key and
+    survivors from a LEFT ANTI join on doc_id — the full documents
+    never move through the gram shuffle, only (id, gram) pairs. At
+    100 TB both sides would pre-hash grams to 64-bit ints (same plan,
+    1/10 the shuffle bytes); strings are kept here for oracle
+    readability."""
+    docs = table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("source") == "src0")
+    train = docs.where(F.col("source") != "src0")
+    bench_grams = (
+        bench.select(F.explode(F.expr(_GRAMS5)).alias("gram")).distinct()
+    )
+    contaminated = (
+        train.select("doc_id", F.explode(F.expr(_GRAMS5)).alias("gram"))
+        .join(bench_grams, "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        train.join(contaminated, "doc_id", "left_anti")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_clean"),
+            F.sum(token_count("text")).alias("clean_tokens"),
+        )
+    )
+
+
+PACK_CAPACITY = 2048  # tokens per training sequence
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: concatenate documents
+    (per language, in doc_id order) into fixed-capacity token bins and
+    report each bin's fill.
+
+    The contiguous-fill strategy — bin = floor(tokens-before / C) —
+    is a pure running-sum window, so packing 100 TB is ONE shuffle on
+    the language key followed by map-side binning; greedy first-fit
+    (better fill, inherently sequential) is what this approximates.
+    The same window also yields each doc's offset inside its bin (not
+    emitted here)."""
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    toks = token_count("text")
+    cum = F.sum(toks).over(w)
+    return (
+        docs.select(
+            "lang",
+            toks.alias("n_tokens"),
+            ((cum - toks) / PACK_CAPACITY).cast("long").alias("bin"),
+        )
+        .groupBy("lang", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+        )
+    )
+
+
 ORACLE: dict[str, str] = {
     "q_corpus_curate": f"""
         WITH scored AS (
@@ -102,5 +212,45 @@ ORACLE: dict[str, str] = {
                u.quality
         FROM uniq u LEFT JOIN dupes d ON u.doc_id = d.doc_id
         WHERE d.doc_id IS NULL
+    """,
+    "q_stratified_sample": f"""
+        SELECT lang,
+               count(*) AS n_total,
+               count(*) FILTER (
+                 WHERE {_HASH100_DUCK} <
+                       CASE WHEN lang = 'en' THEN 10 ELSE 50 END
+               ) AS n_sampled
+        FROM documents
+        GROUP BY lang
+    """,
+    "q_decontaminate": f"""
+        WITH bench_grams AS (
+          SELECT DISTINCT unnest({_GRAMS5_DUCK}) AS gram
+          FROM documents WHERE source = 'src0'
+        ), train AS (
+          SELECT * FROM documents WHERE source <> 'src0'
+        ), contaminated AS (
+          SELECT DISTINCT doc_id
+          FROM (SELECT doc_id, unnest({_GRAMS5_DUCK}) AS gram FROM train)
+          WHERE gram IN (SELECT gram FROM bench_grams)
+        )
+        SELECT lang, count(*) AS n_clean,
+               sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS clean_tokens
+        FROM train
+        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        GROUP BY lang
+    """,
+    "q_pack_sequences": f"""
+        SELECT lang, bin, count(*) AS n_docs, sum(n_tokens) AS bin_tokens
+        FROM (
+          SELECT lang,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                 CAST(floor((sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+                               OVER (PARTITION BY lang ORDER BY doc_id)
+                             - CAST(len(string_split(text, ' ')) AS BIGINT))
+                            / {PACK_CAPACITY}) AS BIGINT) AS bin
+          FROM documents
+        )
+        GROUP BY lang, bin
     """,
 }
