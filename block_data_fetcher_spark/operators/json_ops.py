@@ -97,7 +97,34 @@ def q_first_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured navigation through Spark 4's VARIANT type:
+    ``parse_json`` once, typed ``try_variant_get`` paths after — the
+    modern engine path for the reference's JSONB columns (SURVEY §1.2
+    lists VariantType as the ``raw_data``/``data_decoded`` mapping).
+
+    Versus per-path ``get_json_object`` re-parsing: VARIANT parses the
+    document once into a binary encoding; each extraction is a
+    pointer walk. With one hot path the win is modest, but the
+    reference's raw_data is navigated by ad-hoc ``.get()`` chains
+    (src/etl/extract.rs:89-107) — many paths per document at scale."""
+    ev = table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(F.when(k > 50, 1)).alias("n_high"),
+    )
+
+
 ORACLE: dict[str, str] = {
+    "q_json_variant": """
+        SELECT event_type,
+               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               count(*) FILTER (
+                 WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+               ) AS n_high
+        FROM events GROUP BY event_type
+    """,
     "q_json_extract": """
         SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         FROM events
