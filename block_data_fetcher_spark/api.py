@@ -17,6 +17,7 @@ import functools
 from . import pipelines
 from .functions import hashing, multimodal, similarity, text
 from .session import tune
+from .sources import formats
 from .operators import (
     analytics,
     classify,
@@ -31,7 +32,7 @@ from .streaming import jobs as streaming_jobs
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-_MODULES = [relational, json_ops, classify, windows, analytics, tpch, text, similarity, hashing, multimodal, streaming_jobs, pipelines, etl_queries, scalar_funcs]
+_MODULES = [relational, json_ops, classify, windows, analytics, tpch, text, similarity, hashing, multimodal, streaming_jobs, pipelines, etl_queries, scalar_funcs, formats]
 
 
 def _tuned(fn: QueryFn) -> QueryFn:

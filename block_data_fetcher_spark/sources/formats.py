@@ -1,0 +1,103 @@
+"""Text-format connectors: CSV and JSON-lines ingestion with explicit
+schemas, proven by write→read→aggregate roundtrips.
+
+The reference's only wire format is JSON (Solana JSON-RPC responses,
+``src/rpc/mod.rs:64-83``), landed into Postgres; a production landing
+zone additionally receives CSV/JSONL drops. The engine policy from
+SURVEY §1.3 applies to both: schema-on-read with an EXPLICIT schema,
+never inference — inference costs an extra pass over 100 TB and can
+silently widen types between batches.
+
+Each roundtrip query writes a projection of ``events`` to the
+(git-ignored) local warehouse in the text format, reads it back with
+the declared schema, and aggregates; the DuckDB oracle computes the
+same aggregate from the original parquet, so the comparison proves
+the format path is lossless for longs, doubles, strings, and
+microsecond timestamps. Timestamps cross the text boundary as
+ISO-8601 with explicit ``timestampFormat`` on both write and read —
+the default would drop sub-second precision on some locales.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+
+_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+_SCHEMA = "event_id long, event_type string, value double, ts timestamp"
+
+# Anchor scratch output to the repo (not the caller's cwd — the
+# external driver may invoke the catalog from anywhere).
+_WAREHOUSE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "spark-warehouse",
+)
+
+
+def _roundtrip_agg(df: DataFrame) -> DataFrame:
+    return df.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.max("ts").alias("max_ts"),
+        F.max("event_id").alias("max_id"),
+    )
+
+
+_ROUNDTRIP_ORACLE = """
+    SELECT event_type, count(*) AS n,
+           round(sum(value), 2) AS sum_value,
+           max(ts) AS max_ts,
+           max(event_id) AS max_id
+    FROM events GROUP BY event_type
+"""
+
+
+def _events_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value", "ts"
+    )
+
+
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → CSV (header, ISO timestamps) → read with explicit
+    schema → aggregate. Matching the parquet-side oracle proves the
+    CSV path loses nothing."""
+    path = os.path.join(_WAREHOUSE, "formats", "events_csv")
+    _events_slice(spark, sf_dir).write.mode("overwrite").option(
+        "header", "true"
+    ).option("timestampFormat", _TS_FMT).csv(path)
+    back = (
+        spark.read.schema(_SCHEMA)
+        .option("header", "true")
+        .option("timestampFormat", _TS_FMT)
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )
+    return _roundtrip_agg(back)
+
+
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → JSON lines → read with explicit schema → aggregate.
+    The same shape the reference's RPC responses arrive in (one JSON
+    document per record)."""
+    path = os.path.join(_WAREHOUSE, "formats", "events_jsonl")
+    _events_slice(spark, sf_dir).write.mode("overwrite").option(
+        "timestampFormat", _TS_FMT
+    ).json(path)
+    back = (
+        spark.read.schema(_SCHEMA)
+        .option("timestampFormat", _TS_FMT)
+        .option("mode", "PERMISSIVE")
+        .json(path)
+    )
+    return _roundtrip_agg(back)
+
+
+ORACLE: dict[str, str] = {
+    "q_csv_roundtrip": _ROUNDTRIP_ORACLE,
+    "q_jsonl_roundtrip": _ROUNDTRIP_ORACLE,
+}
