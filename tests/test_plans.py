@@ -151,6 +151,34 @@ def test_tpch_q16_anti_join_exclusion(spark, sf_dir):
     assert "LeftAnti" in plan, plan
 
 
+def test_tpch_q10_is_top_k(spark, sf_dir):
+    assert is_top_k(_Q["q_tpch_q10"](spark, sf_dir))
+
+
+def test_decontaminate_joins_are_semi_and_anti(spark, sf_dir):
+    """Contamination check must stay (id, gram)-shaped: the gram match
+    is a LEFT SEMI (no gram payload duplication), survivors come from
+    a LEFT ANTI — never an inner join + distinct over exploded rows."""
+    plan = formatted_plan(_Q["q_decontaminate"](spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+
+
+def test_range_join_is_not_cartesian(spark, sf_dir):
+    """The banded formulation must hash-join on (user, bucket) — a
+    plan that degrades to BroadcastNestedLoop/Cartesian re-introduces
+    the per-user cross product the banding exists to avoid."""
+    plan = formatted_plan(_Q["q_range_join"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_pack_sequences_single_shuffle(spark, sf_dir):
+    """Window cumsum and the (lang, bin) aggregate must share the
+    language partitioning: one Exchange total."""
+    assert count_exchanges(_Q["q_pack_sequences"](spark, sf_dir)) <= 1
+
+
 def test_bloom_join_injects_runtime_filter(spark, sf_dir):
     """q_bloom_join's plan must build a Bloom filter from the selective
     order slice (bloom_filter_agg) and probe it on the lineitem side
