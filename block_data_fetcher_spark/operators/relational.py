@@ -289,6 +289,51 @@ def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cnt_all.crossJoin(cnt_distinct)
 
 
+def q_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe grouped aggregation via salting
+    (:func:`..storage.salted_sum_count`): sum/count of value per event
+    type, computed as partial aggregation on (key, salt) then exact
+    re-combination.
+
+    events has 5 event types over millions of rows — the hot-key
+    shape where a plain groupBy sends a whole dominant key to one
+    reducer. Salting bounds any reducer's input at |keys| × n_salts
+    partial rows. AQE's skew handling only splits JOIN partitions;
+    this is the aggregation-side answer. Results are bit-identical to
+    the unsalted plan for algebraic aggregates (sum/count re-combine
+    exactly over doubles' addition being reordered ONLY at the
+    rounded output precision — hence round after the final stage,
+    both sides)."""
+    from ..storage import salted_sum_count
+
+    ev = table(spark, sf_dir, "events")
+    agg = salted_sum_count(
+        ev, ["event_type"], "value", n_salts=8, entropy_col="event_id"
+    )
+    return agg.select(
+        "event_type",
+        F.round(F.col("sum_value"), 2).alias("sum_value"),
+        "cnt",
+    )
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values: bucket = clamp(floor(
+    value / 100), 0, 9) — the numeric-binning report every monitoring
+    query layer offers. Map-side bucket id + one shuffle on ≤10 keys."""
+    ev = table(spark, sf_dir, "events")
+    bucket = F.least(
+        F.greatest(F.floor(F.col("value") / 100), F.lit(0)), F.lit(9)
+    ).cast("long")
+    return (
+        ev.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
 def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runtime-Bloom-filtered fact⋈fact join: a selective order slice
     (one priority, one quarter) joined to lineitem, revenue per line
@@ -334,6 +379,18 @@ def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 ORACLE: dict[str, str] = {
+    "q_skew_agg": """
+        SELECT event_type, round(sum(value), 2) AS sum_value,
+               count(*) AS cnt
+        FROM events GROUP BY event_type
+    """,
+    "q_histogram": """
+        SELECT CAST(least(greatest(floor(value / 100), 0), 9) AS BIGINT)
+                 AS bucket,
+               count(*) AS n,
+               round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1
+    """,
     "q_bloom_join": """
         SELECT l_linestatus,
                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
