@@ -27,6 +27,7 @@ horizon, and `maxFilesPerTrigger` is the ST2 rate-limit analog.
 
 from __future__ import annotations
 
+import os
 import tempfile
 import uuid
 from collections.abc import Iterator
@@ -219,6 +220,45 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type", "lifetime_events"
     )
     return _run_to_memory(joined, "stream_static_join", "append")
+
+
+def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full S6-S8 sink path at streaming time: events stream →
+    ``foreachBatch`` → keyed last-wins UPSERT into a parquet table
+    (``etl.load.stream_upsert``); returns the post-stream table —
+    the latest event per user, exactly ``q_last_wins_window``'s batch
+    answer (equality pinned in tests/test_streaming.py).
+
+    Each micro-batch merge is write-temp-then-swap (readers see old or
+    new, never partial — the reference's per-batch Postgres
+    transaction, src/etl/load.rs:161-287) and idempotent by key, so a
+    replayed batch after failure converges to the same table
+    (exactly-once-by-key, ST6)."""
+    import shutil
+
+    from ..etl.load import stream_upsert
+
+    ev = events_stream(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", "value", "ts"
+    )
+    path = tempfile.mkdtemp(prefix="stream_upsert_") + "/latest_by_user"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = stream_upsert(
+            ev, path, keys=["user_id"], order=["ts", "event_id"]
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    out = spark.read.parquet(path).select(
+        "user_id", "event_id", "event_type", "value"
+    )
+    # materialize before the temp dir can be cleaned up
+    out = out.cache()
+    out.count()
+    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+    return out
 
 
 _DOCS_SCHEMA = StructType(

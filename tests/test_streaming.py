@@ -12,6 +12,7 @@ from block_data_fetcher_spark.streaming.jobs import (
     q_stream_sliding,
     q_stream_stateful,
     q_stream_tumbling,
+    q_stream_upsert,
 )
 from block_data_fetcher_spark.catalog import table
 
@@ -64,6 +65,16 @@ def test_stream_session_covers_all_events(spark, sf_dir):
     sessions = q_stream_session(spark, sf_dir)
     total = sessions.groupBy().sum("cnt").collect()[0][0]
     assert total == n_events
+
+
+def test_stream_upsert_matches_batch_last_wins(spark, sf_dir):
+    """The foreachBatch upsert sink must land exactly the batch
+    last-wins answer: latest event per user."""
+    from block_data_fetcher_spark.operators.windows import q_last_wins_window
+
+    streamed = q_stream_upsert(spark, sf_dir)
+    batch = q_last_wins_window(spark, sf_dir)
+    assert _rows(streamed) == _rows(batch)
 
 
 def test_stream_curate_matches_batch_gate_and_dedup(spark, sf_dir):
