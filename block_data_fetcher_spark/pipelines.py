@@ -114,9 +114,13 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The short-doc guard matters: Spark's sequence(1, 0) DESCENDS to
+# [1, 0] (it does not return empty like DuckDB's range), so a <5-token
+# document would reach slice() with start=0 and fail the whole job.
 _GRAMS5 = (
-    "transform(sequence(1, greatest(size(split(text, ' ')) - 4, 0)), "
-    "i -> concat_ws(' ', slice(split(text, ' '), i, 5)))"
+    "if(size(split(text, ' ')) < 5, array(), "
+    "transform(sequence(1, size(split(text, ' ')) - 4), "
+    "i -> concat_ws(' ', slice(split(text, ' '), i, 5))))"
 )
 _GRAMS5_DUCK = (
     "list_transform(range(1, greatest(len(string_split(text, ' ')) - 4, 0) + 1), "

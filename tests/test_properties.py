@@ -133,3 +133,95 @@ def test_quality_score_bounded(spark, texts):
     df = spark.createDataFrame([(t,) for t in texts], "text string")
     for r in df.select(quality_score("text").alias("q")).collect():
         assert 0.0 <= r.q <= 1.0
+
+
+_doc = st.tuples(
+    st.text(alphabet=st.sampled_from("abc xyz "), min_size=1, max_size=60),
+    st.sampled_from(["en", "de", "zh"]),
+)
+
+
+@given(docs=st.lists(_doc, min_size=1, max_size=20))
+@_settings
+def test_pack_sequences_conservation(spark, docs):
+    """Packing must conserve tokens and docs: per language, the bins
+    partition the corpus (sum of bin_tokens == total tokens, sum of
+    n_docs == doc count), every bin's doc count >= 1, and bin ids per
+    lang form a dense 0..max prefix (contiguous fill never skips)."""
+    from block_data_fetcher_spark import pipelines
+
+    df = spark.createDataFrame(
+        [(i, t, lang) for i, (t, lang) in enumerate(docs)],
+        "doc_id long, text string, lang string",
+    )
+    df.createOrReplaceTempView("__pack_docs")
+    from pyspark.sql import Window, functions as F
+    from block_data_fetcher_spark.functions.text import token_count
+
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    toks = token_count("text")
+    cum = F.sum(toks).over(w)
+    out = (
+        df.select(
+            "lang",
+            toks.alias("n_tokens"),
+            ((cum - toks) / pipelines.PACK_CAPACITY).cast("long").alias("bin"),
+        )
+        .groupBy("lang", "bin")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("bin_tokens"))
+        .collect()
+    )
+    per_lang_tokens: dict[str, int] = {}
+    per_lang_docs: dict[str, int] = {}
+    for t, lang in docs:
+        per_lang_tokens[lang] = per_lang_tokens.get(lang, 0) + len(t.split(" "))
+        per_lang_docs[lang] = per_lang_docs.get(lang, 0) + 1
+    for lang in per_lang_docs:
+        rows = [r for r in out if r.lang == lang]
+        assert sum(r.bin_tokens for r in rows) == per_lang_tokens[lang]
+        assert sum(r.n_docs for r in rows) == per_lang_docs[lang]
+        bins = sorted(r.bin for r in rows)
+        assert bins == list(range(len(bins)))  # dense prefix
+        assert all(r.n_docs >= 1 for r in rows)
+
+
+@given(docs=st.lists(_doc, min_size=2, max_size=20))
+@_settings
+def test_decontaminate_partition_property(spark, docs):
+    """Clean ∪ contaminated == train, clean ∩ contaminated == ∅, and
+    no clean document shares a 5-gram with the benchmark."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (i, t, lang, "src0" if i % 3 == 0 else "srcX")
+            for i, (t, lang) in enumerate(docs)
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    from block_data_fetcher_spark.pipelines import _GRAMS5 as grams5
+    bench = df.where(F.col("source") == "src0")
+    train = df.where(F.col("source") != "src0")
+    bench_grams = {
+        g
+        for r in bench.select(F.explode(F.expr(grams5)).alias("g")).collect()
+        for g in [r.g]
+    }
+    contaminated = (
+        train.select("doc_id", F.explode(F.expr(grams5)).alias("g"))
+        .join(
+            bench.select(F.explode(F.expr(grams5)).alias("g")).distinct(),
+            "g",
+            "left_semi",
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    clean = train.join(contaminated, "doc_id", "left_anti")
+    clean_ids = {r.doc_id for r in clean.select("doc_id").collect()}
+    bad_ids = {r.doc_id for r in contaminated.collect()}
+    train_ids = {r.doc_id for r in train.select("doc_id").collect()}
+    assert clean_ids | bad_ids == train_ids
+    assert clean_ids & bad_ids == set()
+    for r in clean.select(F.explode(F.expr(grams5)).alias("g")).collect():
+        assert r.g not in bench_grams
