@@ -11,7 +11,9 @@ scan-filter-aggregate, Q17 the correlated scalar subquery, Q18 the
 HAVING-over-aggregate join-back. The second wave covers the rest of
 the benchmark's shapes expressible over the fixture star (no
 partsupp, no shipmode/phone columns — those shapes are adapted, see
-each docstring): Q8 conditional-ratio market share, Q9 profit
+each docstring; the partsupp-dependent Q2/Q11/Q20 derive the
+part↔supplier relation from lineitem): Q8 conditional-ratio market
+share, Q9 profit
 rollup, Q10 returned-item top-k, Q12 priority split, Q13 outer-join
 histogram, Q14 promo ratio, Q15 max-equality join-back, Q19
 disjunctive residual predicate, Q21 double correlation, Q22
@@ -30,7 +32,7 @@ Dates are fixed literals inside the fixture ranges (shipdate
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -613,7 +615,197 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cost supplier (TPC-H Q2 shape; the fixture has no
+    partsupp, so the part↔supplier cost relation is derived from
+    lineitem: supplycost(part, supp) = min unit price ever charged).
+    For STANDARD parts and EUROPE suppliers, keep the supplier(s)
+    charging each part's regional minimum, top-20 by balance.
+
+    Exercises the correlated-min subquery decorrelated to a window:
+    the pair-level aggregate pre-partitions on ``l_partkey`` alone,
+    which already satisfies both the (partkey, suppkey) grouping's
+    ClusteredDistribution and the per-part min window — the whole
+    query is ONE shuffle plus a broadcast dim spine and a top-k
+    (gated in tests/test_plans.py). Reference analog: the registry's
+    "best label per program" resolution (src/etl/transform.rs:34-61)
+    at benchmark shape."""
+    li = table(spark, sf_dir, "lineitem")
+    cost = (
+        li.repartition("l_partkey")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "supplycost"
+            )
+        )
+    )
+    na = table(spark, sf_dir, "nation")
+    re = table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    eu = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(na), F.col("s_nationkey") == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    pa = (
+        table(spark, sf_dir, "part")
+        .where(F.col("p_type") == "STANDARD")
+        .select("p_partkey", "p_name")
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        cost.join(F.broadcast(eu), cost.l_suppkey == eu.s_suppkey)
+        .withColumn("min_cost", F.min("supplycost").over(w))
+        .where(F.col("supplycost") == F.col("min_cost"))
+        .join(F.broadcast(pa), F.col("l_partkey") == pa.p_partkey)
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round(F.col("supplycost") + 1e-9, 4).alias("supplycost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(),
+            F.col("n_name").asc(),
+            F.col("s_name").asc(),
+            F.col("p_partkey").asc(),
+        )
+        .limit(20)
+    )
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important-stock identification (TPC-H Q11 shape; partsupp value
+    is replaced by per-part discounted revenue from one nation's
+    suppliers). Keeps parts whose value exceeds 0.2% of the national
+    total — the grouped-agg-vs-scalar-subquery-over-the-same-agg
+    shape, decorrelated to a 1-row broadcast cross join so the value
+    aggregate is computed once and consumed by both sides."""
+    li = table(spark, sf_dir, "lineitem")
+    na = table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    su = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(na), F.col("s_nationkey") == na.n_nationkey)
+        .select("s_suppkey")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    val = (
+        li.join(F.broadcast(su), F.col("l_suppkey") == su.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(rev).alias("v"))
+    )
+    thr = val.agg((F.sum("v") * 0.002).alias("thr"))
+    return (
+        val.join(F.broadcast(thr))
+        .where(F.col("v") > F.col("thr"))
+        .select("l_partkey", F.round("v", 2).alias("value"))
+    )
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excess-concentration suppliers (TPC-H Q20 shape; availqty is
+    replaced by shipped quantity, "excess stock" by 1997 shipment
+    concentration). Suppliers in NATION_9 having some '%red%' part
+    whose 1997 quantity exceeds half that pair's all-time quantity
+    (pairs under 60 units total are noise and excluded).
+
+    Exercises the nested-IN-with-aggregated-threshold: LIKE-filtered
+    part dim broadcast into the fact, conditional pair-level agg, the
+    qualifying-supplier set reduced then broadcast into a LEFT SEMI
+    against the nation-filtered supplier dim. Quantities are
+    integer-valued doubles, so the threshold compare is bit-exact
+    cross-engine."""
+    li = table(spark, sf_dir, "lineitem")
+    red = (
+        table(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    in_1997 = (
+        F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")
+    ) & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    qualifying = (
+        li.join(F.broadcast(red), F.col("l_partkey") == red.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(in_1997, F.col("l_quantity")).otherwise(0.0)).alias(
+                "qty_1997"
+            ),
+            F.sum("l_quantity").alias("qty_all"),
+        )
+        .where(
+            (F.col("qty_all") >= 60)
+            & (F.col("qty_1997") > 0.5 * F.col("qty_all"))
+        )
+        .select("l_suppkey")
+    )
+    na = table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_9")
+    return (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(na), F.col("s_nationkey") == na.n_nationkey)
+        .join(
+            qualifying, F.col("s_suppkey") == qualifying.l_suppkey, "left_semi"
+        )
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+    )
+
+
 ORACLE: dict[str, str] = {
+    "q_tpch_q2": """
+        WITH cost AS (
+            SELECT l_partkey, l_suppkey,
+                   min(l_extendedprice / l_quantity) AS supplycost
+            FROM lineitem GROUP BY 1, 2
+        ), elig AS (
+            SELECT l_partkey, supplycost, s_name,
+                   round(s_acctbal, 2) AS s_acctbal, n_name,
+                   min(supplycost) OVER (PARTITION BY l_partkey) AS min_cost
+            FROM cost
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+               round(supplycost + 1e-9, 4) AS supplycost
+        FROM elig JOIN part ON l_partkey = p_partkey
+        WHERE p_type = 'STANDARD' AND supplycost = min_cost
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 20
+    """,
+    "q_tpch_q11": """
+        WITH val AS (
+            SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS v
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_3'
+            GROUP BY 1
+        )
+        SELECT l_partkey, round(v, 2) AS value
+        FROM val WHERE v > (SELECT sum(v) * 0.002 FROM val)
+    """,
+    "q_tpch_q20": """
+        WITH agg AS (
+            SELECT l_suppkey, l_partkey,
+                   sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                             AND l_shipdate <  TIMESTAMP '1998-01-01'
+                            THEN l_quantity ELSE 0.0 END) AS qty_1997,
+                   sum(l_quantity) AS qty_all
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_name LIKE '%red%'
+            GROUP BY 1, 2
+        )
+        SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_9'
+          AND s_suppkey IN (SELECT l_suppkey FROM agg
+                            WHERE qty_all >= 60
+                              AND qty_1997 > 0.5 * qty_all)
+    """,
     "q_tpch_q8": """
         SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
                round(sum(CASE WHEN sn.n_name = 'NATION_3'

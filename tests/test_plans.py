@@ -117,6 +117,22 @@ def test_tpch_q6_full_pushdown_no_join(spark, sf_dir):
     assert "Join" not in formatted_plan(df)
 
 
+def test_tpch_q2_single_shuffle_top_k(spark, sf_dir):
+    # the pair-level cost aggregate pre-partitions on l_partkey, which
+    # satisfies both the (partkey, suppkey) grouping and the per-part
+    # min window: one exchange, broadcast dims, top-k output
+    df = _Q["q_tpch_q2"](spark, sf_dir)
+    assert count_exchanges(df) <= 1, formatted_plan(df)
+    assert uses_broadcast_join(df)
+    assert is_top_k(df), formatted_plan(df)
+
+
+def test_tpch_q20_semi_join_and_broadcast_part(spark, sf_dir):
+    plan = formatted_plan(_Q["q_tpch_q20"](spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+    assert uses_broadcast_join(_Q["q_tpch_q20"](spark, sf_dir))
+
+
 def test_tpch_q17_broadcasts_threshold(spark, sf_dir):
     # the decorrelated per-part threshold joins back as a broadcast —
     # the fact side never shuffles for the comparison
