@@ -14,15 +14,51 @@ from block_data_fetcher_spark.catalog import load
 
 _Q = api.queries()
 
-# Catalog oracles that are pure ANSI (run unchanged in Spark SQL).
+# Catalog oracles that are pure ANSI (run unchanged in Spark SQL —
+# the rest use DuckDB-only idioms: list_* lambdas, FILTER (...) frame
+# syntax, json_extract_string, CUBE alias quirks).
 _ANSI_QUERIES = [
+    "q_agg_global",
+    "q_anti_join",
+    "q_arith_expr",
+    "q_asof_join",
+    "q_bloom_join",
     "q_broadcast_join",
+    "q_classify_case",
+    "q_conditional_funcs",
+    "q_count_distinct",
+    "q_csv_roundtrip",
+    "q_dedup_exact",
+    "q_filter_project",
+    "q_full_outer_join",
     "q_group_count",
+    "q_group_minmax",
+    "q_histogram",
     "q_join_fk_agg",
-    "q_orderby_limit",
+    "q_jsonl_roundtrip",
     "q_label_concat",
-    "q_tpch_q1",
-    "q_tpch_q18",
+    "q_last_wins_window",
+    "q_left_join_null",
+    "q_orderby_limit",
+    "q_pivot_types",
+    "q_rate_derived",
+    "q_scan_project",
+    "q_self_join",
+    "q_semi_join",
+    "q_set_ops",
+    "q_skew_agg",
+    "q_text_stats",
+    "q_topn_per_group",
+    "q_ts_convert",
+    "q_tumbling_window",
+    "q_union",
+    "q_window_first_last",
+    "q_window_lag",
+    "q_window_rank",
+    "q_window_running",
+    *[f"q_tpch_q{n}" for n in (1, 2, 3, 4, 5, 6, 7, 8, 9, 10,
+                               11, 12, 13, 14, 15, 16, 17, 18,
+                               19, 20, 21, 22)],
 ]
 
 
