@@ -12,7 +12,7 @@ not |tokens|."""
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -202,7 +202,239 @@ def quality_sql(src: str) -> str:
     """
 
 
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-3 terms per document by
+    tf·ln(N/df), ties broken by term.
+
+    Scale shape: the *documents* table (not the exploded tokens) is
+    shuffled once on doc_id; the explode, the (doc_id, term) counts and
+    the per-doc top-3 window all run inside that one partitioning
+    (hash(doc_id) satisfies both the grouping's and the window's
+    ClusteredDistribution). Document frequency comes from a separate
+    reduced branch and joins back as a broadcast — at vocab sizes past
+    broadcast range this one join becomes the only shuffle-join."""
+    docs = table(spark, sf_dir, "documents").repartition("doc_id")
+    toks = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    ).where(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n_docs = table(spark, sf_dir, "documents").agg(
+        F.count("*").alias("n_docs")
+    )
+    tfidf = F.col("tf") * F.log(F.col("n_docs") / F.col("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        tfidf.desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(n_docs))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            "doc_id", "term", F.round(tfidf + 1e-9, 4).alias("tfidf")
+        )
+    )
+
+
+# Let-bound repetition stats: `ws` (the token array) and `gs` (the
+# 2-gram array) are bound as lambda variables via the
+# get(transform(array(x), v -> body), 0) idiom — higher-order
+# functions get NO codegen subexpression elimination, so a naive
+# inline form would re-split the text once per array element
+# (measured 4-6x on the shingle path). One F.expr string: building
+# lambda HOFs through the Python Column API costs ~0.5 s of py4j
+# per lambda.
+_REPETITION = """
+get(transform(array(split(text, ' ')), ws ->
+  get(transform(array(
+        if(size(ws) < 2, array(),
+           transform(sequence(1, size(ws) - 1),
+                     i -> concat_ws(' ', slice(ws, i, 2))))), gs ->
+    named_struct(
+      'dup_word_frac',
+        round(1.0d - size(array_distinct(ws)) / size(ws) + 1e-9, 4),
+      'top2_frac',
+        round(if(size(ws) < 2, 0.0d,
+                 array_max(transform(array_distinct(gs),
+                     g -> size(filter(gs, x -> x = g))))
+                 / (size(ws) - 1.0d)) + 1e-9, 4))), 0)), 0)
+"""
+
+_REPETITION_DUCK = """
+  SELECT doc_id,
+         round(1.0 - len(list_distinct(ws)) * 1.0 / len(ws) + 1e-9, 4)
+           AS dup_word_frac,
+         round(CASE WHEN len(ws) < 2 THEN 0.0
+               ELSE list_max(list_transform(list_distinct(grams),
+                      g -> len(list_filter(grams, x -> x = g)))) * 1.0
+                    / (len(ws) - 1) END + 1e-9, 4) AS top2_frac
+  FROM (
+    SELECT doc_id, ws,
+           CASE WHEN len(ws) < 2 THEN []
+                ELSE list_transform(range(1, len(ws)),
+                                    i -> ws[i] || ' ' || ws[i+1]) END AS grams
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+  )
+"""
+
+
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality gate: per document, the
+    duplicate-word fraction (1 − distinct/total) and the fraction of
+    2-gram slots taken by the most frequent 2-gram; flag documents
+    exceeding either threshold.
+
+    Entirely map-side Catalyst expressions over the token array —
+    zero shuffles, zero Python (plan-gated): at 100 TB this is a pure
+    scan-speed filter."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("rep", F.expr(_REPETITION))
+        .select(
+            "doc_id",
+            F.col("rep.dup_word_frac").alias("dup_word_frac"),
+            F.col("rep.top2_frac").alias("top2_frac"),
+        )
+        .withColumn(
+            "flagged",
+            (F.col("dup_word_frac") > 0.6) | (F.col("top2_frac") > 0.05),
+        )
+    )
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring (the cheap perplexity stand-in):
+    per document, mean ln p(token) under the corpus unigram
+    distribution. Low scores mark out-of-distribution documents.
+
+    Scale shape: the frequency table is a reduced aggregate
+    (|vocab| rows) broadcast back into the token stream; documents are
+    shuffled once on doc_id so the per-doc mean runs without another
+    exchange."""
+    docs = table(spark, sf_dir, "documents").repartition("doc_id")
+    toks = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    ).where(F.col("term") != "")
+    freq = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(tokens("text")).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = freq.agg(F.sum("cnt").alias("total"))
+    return (
+        toks.join(F.broadcast(freq), "term")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.log(F.col("cnt") / F.col("total")))
+                / F.count("*")
+                + 1e-9,
+                4,
+            ).alias("logprob")
+        )
+    )
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked vocabulary builder: tokens ordered by corpus
+    frequency (ties by token), kept while cumulative coverage of the
+    prefix *before* each token is under 90%.
+
+    The global window runs on the REDUCED frequency table (|vocab|
+    rows, bounded by the token domain, not the corpus), so the
+    single-partition sort is deliberate and safe at any corpus size;
+    the corpus-sized work is the one partial-aggregated explode
+    shuffle that builds the table."""
+    docs = table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(tokens("text")).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = freq.agg(F.sum("cnt").alias("total"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("term").asc())
+    return (
+        freq.join(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn("cum", F.sum("cnt").over(w))
+        .where((F.col("cum") - F.col("cnt")) < 0.9 * F.col("total"))
+        .select(
+            "term",
+            "cnt",
+            "rank",
+            F.round(F.col("cum") / F.col("total") + 1e-9, 4).alias(
+                "cum_share"
+            ),
+        )
+    )
+
+
 ORACLE: dict[str, str] = {
+    "q_tfidf": """
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM toks
+          WHERE term <> '' GROUP BY 1, 2
+        ), dfreq AS (
+          SELECT term, count(DISTINCT doc_id) AS df FROM toks
+          WHERE term <> '' GROUP BY 1
+        ), n AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT doc_id, term,
+               round(tf * ln(n_docs * 1.0 / df) + 1e-9, 4) AS tfidf
+        FROM (
+          SELECT tf.doc_id, tf.term, tf.tf, dfreq.df, n.n_docs,
+                 row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY tf.tf * ln(n.n_docs * 1.0 / dfreq.df) DESC,
+                            tf.term ASC) AS rn
+          FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        ) WHERE rn <= 3
+    """,
+    "q_repetition_filter": f"""
+        SELECT doc_id, dup_word_frac, top2_frac,
+               (dup_word_frac > 0.6 OR top2_frac > 0.05) AS flagged
+        FROM ({_REPETITION_DUCK})
+    """,
+    "q_unigram_logprob": """
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents
+        ), freq AS (
+          SELECT term, count(*) AS cnt FROM toks
+          WHERE term <> '' GROUP BY 1
+        ), tot AS (SELECT sum(cnt) AS total FROM freq)
+        SELECT doc_id,
+               round(sum(ln(cnt * 1.0 / total)) / count(*) + 1e-9, 4)
+                 AS logprob
+        FROM toks JOIN freq USING (term) CROSS JOIN tot
+        WHERE toks.term <> ''
+        GROUP BY doc_id
+    """,
+    "q_vocab_coverage": """
+        WITH freq AS (
+          SELECT term, count(*) AS cnt FROM (
+            SELECT unnest(string_split(text, ' ')) AS term FROM documents
+          ) WHERE term <> '' GROUP BY 1
+        ), tot AS (SELECT sum(cnt) AS total FROM freq)
+        SELECT term, cnt, rank,
+               round(cum * 1.0 / total + 1e-9, 4) AS cum_share
+        FROM (
+          SELECT term, cnt, total,
+                 row_number() OVER (ORDER BY cnt DESC, term ASC) AS rank,
+                 sum(cnt) OVER (ORDER BY cnt DESC, term ASC
+                                ROWS UNBOUNDED PRECEDING) AS cum
+          FROM freq CROSS JOIN tot
+        ) WHERE (cum - cnt) < 0.9 * total
+    """,
     "q_dedup_exact": "SELECT DISTINCT lang, source FROM documents",
     "q_text_tokenize": """
         SELECT word, count(*) AS cnt FROM (

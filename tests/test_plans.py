@@ -117,6 +117,29 @@ def test_tpch_q6_full_pushdown_no_join(spark, sf_dir):
     assert "Join" not in formatted_plan(df)
 
 
+def test_repetition_filter_is_shuffle_free(spark, sf_dir):
+    # per-doc repetition stats are pure let-bound array expressions:
+    # a scan-speed filter with no exchange and no Python
+    df = _Q["q_repetition_filter"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert count_exchanges(df) == 0, plan
+    assert "Python" not in plan, plan
+
+
+def test_tfidf_counts_and_window_share_one_partitioning(spark, sf_dir):
+    # docs shuffle once on doc_id; tf grouping and top-3 window reuse
+    # it; df and N join back as broadcasts. Remaining exchanges belong
+    # to the reduced doc-frequency branch only.
+    df = _Q["q_tfidf"](spark, sf_dir)
+    assert uses_broadcast_join(df), formatted_plan(df)
+    assert count_exchanges(df) <= 4, formatted_plan(df)
+
+
+def test_unigram_logprob_broadcasts_frequency_table(spark, sf_dir):
+    df = _Q["q_unigram_logprob"](spark, sf_dir)
+    assert uses_broadcast_join(df), formatted_plan(df)
+
+
 def test_tpch_q2_single_shuffle_top_k(spark, sf_dir):
     # the pair-level cost aggregate pre-partitions on l_partkey, which
     # satisfies both the (partkey, suppkey) grouping and the per-part
