@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 import functools
 
-from . import pipelines
+from . import pipelines, storage
 from .functions import hashing, multimodal, similarity, text
 from .session import tune
 from .sources import formats
@@ -32,7 +32,7 @@ from .streaming import jobs as streaming_jobs
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-_MODULES = [relational, json_ops, classify, windows, analytics, tpch, text, similarity, hashing, multimodal, streaming_jobs, pipelines, etl_queries, scalar_funcs, formats]
+_MODULES = [relational, json_ops, classify, windows, analytics, tpch, text, similarity, hashing, multimodal, streaming_jobs, pipelines, etl_queries, scalar_funcs, formats, storage]
 
 
 def _tuned(fn: QueryFn) -> QueryFn:

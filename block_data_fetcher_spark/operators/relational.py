@@ -317,6 +317,38 @@ def q_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe fact⋈dim equi join via salting
+    (:func:`..storage.salted_join`): events joined to customer on
+    user_id with the dim replicated 8 ways and the fact salted
+    deterministically, then revenue per market segment.
+
+    This is the join-side twin of q_skew_agg for the case AQE cannot
+    fix: ONE key bigger than a reducer (AQE only splits partitions,
+    never a single key). Broadcast is disabled in-query so the salted
+    shuffle plan actually materializes at fixture scale (a dim this
+    small would broadcast in production — the technique targets dims
+    past broadcast range); ``tune()`` restores the threshold. Results
+    are identical to the plain join — salting only re-routes rows."""
+    from ..storage import salted_join
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    cu = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return (
+        salted_join(ev, cu, "user_id", "c_custkey", 8, "event_id")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
 def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram of event values: bucket = clamp(floor(
     value / 100), 0, 9) — the numeric-binning report every monitoring
@@ -379,6 +411,12 @@ def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 ORACLE: dict[str, str] = {
+    "q_salted_join": """
+        SELECT c_mktsegment, count(*) AS n,
+               round(sum(value), 2) AS sum_value
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment
+    """,
     "q_skew_agg": """
         SELECT event_type, round(sum(value), 2) AS sum_value,
                count(*) AS cnt

@@ -164,3 +164,80 @@ def repartition_for_write(
     if files_per_partition > 1:
         cols.append(F.pmod(F.spark_partition_id(), F.lit(files_per_partition)))
     return df.repartition(*cols)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    n_salts: int,
+    entropy_col: str,
+) -> DataFrame:
+    """Skew-safe equi join for a dimension too big to broadcast: the
+    dimension is replicated ``n_salts`` ways, the fact side gets a
+    deterministic salt from ``entropy_col``, and the join key becomes
+    (key, salt) — a hot fact key is spread over ``n_salts`` reducers
+    instead of melting one. Replication multiplies the dim shuffle by
+    ``n_salts``, so size the salt count to the observed skew, not
+    higher. AQE's skew-join split handles post-shuffle partition skew;
+    explicit salting is the answer when a SINGLE key exceeds one
+    reducer (AQE cannot split one key)."""
+    rep = dim.withColumn(
+        "_dsalt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    salted = fact.withColumn(
+        "_fsalt", salt_column(F.col(fact_key), n_salts, F.col(entropy_col))
+    )
+    return (
+        salted.join(
+            rep,
+            (salted[fact_key] == rep[dim_key])
+            & (salted["_fsalt"] == rep["_dsalt"]),
+        )
+        .drop("_fsalt", "_dsalt")
+    )
+
+
+def q_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The time-partitioned landing table end to end: events written
+    hive-partitioned by ``event_date`` (pre-shuffled so each day is
+    one file, not |tasks| files), read back with a day-range filter
+    that prunes to the matching directories (PartitionFilters in the
+    scan — plan-gated), then aggregated. The oracle computes the same
+    aggregate from the original parquet, proving the partitioned
+    layout is lossless and the pruned read complete."""
+    import os
+
+    from .catalog import table
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "spark-warehouse",
+        "storage",
+        "events_by_date",
+    )
+    ev = with_event_date(table(spark, sf_dir, "events"))
+    write_partitioned(
+        repartition_for_write(ev, ["event_date"]), path, ["event_date"]
+    )
+    back = spark.read.parquet(path).where(
+        (F.col("event_date") >= F.lit("2024-01-05").cast("date"))
+        & (F.col("event_date") <= F.lit("2024-01-09").cast("date"))
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+ORACLE: dict[str, str] = {
+    "q_partitioned_sink": """
+        SELECT event_type, count(*) AS n,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05'
+                                   AND DATE '2024-01-09'
+        GROUP BY event_type
+    """,
+}

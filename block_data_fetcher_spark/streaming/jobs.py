@@ -222,6 +222,50 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(joined, "stream_static_join", "append")
 
 
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with event-time bounds: purchases
+    matched to a click by the same user within the preceding 30
+    minutes (the click→conversion funnel).
+
+    Both sides are independent file streams with 1-hour watermarks;
+    the BETWEEN constraint lets Spark bound the join state — click
+    state older than watermark + 30 min is evicted, so state size
+    tracks the time window, not the stream length. This is the one
+    join family the reference's batch loop cannot express at all
+    (its continuous mode re-queries Postgres); the batch twin (same
+    predicate as a self-join) is pinned row-for-row in
+    tests/test_streaming.py."""
+    clicks = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    buys = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+            "value",
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        buys,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts "
+            "AND p_ts <= c_ts + interval 30 minutes"
+        ),
+    ).select("click_id", "purchase_id", "c_user", "value")
+    return _run_to_memory(joined, "stream_stream_join", "append")
+
+
 def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full S6-S8 sink path at streaming time: events stream →
     ``foreachBatch`` → keyed last-wins UPSERT into a parquet table

@@ -117,6 +117,23 @@ def test_tpch_q6_full_pushdown_no_join(spark, sf_dir):
     assert "Join" not in formatted_plan(df)
 
 
+def test_salted_join_shuffles_and_restores_threshold(spark, sf_dir):
+    # with broadcast disabled in-query the salted (key, salt) join
+    # must be a real shuffle join — no BroadcastHashJoin
+    df = _Q["q_salted_join"](spark, sf_dir)
+    assert not uses_broadcast_join(df), formatted_plan(df)
+    assert "Join" in formatted_plan(df)
+
+
+def test_partitioned_sink_read_prunes(spark, sf_dir):
+    # the day-range filter must land as PartitionFilters on the read
+    # of the hive-partitioned table, not a post-scan Filter
+    df = _Q["q_partitioned_sink"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "PartitionFilters: [" in plan, plan
+    assert "event_date" in plan.split("PartitionFilters")[1][:200], plan
+
+
 def test_repetition_filter_is_shuffle_free(spark, sf_dir):
     # per-doc repetition stats are pure let-bound array expressions:
     # a scan-speed filter with no exchange and no Python

@@ -11,6 +11,7 @@ from block_data_fetcher_spark.streaming.jobs import (
     q_stream_session,
     q_stream_sliding,
     q_stream_stateful,
+    q_stream_stream_join,
     q_stream_tumbling,
     q_stream_upsert,
 )
@@ -105,3 +106,32 @@ def test_stream_curate_matches_batch_gate_and_dedup(spark, sf_dir):
     }
     assert curated.count() == len(stream_texts)  # one survivor per text
     assert stream_texts == batch_texts
+
+
+def test_stream_stream_join_matches_batch_self_join(spark, sf_dir):
+    """The click→purchase interval join must emit exactly the batch
+    self-join's pairs (bounded input, watermark never drops a row)."""
+    from pyspark.sql import functions as F
+
+    stream = q_stream_stream_join(spark, sf_dir)
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+        "value",
+    )
+    batch = clicks.join(
+        buys,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts "
+            "AND p_ts <= c_ts + interval 30 minutes"
+        ),
+    ).select("click_id", "purchase_id", "c_user", "value")
+    assert _rows(stream) == _rows(batch)
+    assert stream.count() > 0
