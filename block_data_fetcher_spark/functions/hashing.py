@@ -180,6 +180,71 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_pairs(parallelize(table(spark, sf_dir, "documents"), spark))
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the
+    MinHash-LSH candidate graph (est_sim ≥ 0.5), labeled by the
+    minimum doc_id of the component — pair candidates turned into the
+    dedup groups a curation pipeline actually consumes (keep one per
+    cluster).
+
+    Iterative min-label propagation as pure DataFrame ops: each round
+    joins the symmetric edge list to the current labels, takes the
+    neighborhood min, and converges when the label sum stops falling
+    (the sum is strictly monotone, so one scalar per round decides —
+    no row-diff join). Rounds are bounded by component diameter;
+    LSH-bucket cliques keep that small (fixture max component = 4).
+    At 100 TB the same loop runs with the edge list persisted and the
+    label frame checkpointed per round; a pathological giant
+    component calls for the large-star/small-star variant, which this
+    loop's join shape extends to directly. The DuckDB oracle computes
+    the same fixpoint as a recursive CTE over the identical edge
+    SQL."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_pairs(parallelize(docs, spark)).where(
+        F.col("est_sim") >= 0.5
+    )
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .persist()
+    )
+    labels = docs.select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    ).persist()
+    cur_sum = labels.agg(F.sum("cluster_id")).first()[0]
+    for _ in range(12):
+        nbr = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new = (
+            labels.join(nbr, labels.doc_id == nbr.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce("nbr_min", F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .persist()
+        )
+        new_sum = new.agg(F.sum("cluster_id")).first()[0]
+        labels.unpersist()
+        labels = new
+        if new_sum == cur_sum:
+            break
+        cur_sum = new_sum
+    else:
+        raise RuntimeError("dup_clusters: no fixpoint in 12 rounds")
+    edges.unpersist()
+    return labels
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document over distinct unigram hashes:
     bit_j = sign of Σ ±1 weighted by hash bit j."""
@@ -325,7 +390,23 @@ SELECT doc_id,
 FROM documents
 """
 
+_DUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM ({_MINHASH_SQL})
+  WHERE est_sim >= 0.5
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM ({_MINHASH_SQL})
+  WHERE est_sim >= 0.5
+), reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+"""
+
 ORACLE: dict[str, str] = {
+    "q_dup_clusters": _DUP_CLUSTERS_SQL,
     "q_minhash_lsh": _MINHASH_SQL,
     "q_simhash": _SIMHASH_SQL,
     "q_ngram_jaccard": _NGRAM_JACCARD_SQL,

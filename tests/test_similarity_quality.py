@@ -83,3 +83,31 @@ def test_embed_near_dup_finds_planted_pairs(spark, sf_dir):
 
     for r in pairs:
         assert cos(em[r.vec_a], em[r.vec_b]) > 0.989, (r.vec_a, r.vec_b)
+
+
+def test_dup_clusters_are_consistent_components(spark, sf_dir):
+    """Cluster labels must be a valid connected-components answer over
+    the LSH edge set: both endpoints of every edge share a label, and
+    each label is the minimum doc_id of its member set."""
+    from pyspark.sql import functions as F
+
+    from block_data_fetcher_spark.catalog import parallelize
+    from block_data_fetcher_spark.functions.hashing import minhash_pairs
+
+    label = {
+        r.doc_id: r.cluster_id
+        for r in _Q["q_dup_clusters"](spark, sf_dir).collect()
+    }
+    edges = (
+        minhash_pairs(parallelize(table(spark, sf_dir, "documents"), spark))
+        .where(F.col("est_sim") >= 0.5)
+        .collect()
+    )
+    assert len(edges) > 0
+    for e in edges:
+        assert label[e.doc_a] == label[e.doc_b], (e.doc_a, e.doc_b)
+    members: dict[int, list[int]] = {}
+    for d, c in label.items():
+        members.setdefault(c, []).append(d)
+    for c, ds in members.items():
+        assert c == min(ds), (c, ds)
