@@ -180,6 +180,63 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_pairs(parallelize(table(spark, sf_dir, "documents"), spark))
 
 
+# Winnowing (Schleimer, Wilkerson, Aiken, SIGMOD '03): ORDERED 3-gram
+# hashes (winnowing is positional — the distinct shingle set used by
+# MinHash would destroy the window structure), then the min hash of
+# every w=4 window, deduplicated. Let-bound ws → hs nesting: HOFs get
+# no codegen subexpression elimination, and ONE F.expr string avoids
+# the ~0.5 s/lambda py4j plan-build cost.
+_WINNOW_W = 4
+_WINNOW = """
+get(transform(array(split(text, ' ')), ws ->
+  get(transform(array(
+        if(size(ws) < 3, array(),
+           transform(sequence(1, size(ws) - 2),
+             i -> cast(conv(substring(md5(concat_ws(' ', slice(ws, i, 3))),
+                            1, 15), 16, 10) as bigint) % 1000000007))), hs ->
+    if(size(hs) = 0, cast(array() as array<bigint>),
+       if(size(hs) < 4, array(array_min(hs)),
+          array_distinct(transform(sequence(1, size(hs) - 3),
+            i -> array_min(slice(hs, i, 4))))))), 0)), 0)
+"""
+
+
+def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints: the min 3-gram hash of every
+    sliding 4-window, deduplicated — the published guarantee is that
+    any shared substring of ≥ 6 tokens leaves at least one common
+    fingerprint, making this the robust plagiarism/overlap detector
+    (vs q_fingerprint's whole-document rolling hash).
+
+    Entirely map-side let-bound array expressions; the only shuffle
+    is whatever the consumer does with the (doc_id, fp) rows — here
+    none (explode is a generator, not an exchange)."""
+    docs = parallelize(table(spark, sf_dir, "documents"), spark)
+    return docs.select(
+        "doc_id", F.explode(F.expr(_WINNOW)).alias("fp")
+    )
+
+
+_WINNOW_SQL = """
+    SELECT doc_id, unnest(
+      CASE WHEN len(hs) = 0 THEN []
+           WHEN len(hs) < 4 THEN [list_min(hs)]
+           ELSE list_distinct(list_transform(range(1, len(hs) - 2),
+                                             i -> list_min(hs[i:i+3])))
+      END) AS fp
+    FROM (
+      SELECT doc_id,
+             CASE WHEN len(ws) < 3 THEN []
+                  ELSE list_transform(range(1, len(ws) - 1),
+                         i -> CAST('0x' || substr(md5(ws[i] || ' ' || ws[i+1]
+                                || ' ' || ws[i+2]), 1, 15) AS BIGINT)
+                              % 1000000007)
+             END AS hs
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    )
+"""
+
+
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the
     MinHash-LSH candidate graph (est_sim ≥ 0.5), labeled by the
@@ -406,6 +463,7 @@ SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
 """
 
 ORACLE: dict[str, str] = {
+    "q_winnow": _WINNOW_SQL,
     "q_dup_clusters": _DUP_CLUSTERS_SQL,
     "q_minhash_lsh": _MINHASH_SQL,
     "q_simhash": _SIMHASH_SQL,

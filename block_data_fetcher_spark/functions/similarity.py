@@ -304,7 +304,46 @@ WHERE (bucket = qb OR {" OR ".join(f"bucket = xor(qb, {1 << j})" for j in range(
 ORDER BY cos_sim DESC, vec_id ASC LIMIT 5
 """
 
+_NEAR_DUP_SQL = """
+    WITH un AS (
+      SELECT vec_id, label,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> x / sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), y -> y * y))))
+               AS u
+      FROM embeddings
+    )
+    SELECT * FROM (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             round(list_sum(list_transform(list_zip(a.u, b.u), p -> p[1] * p[2])), 4)
+               AS cos_sim
+      FROM un a JOIN un b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+    ) WHERE cos_sim > 0.99
+"""
+
+
+def q_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style keep-set: drop every vector that near-duplicates
+    (cosine > 0.99, blocked by label cell) a lower-id vector; return
+    the survivors. The greedy keep-lowest-id rule is deterministic
+    and needs no transitive closure — a vector is dropped iff it
+    appears as the higher id of ANY near-dup pair.
+
+    Scale: the pair stage is q_embed_near_dup's blocked quadratic
+    (bounded per cell); the keep step is a LEFT ANTI join of the
+    vector table against the reduced drop list — the embedding
+    payload crosses the anti join as keys only."""
+    pairs = q_embed_near_dup(spark, sf_dir)
+    drop = pairs.select(F.col("vec_b").alias("vec_id")).distinct()
+    em = table(spark, sf_dir, "embeddings")
+    return em.join(drop, "vec_id", "left_anti").select("vec_id", "label")
+
+
 ORACLE: dict[str, str] = {
+    "q_embed_dedup": f"""
+        SELECT vec_id, label FROM embeddings
+        WHERE vec_id NOT IN (SELECT vec_b FROM ({_NEAR_DUP_SQL}))
+    """,
     "q_ann_lsh": _ANN_SQL,
     "q_ann_ivf": _IVF_SQL,
     "q_knn_topk": """
@@ -319,20 +358,5 @@ ORACLE: dict[str, str] = {
         FROM embeddings, q
         ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
     """,
-    "q_embed_near_dup": """
-        WITH un AS (
-          SELECT vec_id, label,
-                 list_transform(CAST(embedding AS DOUBLE[]),
-                   x -> x / sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), y -> y * y))))
-                   AS u
-          FROM embeddings
-        )
-        SELECT * FROM (
-          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                 round(list_sum(list_transform(list_zip(a.u, b.u), p -> p[1] * p[2])), 4)
-                   AS cos_sim
-          FROM un a JOIN un b
-            ON a.label = b.label AND a.vec_id < b.vec_id
-        ) WHERE cos_sim > 0.99
-    """,
+    "q_embed_near_dup": _NEAR_DUP_SQL,
 }

@@ -134,6 +134,17 @@ def test_partitioned_sink_read_prunes(spark, sf_dir):
     assert "event_date" in plan.split("PartitionFilters")[1][:200], plan
 
 
+def test_winnow_has_no_operator_shuffle(spark, sf_dir):
+    # the only exchange allowed is parallelize()'s round-robin input
+    # spreading — the fingerprint computation itself is scan → generate
+    df = _Q["q_winnow"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert count_exchanges(df) <= 1, plan
+    assert "REPARTITION_BY_NUM" in plan or count_exchanges(df) == 0, plan
+    for op in ("HashAggregate", "Join", "Sort", "Window", "Python"):
+        assert op not in plan, (op, plan)
+
+
 def test_repetition_filter_is_shuffle_free(spark, sf_dir):
     # per-doc repetition stats are pure let-bound array expressions:
     # a scan-speed filter with no exchange and no Python

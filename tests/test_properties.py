@@ -225,3 +225,34 @@ def test_decontaminate_partition_property(spark, docs):
     assert clean_ids & bad_ids == set()
     for r in clean.select(F.explode(F.expr(grams5)).alias("g")).collect():
         assert r.g not in bench_grams
+
+
+_frag = st.lists(
+    st.text(alphabet="abcdef", min_size=1, max_size=5), min_size=0, max_size=8
+)
+
+
+@given(shared=st.lists(st.text(alphabet="xyz", min_size=1, max_size=5),
+                       min_size=6, max_size=6),
+       pre_a=_frag, post_a=_frag, pre_b=_frag, post_b=_frag)
+@_settings
+def test_winnow_guarantee_shared_run_shares_fingerprint(
+    spark, shared, pre_a, post_a, pre_b, post_b
+):
+    """Winnowing's published guarantee (SIGMOD '03): with k=3 grams and
+    window w=4, any shared token run of length >= k + w - 1 = 6 leaves
+    at least one common fingerprint in both documents."""
+    from block_data_fetcher_spark.functions.hashing import _WINNOW
+    from pyspark.sql import functions as F
+
+    doc_a = " ".join(pre_a + shared + post_a)
+    doc_b = " ".join(pre_b + shared + post_b)
+    df = spark.createDataFrame(
+        [(0, doc_a), (1, doc_b)], "doc_id long, text string"
+    )
+    rows = df.select(
+        "doc_id", F.explode(F.expr(_WINNOW)).alias("fp")
+    ).collect()
+    fps_a = {r.fp for r in rows if r.doc_id == 0}
+    fps_b = {r.fp for r in rows if r.doc_id == 1}
+    assert fps_a & fps_b, (doc_a, doc_b)
