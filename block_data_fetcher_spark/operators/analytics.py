@@ -355,7 +355,199 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("user_id").agg(F.count("*").alias("n_pairs"))
 
 
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshaping with the DataFrame `unpivot` (SQL `stack`)
+    API: per-returnflag measure columns melted into (measure, value)
+    rows — the report-export twin of q_pivot_types. Unpivot is a
+    zero-shuffle projection (each input row fans to |measures| rows
+    map-side)."""
+    li = table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.sum("l_discount"), 2).alias("sum_disc"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "sum_disc"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: per-user DAILY purchase counts with
+    empty days materialized as zero over each user's active span —
+    `sequence(min_day, max_day, interval 1 day)` exploded into a
+    calendar spine, left-joined to the actual counts.
+
+    Scale: the spine is |users| × span-days rows generated from a
+    REDUCED per-user (min, max) aggregate — never a cross join with a
+    global calendar; both sides of the spine⟕counts join are
+    co-partitioned on user_id."""
+    ev = table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    span = ev.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = span.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    counts = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "day")
+        .agg(F.count("*").alias("n"))
+    )
+    return spine.join(counts, ["user_id", "day"], "left").select(
+        "user_id", "day", F.coalesce("n", F.lit(0)).alias("n_purchases")
+    )
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day, then
+    distinct active users per (cohort_day, days_since_cohort) — the
+    standard growth-analytics breakdown. Two aggregations sharing the
+    user_id partitioning: cohort assignment is a reduced per-user
+    aggregate joined back, then one distinct-count pass."""
+    ev = table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(cohort, "user_id")
+        .withColumn("age_days", F.datediff(F.col("day"), F.col("cohort_day")))
+        .groupBy("cohort_day", "age_days")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel with a 24-hour conversion window per
+    stage: signup → first click within a day of the signup → first
+    purchase within a day of that click, counted at each stage
+    (150 → 65 → 29 users at sf0.01 — each stage genuinely filters).
+    Sequential-dependency analytics as two conditional aggregation
+    passes joined on user_id (co-partitioned both times; the per-user
+    stage times are reduced aggregates, never the raw event stream
+    twice in one shuffle)."""
+    day = F.expr("interval 24 hours")
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    t_signup = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "t_signup"
+        )
+    )
+    t_click = (
+        ev.join(t_signup, "user_id")
+        .groupBy("user_id", "t_signup")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t_signup"))
+                    & (F.col("ts") <= F.col("t_signup") + day),
+                    F.col("ts"),
+                )
+            ).alias("t_click")
+        )
+    )
+    t_buy = (
+        ev.join(t_click, "user_id")
+        .groupBy("user_id", "t_signup", "t_click")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click"))
+                    & (F.col("ts") <= F.col("t_click") + day),
+                    F.col("ts"),
+                )
+            ).alias("t_buy")
+        )
+    )
+    return t_buy.agg(
+        F.count(F.col("t_signup")).alias("n_signup"),
+        F.count(F.col("t_click")).alias("n_click_after"),
+        F.count(F.col("t_buy")).alias("n_purchase_after"),
+    )
+
+
 ORACLE: dict[str, str] = {
+    "q_unpivot": """
+        WITH wide AS (
+          SELECT l_returnflag,
+                 round(sum(l_quantity), 2) AS sum_qty,
+                 round(sum(l_extendedprice), 2) AS sum_price,
+                 round(sum(l_discount), 2) AS sum_disc
+          FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM wide
+        UNION ALL
+        SELECT l_returnflag, 'sum_price', sum_price FROM wide
+        UNION ALL
+        SELECT l_returnflag, 'sum_disc', sum_disc FROM wide
+    """,
+    "q_gap_fill": """
+        WITH ev AS (
+          SELECT user_id, event_type, date_trunc('day', ts) AS day
+          FROM events
+        ), span AS (
+          SELECT user_id, min(day) AS d0, max(day) AS d1
+          FROM ev GROUP BY user_id
+        ), spine AS (
+          SELECT user_id,
+                 unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+          FROM span
+        ), counts AS (
+          SELECT user_id, day, count(*) AS n FROM ev
+          WHERE event_type = 'purchase' GROUP BY user_id, day
+        )
+        SELECT spine.user_id, spine.day,
+               coalesce(n, 0) AS n_purchases
+        FROM spine LEFT JOIN counts
+          ON spine.user_id = counts.user_id AND spine.day = counts.day
+    """,
+    "q_cohort_retention": """
+        WITH ev AS (
+          SELECT user_id, date_trunc('day', ts) AS day FROM events
+        ), cohort AS (
+          SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id
+        )
+        SELECT CAST(cohort_day AS TIMESTAMP) AS cohort_day,
+               CAST(date_diff('day', cohort_day, day) AS INT) AS age_days,
+               count(DISTINCT ev.user_id) AS n_users
+        FROM ev JOIN cohort ON ev.user_id = cohort.user_id
+        GROUP BY cohort.cohort_day, age_days
+    """,
+    "q_funnel": """
+        WITH s AS (
+          SELECT user_id,
+                 min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup
+          FROM events GROUP BY user_id
+        ), c AS (
+          SELECT e.user_id, t_signup,
+                 min(CASE WHEN event_type = 'click' AND ts > t_signup
+                          AND ts <= t_signup + INTERVAL 24 HOUR
+                          THEN ts END) AS t_click
+          FROM events e JOIN s ON e.user_id = s.user_id
+          GROUP BY e.user_id, t_signup
+        ), b AS (
+          SELECT e.user_id, t_signup, t_click,
+                 min(CASE WHEN event_type = 'purchase' AND ts > t_click
+                          AND ts <= t_click + INTERVAL 24 HOUR
+                          THEN ts END) AS t_buy
+          FROM events e JOIN c ON e.user_id = c.user_id
+          GROUP BY e.user_id, t_signup, t_click
+        )
+        SELECT count(t_signup) AS n_signup,
+               count(t_click) AS n_click_after,
+               count(t_buy) AS n_purchase_after
+        FROM b
+    """,
     "q_range_join": """
         SELECT a.user_id, count(*) AS n_pairs
         FROM events a
