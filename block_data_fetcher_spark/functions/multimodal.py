@@ -185,6 +185,23 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling through the Arrow `mapInPandas`
+    plumbing (rows-only check — the 1→N fan-out and byte slicing are
+    unit-tested against plain Python in tests/test_multimodal.py):
+    per media item, the sampled frame count, the max frame index, and
+    the total sampled bytes. The decode step is the deterministic STUB
+    (no codecs in this container); schema, batching, and fan-out shape
+    are the real scale path."""
+    media = synth_media(spark, sf_dir)
+    frames = frame_sample(media, every=64)
+    return frames.groupBy("media_id").agg(
+        F.count("*").alias("n_frames"),
+        F.max("frame_idx").alias("max_idx"),
+        F.sum(F.length("frame")).alias("sampled_bytes"),
+    )
+
+
 ORACLE: dict[str, str] = {
     "q_multimodal_meta": """
         SELECT CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
