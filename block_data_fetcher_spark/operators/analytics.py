@@ -476,7 +476,82 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot diff: two keyed table states (the last-wins
+    fingerprint per (user, type, value-bucket) over each half-month)
+    FULL OUTER joined and classified inserted / deleted / updated —
+    the change feed a downstream MERGE consumes, computed from plain
+    snapshots when no transaction log exists (the reference's Postgres
+    has one; plain parquet lakes do not).
+
+    Scale: both snapshots are reduced aggregates co-partitioned by
+    the diff key, so the outer join shuffles state-sized frames, not
+    the raw table; fingerprint comparison is one column, never a
+    row-payload compare."""
+    ev = table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    key = [
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") / 200).cast("int").alias("vb"),
+    ]
+
+    def snap(df: DataFrame) -> DataFrame:
+        return df.groupBy(*key).agg(F.max("event_id").alias("fp"))
+
+    a = snap(ev.where(F.col("ts") < cut))
+    b = snap(ev.where(F.col("ts") >= cut))
+    joined = a.alias("a").join(
+        b.alias("b"),
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.vb") == F.col("b.vb")),
+        "full_outer",
+    )
+    return joined.select(
+        F.coalesce(F.col("a.user_id"), F.col("b.user_id")).alias("user_id"),
+        F.coalesce(F.col("a.event_type"), F.col("b.event_type")).alias(
+            "event_type"
+        ),
+        F.coalesce(F.col("a.vb"), F.col("b.vb")).alias("vb"),
+        F.when(F.col("a.user_id").isNull(), "inserted")
+        .when(F.col("b.user_id").isNull(), "deleted")
+        .when(F.col("a.fp") != F.col("b.fp"), "updated")
+        .otherwise("unchanged")
+        .alias("change"),
+    ).where(F.col("change") != "unchanged")
+
+
 ORACLE: dict[str, str] = {
+    "q_snapshot_diff": """
+        WITH a AS (
+          SELECT user_id, event_type,
+                 CAST(floor(value / 200) AS INT) AS vb,
+                 max(event_id) AS fp
+          FROM events WHERE ts < TIMESTAMP '2024-01-16'
+          GROUP BY 1, 2, 3
+        ), b AS (
+          SELECT user_id, event_type,
+                 CAST(floor(value / 200) AS INT) AS vb,
+                 max(event_id) AS fp
+          FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+          GROUP BY 1, 2, 3
+        )
+        SELECT coalesce(a.user_id, b.user_id) AS user_id,
+               coalesce(a.event_type, b.event_type) AS event_type,
+               coalesce(a.vb, b.vb) AS vb,
+               CASE WHEN a.user_id IS NULL THEN 'inserted'
+                    WHEN b.user_id IS NULL THEN 'deleted'
+                    WHEN a.fp <> b.fp THEN 'updated'
+                    ELSE 'unchanged' END AS change
+        FROM a FULL OUTER JOIN b
+          ON a.user_id = b.user_id AND a.event_type = b.event_type
+         AND a.vb = b.vb
+        WHERE CASE WHEN a.user_id IS NULL THEN 'inserted'
+                   WHEN b.user_id IS NULL THEN 'deleted'
+                   WHEN a.fp <> b.fp THEN 'updated'
+                   ELSE 'unchanged' END <> 'unchanged'
+    """,
     "q_unpivot": """
         WITH wide AS (
           SELECT l_returnflag,
