@@ -31,6 +31,7 @@ _ANSI_QUERIES = [
     "q_dedup_exact",
     "q_filter_project",
     "q_full_outer_join",
+    "q_funnel",
     "q_group_count",
     "q_group_minmax",
     "q_histogram",
@@ -42,16 +43,20 @@ _ANSI_QUERIES = [
     "q_orderby_limit",
     "q_pivot_types",
     "q_rate_derived",
+    "q_partitioned_sink",
+    "q_salted_join",
     "q_scan_project",
     "q_self_join",
     "q_semi_join",
     "q_set_ops",
     "q_skew_agg",
+    "q_snapshot_diff",
     "q_text_stats",
     "q_topn_per_group",
     "q_ts_convert",
     "q_tumbling_window",
     "q_union",
+    "q_unpivot",
     "q_window_first_last",
     "q_window_lag",
     "q_window_rank",
