@@ -272,30 +272,39 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = docs.select(
         "doc_id", F.col("doc_id").alias("cluster_id")
     ).persist()
-    cur_sum = labels.agg(F.sum("cluster_id")).first()[0]
-    for _ in range(12):
+
+    def propagate(lab: DataFrame) -> DataFrame:
         nbr = (
-            edges.join(labels, edges.dst == labels.doc_id)
+            edges.join(lab, edges.dst == lab.doc_id)
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        new = (
-            labels.join(nbr, labels.doc_id == nbr.src, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce("nbr_min", F.col("cluster_id")),
-                ).alias("cluster_id"),
-            )
-            .persist()
+        return lab.join(nbr, lab.doc_id == nbr.src, "left").select(
+            "doc_id",
+            F.least(
+                F.col("cluster_id"),
+                F.coalesce("nbr_min", F.col("cluster_id")),
+            ).alias("cluster_id"),
         )
-        new_sum = new.agg(F.sum("cluster_id")).first()[0]
+
+    # The identity sum rides the first round's aggregate instead of
+    # costing its own job (labels only DECREASE, so sum equality is a
+    # complete convergence test). One hop per round: deeper fused
+    # multi-hop plans were tried and lose — per-round codegen compile
+    # outweighs the saved actions at any SF where rounds are few.
+    cur_sum = None
+    for _ in range(12):
+        new = propagate(labels).persist()
+        row = new.agg(
+            F.sum("cluster_id").alias("s"), F.sum("doc_id").alias("ident")
+        ).first()
+        if cur_sum is None:
+            cur_sum = row.ident
         labels.unpersist()
         labels = new
-        if new_sum == cur_sum:
+        if row.s == cur_sum:
             break
-        cur_sum = new_sum
+        cur_sum = row.s
     else:
         raise RuntimeError("dup_clusters: no fixpoint in 12 rounds")
     edges.unpersist()
