@@ -256,3 +256,88 @@ def test_winnow_guarantee_shared_run_shares_fingerprint(
     fps_a = {r.fp for r in rows if r.doc_id == 0}
     fps_b = {r.fp for r in rows if r.doc_id == 1}
     assert fps_a & fps_b, (doc_a, doc_b)
+
+
+_kv = st.tuples(st.integers(0, 5), st.integers(0, 1000))
+
+
+@given(facts=st.lists(_kv, min_size=1, max_size=40),
+       dims=st.lists(st.integers(0, 5), min_size=1, max_size=6, unique=True))
+@_settings
+def test_salted_join_equals_plain_join(spark, facts, dims):
+    """Salting only re-routes rows: the salted (key, salt) join must
+    produce exactly the plain join's multiset of rows."""
+    from pyspark.sql import functions as F
+
+    from block_data_fetcher_spark.storage import salted_join
+
+    fact = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(facts)],
+        "row_id long, k int, v long",
+    )
+    dim = spark.createDataFrame([(d, f"d{d}") for d in dims], "dk int, name string")
+    plain = sorted(
+        tuple(r)
+        for r in fact.join(dim, fact.k == dim.dk)
+        .select("row_id", "k", "v", "dk", "name")
+        .collect()
+    )
+    salted = sorted(
+        tuple(r)
+        for r in salted_join(fact, dim, "k", "dk", 4, "row_id")
+        .select("row_id", "k", "v", "dk", "name")
+        .collect()
+    )
+    assert salted == plain
+
+
+@given(rows=st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 20), st.booleans()),
+    min_size=1, max_size=60,
+))
+@_settings
+def test_gap_fill_spine_is_dense_and_conserves_counts(spark, rows):
+    """Gap filling must (a) emit one row per user per day of the
+    user's span with no holes, and (b) conserve the purchase total."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    base = datetime.datetime(2024, 1, 1)
+    data = [
+        (i, u, base + datetime.timedelta(days=d),
+         "purchase" if p else "click")
+        for i, (u, d, p) in enumerate(rows)
+    ]
+    ev = spark.createDataFrame(
+        data, "event_id long, user_id int, ts timestamp, event_type string"
+    )
+    span = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("d0"),
+        F.max(F.date_trunc("day", "ts")).alias("d1"),
+    )
+    spine = span.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    counts = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    out = spine.join(counts, ["user_id", "day"], "left").select(
+        "user_id", "day", F.coalesce("n", F.lit(0)).alias("n_purchases")
+    ).collect()
+    spans: dict[int, tuple[int, int]] = {}
+    purchases: dict[int, int] = {}
+    for i, (u, d, p) in enumerate(rows):
+        lo, hi = spans.get(u, (d, d))
+        spans[u] = (min(lo, d), max(hi, d))
+        if p:
+            purchases[u] = purchases.get(u, 0) + 1
+    for u, (lo, hi) in spans.items():
+        mine = [r for r in out if r.user_id == u]
+        assert len(mine) == hi - lo + 1, (u, lo, hi, mine)
+        assert sum(r.n_purchases for r in mine) == purchases.get(u, 0)
