@@ -317,6 +317,60 @@ def q_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit (the deequ-style expectation report every
+    landing pipeline runs before publishing a batch): null fraction,
+    range-violation counts, duplicate-key count, and referential
+    orphans, emitted as (metric, value) rows.
+
+    One aggregation pass per table computes all same-table metrics
+    (conditional count_if's fused into a single scan); the
+    referential check is a LEFT ANTI join counting lineitem rows
+    whose order vanished — the FK the reference enforces in Postgres
+    (migrations create_transactions.sql:10), checked here at scan
+    speed instead of insert time."""
+    li = table(spark, sf_dir, "lineitem")
+    od = table(spark, sf_dir, "orders")
+    li_metrics = li.agg(
+        F.round(
+            F.count_if(F.col("l_quantity") <= 0) / F.count("*") + 1e-9, 4
+        ).alias("li_qty_nonpositive_frac"),
+        F.count_if(
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
+        ).cast("double").alias("li_discount_out_of_range"),
+        F.round(
+            F.count_if(F.col("l_shipdate").isNull()) / F.count("*") + 1e-9, 4
+        ).alias("li_shipdate_null_frac"),
+    )
+    od_metrics = od.agg(
+        (F.count("*") - F.countDistinct("o_orderkey"))
+        .cast("double")
+        .alias("orders_duplicate_keys"),
+        F.count_if(F.col("o_totalprice") <= 0)
+        .cast("double")
+        .alias("orders_nonpositive_total"),
+    )
+    orphans = (
+        li.select("l_orderkey")
+        .join(od.select("o_orderkey"), li.l_orderkey == od.o_orderkey, "left_anti")
+        .agg(F.count("*").cast("double").alias("li_orphan_rows"))
+    )
+    wide = li_metrics.join(od_metrics).join(orphans)
+    return wide.unpivot(
+        ids=[],
+        values=[
+            "li_qty_nonpositive_frac",
+            "li_discount_out_of_range",
+            "li_shipdate_null_frac",
+            "orders_duplicate_keys",
+            "orders_nonpositive_total",
+            "li_orphan_rows",
+        ],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
 def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe fact⋈dim equi join via salting
     (:func:`..storage.salted_join`): events joined to customer on
@@ -411,6 +465,38 @@ def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 ORACLE: dict[str, str] = {
+    "q_expectations": """
+        WITH li AS (
+          SELECT round(count(*) FILTER (l_quantity <= 0) * 1.0
+                       / count(*) + 1e-9, 4) AS li_qty_nonpositive_frac,
+                 CAST(count(*) FILTER (l_discount < 0 OR l_discount > 1)
+                      AS DOUBLE) AS li_discount_out_of_range,
+                 round(count(*) FILTER (l_shipdate IS NULL) * 1.0
+                       / count(*) + 1e-9, 4) AS li_shipdate_null_frac
+          FROM lineitem
+        ), od AS (
+          SELECT CAST(count(*) - count(DISTINCT o_orderkey) AS DOUBLE)
+                   AS orders_duplicate_keys,
+                 CAST(count(*) FILTER (o_totalprice <= 0) AS DOUBLE)
+                   AS orders_nonpositive_total
+          FROM orders
+        ), orph AS (
+          SELECT CAST(count(*) AS DOUBLE) AS li_orphan_rows
+          FROM lineitem WHERE l_orderkey NOT IN
+            (SELECT o_orderkey FROM orders)
+        )
+        SELECT 'li_qty_nonpositive_frac' AS metric,
+               li_qty_nonpositive_frac AS value FROM li
+        UNION ALL SELECT 'li_discount_out_of_range',
+               li_discount_out_of_range FROM li
+        UNION ALL SELECT 'li_shipdate_null_frac',
+               li_shipdate_null_frac FROM li
+        UNION ALL SELECT 'orders_duplicate_keys',
+               orders_duplicate_keys FROM od
+        UNION ALL SELECT 'orders_nonpositive_total',
+               orders_nonpositive_total FROM od
+        UNION ALL SELECT 'li_orphan_rows', li_orphan_rows FROM orph
+    """,
     "q_salted_join": """
         SELECT c_mktsegment, count(*) AS n,
                round(sum(value), 2) AS sum_value
