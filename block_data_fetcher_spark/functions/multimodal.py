@@ -207,7 +207,8 @@ ORACLE: dict[str, str] = {
         SELECT CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
                     WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
                count(*) AS n_items,
-               sum(CAST(octet_length(encode(text)) AS BIGINT)) AS total_bytes,
+               CAST(sum(CAST(octet_length(encode(text)) AS BIGINT))
+                    AS BIGINT) AS total_bytes,
                count(*) FILTER (WHERE lang = 'en') AS n_en
         FROM documents GROUP BY 1
     """,

@@ -178,14 +178,24 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     full shuffle of the key; HLL carries a fixed ~kB sketch per group
     through map-side partials).
 
-    Rows-only for the driver (Spark's HLL++ and DuckDB's HLL give
-    different estimates by construction); the unit test in
-    tests/test_pipeline.py asserts <5% relative error against the
-    exact count at rsd=0.02."""
+    Oracle-checkable via the within-bound pattern: Spark's HLL++ and
+    DuckDB's HLL give different estimates by construction, so the
+    query emits the EXACT count plus a deterministic boolean
+    `within_bound` = |approx − exact| / exact ≤ 0.05; the oracle
+    computes the exact count and a literal ``true``. The hash then
+    verifies the sketch is in tolerance without comparing sketch
+    internals across engines."""
     ev = table(spark, sf_dir, "events")
+    exact = F.countDistinct("user_id")
+    approx = F.approx_count_distinct("user_id", rsd=0.02)
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        exact.alias("exact_users"),
         F.count("*").alias("n_events"),
+        (
+            F.abs(approx.cast("double") - exact.cast("double"))
+            / exact.cast("double")
+            <= F.lit(0.05)
+        ).alias("within_bound"),
     )
 
 
@@ -195,13 +205,26 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the HLL sketch: fixed-size state through map-side combine instead
     of a full sort or shuffle of raw values.
 
-    Rows-only for the driver (GK and DuckDB's quantile algorithms
-    differ by construction); tests/test_pipeline.py bounds the error
-    against the exact interpolated percentiles."""
+    Oracle-checkable via the within-bound pattern (GK and DuckDB's
+    quantile algorithms differ by construction, and the driver's
+    hasher can't hash an array cell — CORRECTNESS_r01): emit the
+    EXACT interpolated p50/p90 as scalar columns plus deterministic
+    booleans asserting the GK estimate's rank lands inside a window
+    around the target rank (GK accuracy=100 bounds rank error at 1%;
+    the window is ±10 ranks at p50, −10/+7 at p90). The oracle
+    computes quantile_cont + literal ``true``."""
     ev = table(spark, sf_dir, "events")
+    a = F.percentile_approx("value", [0.5, 0.9], 100)
+    lo50, hi50 = F.percentile("value", 0.40), F.percentile("value", 0.60)
+    lo90, hi90 = F.percentile("value", 0.80), F.percentile("value", 0.97)
+    a50 = F.element_at(a, 1)
+    a90 = F.element_at(a, 2)
     return ev.groupBy("event_type").agg(
-        F.percentile_approx("value", [0.5, 0.9], 100).alias("approx_p50_p90"),
         F.count("*").alias("n_events"),
+        F.round(F.percentile("value", 0.5) + 1e-9, 4).alias("p50"),
+        F.round(F.percentile("value", 0.9) + 1e-9, 4).alias("p90"),
+        ((a50 >= lo50) & (a50 <= hi50)).alias("p50_in_bound"),
+        ((a90 >= lo90) & (a90 <= hi90)).alias("p90_in_bound"),
     )
 
 
@@ -705,8 +728,21 @@ ORACLE: dict[str, str] = {
                round(quantile_cont(value, 0.9) + 1e-9, 4) AS p90
         FROM events GROUP BY event_type
     """,
+    "q_approx_distinct": """
+        SELECT event_type, count(DISTINCT user_id) AS exact_users,
+               count(*) AS n_events, true AS within_bound
+        FROM events GROUP BY event_type
+    """,
+    "q_approx_quantiles": """
+        SELECT event_type, count(*) AS n_events,
+               round(quantile_cont(value, 0.5) + 1e-9, 4) AS p50,
+               round(quantile_cont(value, 0.9) + 1e-9, 4) AS p90,
+               true AS p50_in_bound, true AS p90_in_bound
+        FROM events GROUP BY event_type
+    """,
     "q_cube": """
-        SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars
+        SELECT lang, source, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
         FROM documents GROUP BY CUBE (lang, source)
     """,
     "q_count_distinct": """
@@ -715,7 +751,8 @@ ORACLE: dict[str, str] = {
         FROM events GROUP BY event_type
     """,
     "q_grouping_sets": """
-        SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars
+        SELECT lang, source, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
         FROM documents GROUP BY GROUPING SETS ((lang), (source))
     """,
     "q_sessionize": """
@@ -728,8 +765,9 @@ ORACLE: dict[str, str] = {
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), numbered AS (
           SELECT user_id, ts,
-                 sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT)
                    AS session_id
           FROM flagged
         )

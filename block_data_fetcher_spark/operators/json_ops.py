@@ -119,7 +119,8 @@ def q_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE: dict[str, str] = {
     "q_json_variant": """
         SELECT event_type,
-               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k,
                count(*) FILTER (
                  WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
                ) AS n_high

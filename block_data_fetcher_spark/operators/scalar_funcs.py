@@ -101,18 +101,28 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All higher-order built-ins (transform / array_sort) — JVM-side
     expression evaluation, no Python. Elements round to 4 before any
-    comparison or sort so float32→double widening can't reorder."""
+    comparison or sort so float32→double widening can't reorder.
+
+    Output is flattened to scalar columns (positional element_at over
+    the sliced/sorted arrays): the driver's value hasher can't hash
+    array cells (CORRECTNESS_r01 `unhashable type: 'list'`), and
+    scalars exercise the same slice/transform/sort semantics."""
     em = table(spark, sf_dir, "embeddings")
     head3 = F.transform(
         F.slice("embedding", 1, 3), lambda x: F.round(x.cast("double"), 4)
     )
+    head3_sorted = F.array_sort(head3)
     rounded = F.transform(
         F.col("embedding"), lambda x: F.round(x.cast("double"), 4)
     )
     return em.select(
         "vec_id",
-        head3.alias("head3"),
-        F.array_sort(head3).alias("head3_sorted"),
+        F.element_at(head3, 1).alias("h1"),
+        F.element_at(head3, 2).alias("h2"),
+        F.element_at(head3, 3).alias("h3"),
+        F.element_at(head3_sorted, 1).alias("s1"),
+        F.element_at(head3_sorted, 2).alias("s2"),
+        F.element_at(head3_sorted, 3).alias("s3"),
         F.array_max(rounded).alias("vmax"),
         F.array_min(rounded).alias("vmin"),
         F.size("embedding").cast("long").alias("dim"),
@@ -126,8 +136,9 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The map is assembled from an aggregated entry list
     (map_from_entries ∘ collect_list) — Spark's idiom for the
     reference's in-memory program-registry HashMap
-    (src/etl/transform.rs:13-31). Output columns are scalars/arrays
-    only: map-typed cells don't compare portably across engines."""
+    (src/etl/transform.rs:13-31). Output columns are scalars only
+    (key list joined with '|'): map- and array-typed cells neither
+    compare portably across engines nor hash in the driver."""
     na = table(spark, sf_dir, "nation")
     m = F.map_from_entries(
         F.collect_list(F.struct(F.col("n_name"), F.col("n_nationkey")))
@@ -139,7 +150,7 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_regionkey",
             F.element_at(F.col("m"), "NATION_3").alias("key_of_n3"),
             F.size("m").cast("long").alias("n_entries"),
-            F.array_sort(F.map_keys("m")).alias("names_sorted"),
+            F.array_join(F.array_sort(F.map_keys("m")), "|").alias("names_sorted"),
         )
     )
 
@@ -170,18 +181,26 @@ ORACLE: dict[str, str] = {
         FROM documents
     """,
     "q_array_funcs": """
+        WITH h AS (
+          SELECT vec_id,
+                 list_transform(embedding[1:3],
+                                x -> round(CAST(x AS DOUBLE), 4)) AS head3,
+                 list_sort(list_transform(embedding[1:3],
+                                          x -> round(CAST(x AS DOUBLE), 4)))
+                   AS head3_sorted,
+                 list_max(list_transform(embedding,
+                                         x -> round(CAST(x AS DOUBLE), 4))) AS vmax,
+                 list_min(list_transform(embedding,
+                                         x -> round(CAST(x AS DOUBLE), 4))) AS vmin,
+                 CAST(len(embedding) AS BIGINT) AS dim
+          FROM embeddings
+        )
         SELECT vec_id,
-               list_transform(embedding[1:3],
-                              x -> round(CAST(x AS DOUBLE), 4)) AS head3,
-               list_sort(list_transform(embedding[1:3],
-                                        x -> round(CAST(x AS DOUBLE), 4)))
-                 AS head3_sorted,
-               list_max(list_transform(embedding,
-                                       x -> round(CAST(x AS DOUBLE), 4))) AS vmax,
-               list_min(list_transform(embedding,
-                                       x -> round(CAST(x AS DOUBLE), 4))) AS vmin,
-               CAST(len(embedding) AS BIGINT) AS dim
-        FROM embeddings
+               head3[1] AS h1, head3[2] AS h2, head3[3] AS h3,
+               head3_sorted[1] AS s1, head3_sorted[2] AS s2,
+               head3_sorted[3] AS s3,
+               vmax, vmin, dim
+        FROM h
     """,
     "q_map_funcs": """
         WITH m AS (
@@ -195,7 +214,7 @@ ORACLE: dict[str, str] = {
                -- element_at(map, key)
                m['NATION_3'][1] AS key_of_n3,
                CAST(cardinality(m) AS BIGINT) AS n_entries,
-               list_sort(map_keys(m)) AS names_sorted
+               array_to_string(list_sort(map_keys(m)), '|') AS names_sorted
         FROM m
     """,
     "q_conditional_funcs": """

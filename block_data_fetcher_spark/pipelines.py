@@ -239,13 +239,15 @@ ORACLE: dict[str, str] = {
           WHERE gram IN (SELECT gram FROM bench_grams)
         )
         SELECT lang, count(*) AS n_clean,
-               sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS clean_tokens
+               CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+                    AS BIGINT) AS clean_tokens
         FROM train
         WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
         GROUP BY lang
     """,
     "q_pack_sequences": f"""
-        SELECT lang, bin, count(*) AS n_docs, sum(n_tokens) AS bin_tokens
+        SELECT lang, bin, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
         FROM (
           SELECT lang,
                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

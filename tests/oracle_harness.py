@@ -60,6 +60,18 @@ def _normalize(rows, cols):
 
 def compare(spark, query_fn, sql: str, sf_dir: str) -> None:
     sdf = query_fn(spark, sf_dir)
+    # Driver-hasher constraint (CORRECTNESS_r01): oracle-backed queries
+    # must emit only scalar columns — array/map/struct cells are
+    # unhashable in the driver's pandas-based value hasher.
+    complex_cols = [
+        f.name
+        for f in sdf.schema.fields
+        if f.dataType.typeName() in ("array", "map", "struct")
+    ]
+    assert not complex_cols, (
+        f"oracle-backed query returns complex-typed columns {complex_cols}; "
+        "flatten to scalars (driver hasher can't hash list cells)"
+    )
     spark_cols = [c.lower() for c in sdf.columns]
     spark_rows = [tuple(r) for r in sdf.collect()]
 

@@ -21,6 +21,29 @@ def test_every_oracle_has_query():
     assert not missing, f"oracles without queries: {missing}"
 
 
+def test_oracle_output_types_driver_safe(sf_dir):
+    """The driver's value hasher breaks on two DuckDB output shapes
+    (CORRECTNESS_r01): HUGEINT/int128 (DuckDB integer sum()) hashes
+    differently from Spark's int64, and LIST/STRUCT/MAP cells are
+    unhashable. Every oracle must emit only driver-safe scalar types —
+    wrap integer sums in CAST(... AS BIGINT) and flatten collections."""
+    from tests.oracle_harness import duckdb_conn
+
+    con = duckdb_conn(sf_dir)
+    bad = []
+    for name, sql in sorted(_ORACLES.items()):
+        rel = con.sql(sql)
+        for c, ty in zip(rel.columns, (str(t) for t in rel.types)):
+            if (
+                "HUGEINT" in ty
+                or ty.startswith(("DECIMAL", "UINT", "STRUCT", "MAP"))
+                or "[]" in ty
+            ):
+                bad.append((name, c, ty))
+    con.close()
+    assert not bad, f"driver-unsafe oracle output columns: {bad}"
+
+
 @pytest.mark.parametrize("name", _WITH_ORACLE)
 def test_oracle(name, spark, sf_dir):
     compare(spark, _QUERIES[name], _ORACLES[name], sf_dir)

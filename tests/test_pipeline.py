@@ -116,39 +116,46 @@ def test_stream_pipeline_end_to_end(rpc_registered, spark, tmp_path):
 
 
 def test_approx_distinct_error_bound(spark, sf_dir):
-    """HLL++ sketch (q_approx_distinct is rows-only for the driver):
-    assert the estimate lands within 5% of the exact distinct count."""
+    """HLL++ sketch via the within-bound pattern: the query itself
+    asserts |approx − exact|/exact ≤ 5% in its `within_bound` column
+    (the oracle pins it to literal true); here we additionally check
+    the raw estimate so a vacuously-true bound can't hide a break."""
     from block_data_fetcher_spark.operators.analytics import q_approx_distinct
     from block_data_fetcher_spark.catalog import table
 
+    rows = q_approx_distinct(spark, sf_dir).collect()
+    assert rows and all(r.within_bound for r in rows), rows
+    ev = table(spark, sf_dir, "events")
     approx = {
-        r.event_type: r.approx_users
-        for r in q_approx_distinct(spark, sf_dir).collect()
-    }
-    exact = {
-        r.event_type: r.n_users
-        for r in table(spark, sf_dir, "events")
-        .groupBy("event_type")
-        .agg(F.countDistinct("user_id").alias("n_users"))
+        r.event_type: r.a
+        for r in ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("a"))
         .collect()
     }
+    exact = {r.event_type: r.exact_users for r in rows}
     assert set(approx) == set(exact)
     for et, est in approx.items():
         assert abs(est - exact[et]) / exact[et] < 0.05, (et, est, exact[et])
 
 
 def test_approx_quantiles_error_bound(spark, sf_dir):
-    """GK sketch (q_approx_quantiles is rows-only for the driver):
-    estimates land within a few percentile ranks of the exact values."""
+    """GK sketch via the within-bound pattern: the query's
+    p50_in_bound/p90_in_bound flags must all be true, and the raw
+    GK estimate's empirical rank must land within 5% of target."""
     from block_data_fetcher_spark.operators.analytics import q_approx_quantiles
     from block_data_fetcher_spark.catalog import table
 
+    rows = q_approx_quantiles(spark, sf_dir).collect()
+    assert rows and all(r.p50_in_bound and r.p90_in_bound for r in rows), rows
+    ev = table(spark, sf_dir, "events")
     approx = {
-        r.event_type: r.approx_p50_p90
-        for r in q_approx_quantiles(spark, sf_dir).collect()
+        r.event_type: r.a
+        for r in ev.groupBy("event_type")
+        .agg(F.percentile_approx("value", [0.5, 0.9], 100).alias("a"))
+        .collect()
     }
     vals: dict[str, list[float]] = {}
-    for r in table(spark, sf_dir, "events").select("event_type", "value").collect():
+    for r in ev.select("event_type", "value").collect():
         vals.setdefault(r.event_type, []).append(r.value)
     for et, (a50, a90) in approx.items():
         xs = sorted(vals[et])
