@@ -1,7 +1,11 @@
 #!/usr/bin/env python
 """Benchmark: run the full query catalog at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print
-ONE JSON line with per-query wall-clock seconds.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output contract (BENCH_r01 post-mortem: a single ~4 KB stdout line got
+tail-truncated by the driver's capture and parsed as null): stdout's
+final line is a COMPACT JSON summary (<300 bytes); the full per-query
+timing map goes to stderr and to BENCH_DETAIL.json next to this file.
 
 Each query is executed to completion (collect for small results; count
 for large ones would hide the projection cost, so we collect rows but
@@ -161,17 +165,37 @@ def main() -> None:
     total = round(time.perf_counter() - t_all, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    detail = {
+        "metric": "catalog_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+    except OSError:
+        pass
+    sys.stderr.write(json.dumps(detail) + "\n")
+
+    failed = sorted(n for n, v in timings.items() if v < 0)
+    ok = [v for v in timings.values() if v >= 0]
+    summary = {
+        "metric": "catalog_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "n_failed": len(failed),
+        "max_query_sec": max(ok) if ok else -1.0,
+        "detail": "BENCH_DETAIL.json",
+    }
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":
