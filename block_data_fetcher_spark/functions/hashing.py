@@ -21,7 +21,7 @@ All pure Catalyst expressions (no UDFs). Scale posture:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import parallelize, table
@@ -102,7 +102,10 @@ def minhash_signature(hashes: Column) -> Column:
 # ---------------------------------------------------------------------------
 
 
-def minhash_pairs(docs: DataFrame) -> DataFrame:
+LSH_BUCKET_CAP = 1024  # max bucket members paired via in-memory array
+
+
+def minhash_pairs(docs: DataFrame, bucket_cap: int = LSH_BUCKET_CAP) -> DataFrame:
     """MinHash+LSH candidate pairs over any (doc_id, text) DataFrame:
     shingle → minhash(8) → band(4×2) → bucket-group → within-bucket
     upper-triangle pairs, estimated similarity = matching components/8.
@@ -116,9 +119,19 @@ def minhash_pairs(docs: DataFrame) -> DataFrame:
     every signature twice; measured 2.4x slower at sf0.1).
     Within-bucket pairing is an upper-triangle array expression over
     the sorted member list, so the quadratic work is bounded by bucket
-    size — the same contract as the band join, but map-side. At 100 TB
-    a degenerate band value (giant collect_list) is the skew risk;
-    raising BAND_ROWS shrinks buckets exponentially."""
+    size — the same contract as the band join, but map-side.
+
+    Skew guard (the VERDICT r1 "giant collect_list" risk): a window
+    count over the band key tags each row with its bucket size —
+    buckets ≤ ``bucket_cap`` take the map-side array path; oversized
+    buckets (a degenerate band value, e.g. millions of near-empty
+    docs sharing a signature band) fall back to a band-keyed
+    sort-merge self-join, whose per-group buffer SPILLS to disk
+    instead of building one giant in-task array. Both paths emit the
+    identical pair set, so the split is a pure physical choice. The
+    window, the small-bucket groupBy, and both join inputs all hang
+    off ONE exchange on (band_idx, band) — signatures are computed
+    once, and Spark's ReuseExchange collapses the reads."""
     sig = docs.select(
         "doc_id", minhash_signature(shingle_hashes(F.col("text"))).alias("sig")
     )
@@ -140,8 +153,12 @@ def minhash_pairs(docs: DataFrame) -> DataFrame:
             )
         ).alias("band_idx", "band"),
     )
+    w = Window.partitionBy("band_idx", "band")
+    flagged = bands.withColumn("bucket_n", F.count("*").over(w))
+
     grouped = (
-        bands.groupBy("band_idx", "band")
+        flagged.where(F.col("bucket_n") <= bucket_cap)
+        .groupBy("band_idx", "band")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "sig"))).alias("ms"))
         .where(F.size("ms") > 1)
     )
@@ -154,23 +171,49 @@ def minhash_pairs(docs: DataFrame) -> DataFrame:
                 lambda b: F.struct(
                     a["doc_id"].alias("doc_a"),
                     b["doc_id"].alias("doc_b"),
-                    (
-                        F.size(
-                            F.filter(
-                                F.zip_with(a["sig"], b["sig"], lambda x, y: x == y),
-                                lambda eq: eq,
-                            )
-                        ).cast("double")
-                        / N_HASHES
-                    ).alias("est_sim"),
+                    _sig_sim(a["sig"], b["sig"]).alias("est_sim"),
                 ),
             ),
         )
     )
+    small_pairs = (
+        grouped.select(F.explode(pairs_expr).alias("p")).select("p.*")
+    )
+
+    big = flagged.where(F.col("bucket_n") > bucket_cap).select(
+        "band_idx", "band", "doc_id", "sig"
+    )
+    left = big.select(
+        "band_idx", "band",
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"),
+    )
+    right = big.select(
+        "band_idx", "band",
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"),
+    )
+    big_pairs = (
+        left.join(right, on=["band_idx", "band"], how="inner")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            _sig_sim(F.col("sig_a"), F.col("sig_b")).alias("est_sim"),
+        )
+    )
+
     return (
-        grouped.select(F.explode(pairs_expr).alias("p"))
-        .select("p.*")
+        small_pairs.unionByName(big_pairs)
         .distinct()  # a pair may collide in several bands
+    )
+
+
+def _sig_sim(sa: Column, sb: Column) -> Column:
+    """Estimated Jaccard: fraction of matching minhash components."""
+    return (
+        F.size(
+            F.filter(F.zip_with(sa, sb, lambda x, y: x == y), lambda eq: eq)
+        ).cast("double")
+        / N_HASHES
     )
 
 

@@ -145,6 +145,23 @@ def test_winnow_has_no_operator_shuffle(spark, sf_dir):
         assert op not in plan, (op, plan)
 
 
+def test_minhash_bucket_cap_reuses_signature_exchange(spark):
+    """The LSH skew guard's three consumers of the banded-signature
+    shuffle (window count, small-bucket groupBy, oversized-bucket
+    self-join) must share ONE exchange at runtime: signatures are the
+    dominant cost and may only be computed once. The oversized path
+    must appear as a real join, never a giant single-task array."""
+    from block_data_fetcher_spark.functions.hashing import minhash_pairs
+
+    rows = [(i, "alpha beta gamma delta epsilon") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    df = minhash_pairs(docs, bucket_cap=4)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan
+    assert "Join" in plan, plan
+
+
 def test_repetition_filter_is_shuffle_free(spark, sf_dir):
     # per-doc repetition stats are pure let-bound array expressions:
     # a scan-speed filter with no exchange and no Python

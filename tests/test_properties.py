@@ -119,6 +119,35 @@ def test_minhash_similarity_is_valid(spark, texts):
     assert len(pairs) == 1 and pairs[0].est_sim == 1.0
 
 
+def test_minhash_bucket_cap_equivalence(spark):
+    """Adversarial LSH skew (VERDICT r1): hundreds of identical docs
+    share every band bucket. The capped path must route those buckets
+    through the spill-safe band-keyed self-join and emit EXACTLY the
+    same pair set as the uncapped in-memory array path — the cap is a
+    physical choice, never a semantic one."""
+    from block_data_fetcher_spark.functions.hashing import minhash_pairs
+
+    rows = [(i, "alpha beta gamma delta epsilon zeta eta") for i in range(120)]
+    rows += [
+        (1000 + i, f"unique document number {i} mentioning token{i * 7} only")
+        for i in range(15)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+    capped = sorted(
+        (r.doc_a, r.doc_b, r.est_sim)
+        for r in minhash_pairs(docs, bucket_cap=16).collect()
+    )
+    uncapped = sorted(
+        (r.doc_a, r.doc_b, r.est_sim)
+        for r in minhash_pairs(docs, bucket_cap=10**9).collect()
+    )
+    assert capped == uncapped
+    # the identical block is fully paired (C(120,2) pairs at sim 1.0)
+    block = [p for p in capped if p[0] < 120 and p[1] < 120]
+    assert len(block) == 120 * 119 // 2
+    assert all(p[2] == 1.0 for p in block)
+
+
 @given(
     texts=st.lists(
         st.text(alphabet=st.sampled_from("the quick brown fox. "), min_size=1, max_size=80),
