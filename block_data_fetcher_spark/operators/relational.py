@@ -382,10 +382,14 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a single key). Broadcast is disabled in-query so the salted
     shuffle plan actually materializes at fixture scale (a dim this
     small would broadcast in production — the technique targets dims
-    past broadcast range); ``tune()`` restores the threshold. Results
+    past broadcast range). The override lives on a session clone
+    (:func:`..session.scoped`) that only this query's plan executes
+    against, so it cannot leak into the caller's session. Results
     are identical to the plain join — salting only re-routes rows."""
+    from ..session import scoped
     from ..storage import salted_join
 
+    spark = scoped(spark)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     ev = table(spark, sf_dir, "events").select(
         "event_id", "user_id", "value"
@@ -434,9 +438,13 @@ def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~2% of it. The thresholds below exist only to make the same plan
     shape reproducible at fixture scale (the production defaults —
     10 GB probe-side scans — are already right on a real cluster);
-    ``tune()`` restores them, so the setting never leaks into other
-    catalog queries. Plan gate: tests/test_plans.py asserts the
-    bloom_filter_agg build and the might_contain probe."""
+    they are set on a session clone (:func:`..session.scoped`) bound
+    to this query's plan, so they never leak into other catalog
+    queries or the caller's session. Plan gate: tests/test_plans.py
+    asserts the bloom_filter_agg build and the might_contain probe."""
+    from ..session import scoped
+
+    spark = scoped(spark)
     spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     spark.conf.set(
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",

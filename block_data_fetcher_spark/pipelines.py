@@ -55,11 +55,15 @@ def curate_corpus(docs: DataFrame) -> DataFrame:
         .where(F.col("__rn") == 1)
         .drop("__rn")
         # Two consumers read uniq (the LSH pair branch and the anti-join
-        # left side); without persist the scan+quality+dedup window runs
-        # twice. At 100 TB this is where the curated corpus would be
-        # checkpointed to storage anyway (stage outputs are the
-        # pipeline's restart points).
-        .persist()
+        # left side); without a reuse point the scan+quality+dedup
+        # window runs twice. A lazy localCheckpoint instead of persist:
+        # same one-materialization behavior, but no CacheManager entry
+        # pinning the blocks forever — the ContextCleaner frees them
+        # when the result frame is dropped (ADVICE r1: persists
+        # accumulated across a 128-query bench session). At 100 TB this
+        # is where the curated corpus would be checkpointed to storage
+        # anyway (stage outputs are the pipeline's restart points).
+        .localCheckpoint(eager=False)
     )
 
     dupes = (

@@ -43,6 +43,18 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def scoped(spark: SparkSession) -> SparkSession:
+    """A session CLONE (shared SparkContext/cached data, fresh runtime
+    conf) for queries that override optimizer confs (bloom-filter
+    thresholds, autoBroadcastJoinThreshold). The returned DataFrame
+    keeps a reference to the clone, so the override is live whenever
+    that plan executes — and the caller's session conf is never
+    touched, no matter how many queries are built before any runs
+    (ADVICE r1: build-time conf sets leaked until the next tune())."""
+    clone = spark.newSession()
+    return tune(clone)
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Apply engine session-level conf to an externally provided session
     (the driver passes its own SparkSession to ``entry``/``queries``).

@@ -145,6 +145,19 @@ def test_winnow_has_no_operator_shuffle(spark, sf_dir):
         assert op not in plan, (op, plan)
 
 
+def test_dup_clusters_lineage_truncated(spark, sf_dir):
+    """Per-round localCheckpoint must leave the returned labels frame
+    lineage-free (a checkpointed RDD scan, not 12 stacked joins) and
+    must leave nothing registered in the CacheManager (ADVICE r1:
+    persisted frames accumulated across a bench session)."""
+    df = _Q["q_dup_clusters"](spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in plan, plan
+    assert "Join" not in plan, plan
+    jcm = spark._jsparkSession.sharedState().cacheManager()
+    assert jcm.isEmpty(), "CacheManager should hold no entries after build"
+
+
 def test_minhash_bucket_cap_reuses_signature_exchange(spark):
     """The LSH skew guard's three consumers of the banded-signature
     shuffle (window count, small-bucket groupBy, oversized-bucket

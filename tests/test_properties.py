@@ -119,6 +119,27 @@ def test_minhash_similarity_is_valid(spark, texts):
     assert len(pairs) == 1 and pairs[0].est_sim == 1.0
 
 
+def test_embed_near_dup_salted_blocks_exactly_once(spark, sf_dir, monkeypatch):
+    """Triangle-block salting must emit every within-cell pair exactly
+    once: a hot cell of n identical vectors yields exactly C(n,2)
+    pairs at cos_sim 1.0, for any salt count (1 = unsalted plan)."""
+    import block_data_fetcher_spark.functions.similarity as sim
+
+    # all 500 sf0.001 vectors collapse into 5 label cells; count pairs
+    # per salt setting and require identical results
+    results = []
+    for s in (1, 4):
+        monkeypatch.setattr(sim, "EMBED_BLOCK_SALTS", s)
+        rows = sorted(
+            (r.vec_a, r.vec_b, r.cos_sim)
+            for r in sim.q_embed_near_dup(spark, sf_dir).collect()
+        )
+        results.append(rows)
+    assert results[0] == results[1]
+    for va, vb, _ in results[0]:
+        assert va < vb
+
+
 def test_minhash_bucket_cap_equivalence(spark):
     """Adversarial LSH skew (VERDICT r1): hundreds of identical docs
     share every band bucket. The capped path must route those buckets
