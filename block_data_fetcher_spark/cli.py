@@ -83,6 +83,14 @@ def parse_args(argv: list[str] | None = None) -> Args:
     return args
 
 
+def format_number(n: int) -> str:
+    """Thousands-separated integer display (P9) — behavioral parity
+    with the reference's ``format_number`` (src/main.rs:156-168,
+    tested at src/main.rs:180-185). Engine-side, the same formatting
+    is one expression: ``F.format_number(col, 0)``."""
+    return f"{int(n):,}"
+
+
 def run(args: Args) -> dict:
     """Execute the pipeline (reference ``Pipeline::run``,
     ``src/pipeline.rs:121-167``): source → extract → upsert, then the
@@ -153,7 +161,12 @@ def run(args: Args) -> dict:
         **{k: stats[k] for k in stats.asDict()},
     }
     for k, v in report.items():
-        print(f"{k}: {v}")
+        shown = (
+            format_number(v)
+            if isinstance(v, int) and not isinstance(v, bool)
+            else v
+        )
+        print(f"{k}: {shown}")
     return report
 
 

@@ -35,6 +35,32 @@ def test_validation():
     _args(start_slot=5, end_slot=10).validate()  # ok
 
 
+def test_format_number():
+    """P9 parity — the reference's cases (src/main.rs:180-185) plus
+    the engine-side F.format_number twin."""
+    from block_data_fetcher_spark.cli import format_number
+
+    assert format_number(1234) == "1,234"
+    assert format_number(1234567) == "1,234,567"
+    assert format_number(174283491) == "174,283,491"
+    assert format_number(999) == "999"
+    assert format_number(0) == "0"
+
+
+def test_format_number_matches_spark(spark):
+    from pyspark.sql import functions as F
+
+    from block_data_fetcher_spark.cli import format_number
+
+    vals = [0, 999, 1234, 1234567, 174283491]
+    rows = (
+        spark.createDataFrame([(v,) for v in vals], "n long")
+        .select(F.format_number("n", 0).alias("s"))
+        .collect()
+    )
+    assert [r.s for r in rows] == [format_number(v) for v in vals]
+
+
 def test_parse_args_flags():
     a = parse_args(["-s", "100", "-n", "5", "-b", "20", "-o", "/tmp/x"])
     assert (a.start_slot, a.num_blocks, a.batch_size, a.output) == (100, 5, 20, "/tmp/x")
