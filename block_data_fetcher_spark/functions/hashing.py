@@ -280,6 +280,48 @@ _WINNOW_SQL = """
 """
 
 
+# Stop-fingerprint threshold for the overlap join: a fingerprint shared
+# by more docs than this is a boilerplate phrase, not evidence of
+# copying — and it is exactly the join key that would skew at scale.
+OVERLAP_MAX_DF = 50
+
+
+def q_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus overlap (winnow-based decontamination join): which
+    training docs share winnowing fingerprints with the benchmark
+    corpus (source = 'src0'), and how many — the SIGMOD'03 guarantee
+    makes ≥ 6 shared consecutive tokens detectable, so this is the
+    contamination detector that n-gram equality misses on small edits.
+
+    Spark-first scale shape: fingerprints are map-side expressions
+    (:func:`q_winnow`); the detector is an inverted-index equi-join on
+    the fingerprint value. Ultra-common fingerprints (boilerplate) are
+    dropped by document frequency BEFORE the join — that both removes
+    noise and caps join-key skew (a fingerprint appearing in half the
+    corpus would otherwise be a hot key at 100 TB). The DF filter is a
+    window count over fp (not a groupBy + self-join), so fingerprints
+    are computed once and the filter rides the same fp-partitioning
+    the join needs: the join inputs arrive pre-partitioned."""
+    docs = parallelize(table(spark, sf_dir, "documents"), spark)
+    fps = docs.select(
+        "doc_id", "source", F.explode(F.expr(_WINNOW)).alias("fp")
+    )
+    w = Window.partitionBy("fp")
+    fps = fps.withColumn("df", F.count("*").over(w)).where(
+        F.col("df") <= OVERLAP_MAX_DF
+    )
+    bench = fps.where(F.col("source") == "src0").select(
+        F.col("doc_id").alias("bench_id"), "fp"
+    )
+    train = fps.where(F.col("source") != "src0").select("doc_id", "fp")
+    return (
+        train.join(bench, "fp")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= 2)
+    )
+
+
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the
     MinHash-LSH candidate graph (est_sim ≥ 0.5), labeled by the
@@ -357,6 +399,105 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError("dup_clusters: no fixpoint in 12 rounds")
     edges.unpersist()
     return labels
+
+
+def q_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via alternating LARGE-STAR / SMALL-STAR
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) over the same MinHash-LSH dup graph as
+    :func:`q_dup_clusters` — the giant-component-safe variant that r1
+    flagged as the scale escape hatch for min-label propagation.
+
+    Why it scales where label propagation stalls: propagation needs
+    O(diameter) rounds (a path-shaped component of length L takes L
+    rounds); star rounds square away long paths in O(log L) by
+    re-pointing every node at its neighborhood minimum. Each phase is
+    one window-min over the node key + an edge rewrite — no
+    collect, no driver-side graph.
+
+    - large-star(u): for neighbors v > u, emit (v, min Γ⁺(u));
+    - small-star(u): for neighbors v < u plus u itself, emit
+      (v, min Γ⁺(u)).
+
+    The undirected edge set is canonicalized (a < b, no self-loops,
+    distinct) and localCheckpoint-ed per round; convergence = the
+    canonical set's (count, hash-sum) signature repeating. At the
+    fixpoint every component is a star centered on its minimum, so the
+    label read-off is a single grouped min. The oracle is the SAME
+    recursive-CTE fixpoint as q_dup_clusters: both algorithms must
+    land on identical clusters."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_pairs(parallelize(docs, spark)).where(
+        F.col("est_sim") >= 0.5
+    )
+    edges = (
+        pairs.select(
+            F.least("doc_a", "doc_b").alias("a"),
+            F.greatest("doc_a", "doc_b").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def sym(e: DataFrame) -> DataFrame:
+        return e.unionByName(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+
+    def star(e: DataFrame, large: bool) -> DataFrame:
+        s = sym(e)
+        w = Window.partitionBy("a")
+        with_m = s.withColumn(
+            "m", F.least(F.min("b").over(w), F.col("a"))
+        )
+        cond = F.col("b") > F.col("a") if large else F.col("b") < F.col("a")
+        out = with_m.where(cond).select(
+            F.col("b").alias("u"), F.col("m").alias("v")
+        )
+        if not large:
+            out = out.unionByName(
+                with_m.select(F.col("a").alias("u"), F.col("m").alias("v"))
+            )
+        return (
+            out.select(
+                F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+            )
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    def signature(e: DataFrame):
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("a") * 1000003 + F.col("b")).alias("h"),
+        ).first()
+        return (row.n, row.h)
+
+    prev = signature(edges)
+    for _ in range(15):
+        edges = star(star(edges, large=True), large=False).localCheckpoint(
+            eager=False
+        )
+        cur = signature(edges)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError("cc_star: no fixpoint in 15 rounds")
+
+    members = sym(edges).groupBy("a").agg(F.min("b").alias("mn"))
+    labels = members.select(
+        F.col("a").alias("doc_id"),
+        F.least("mn", F.col("a")).alias("cluster_id"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
+        )
+    )
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -519,8 +660,40 @@ WITH RECURSIVE edges AS (
 SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
 """
 
+_OVERLAP_SQL = f"""
+WITH fps AS (
+  SELECT doc_id, source, unnest(
+    CASE WHEN len(hs) = 0 THEN []
+         WHEN len(hs) < 4 THEN [list_min(hs)]
+         ELSE list_distinct(list_transform(range(1, len(hs) - 2),
+                                           i -> list_min(hs[i:i+3])))
+    END) AS fp
+  FROM (
+    SELECT doc_id, source,
+           CASE WHEN len(ws) < 3 THEN []
+                ELSE list_transform(range(1, len(ws) - 1),
+                       i -> CAST('0x' || substr(md5(ws[i] || ' ' || ws[i+1]
+                              || ' ' || ws[i+2]), 1, 15) AS BIGINT)
+                            % 1000000007)
+           END AS hs
+    FROM (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents)
+  )
+), filt AS (
+  SELECT * FROM (
+    SELECT doc_id, source, fp, count(*) OVER (PARTITION BY fp) AS df FROM fps
+  ) WHERE df <= {OVERLAP_MAX_DF}
+)
+SELECT t.doc_id AS doc_id, b.doc_id AS bench_id, count(*) AS n_shared
+FROM filt t JOIN filt b ON t.fp = b.fp
+WHERE b.source = 'src0' AND t.source <> 'src0'
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""
+
 ORACLE: dict[str, str] = {
     "q_winnow": _WINNOW_SQL,
+    "q_overlap_join": _OVERLAP_SQL,
+    "q_cc_star": _DUP_CLUSTERS_SQL,
     "q_dup_clusters": _DUP_CLUSTERS_SQL,
     "q_minhash_lsh": _MINHASH_SQL,
     "q_simhash": _SIMHASH_SQL,

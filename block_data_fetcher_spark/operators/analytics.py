@@ -228,6 +228,37 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via the Karp-Schenker-Papadimitriou single-pass
+    sketch (``df.stat.freqItems``) with the within-bound oracle
+    pattern: the sketch guarantees every item with frequency above the
+    support threshold appears in its candidate set (false positives
+    possible, false negatives not). The query emits each EXACT heavy
+    hitter (count ≥ 10% of rows) plus `in_sketch` — deterministic
+    true when the guarantee holds — so the oracle (exact counts +
+    literal true) hash-verifies the sketch without comparing sketch
+    internals across engines.
+
+    Scale: the sketch is one pass, map-side mergeable, constant
+    memory (1/support counters); the exact side is a 5-key groupBy.
+    The sketch result is ONE driver row (the legitimate collect)."""
+    ev = table(spark, sf_dir, "events")
+    candidates = [
+        r for r in ev.stat.freqItems(["event_type"], support=0.1).head()[0]
+    ]
+    total = ev.count()
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= 0.1 * total)
+        .select(
+            "event_type",
+            "cnt",
+            F.col("event_type").isin(candidates).alias("in_sketch"),
+        )
+    )
+
+
 def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-frame window: per event, the user's event count and value
     sum over the trailing 1 hour (inclusive) — the time-decayed
@@ -732,6 +763,11 @@ ORACLE: dict[str, str] = {
         SELECT event_type, count(DISTINCT user_id) AS exact_users,
                count(*) AS n_events, true AS within_bound
         FROM events GROUP BY event_type
+    """,
+    "q_freq_items": """
+        SELECT event_type, count(*) AS cnt, true AS in_sketch
+        FROM events GROUP BY event_type
+        HAVING count(*) >= 0.1 * (SELECT count(*) FROM events)
     """,
     "q_approx_quantiles": """
         SELECT event_type, count(*) AS n_events,

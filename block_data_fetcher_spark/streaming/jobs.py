@@ -266,6 +266,55 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(joined, "stream_stream_join", "append")
 
 
+def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join with event-time bounds: every
+    click, null-extended when no purchase by the same user follows
+    within 30 minutes — the unconverted-funnel view of
+    :func:`q_stream_stream_join`.
+
+    Outer-join mechanics under watermarks: a click can only be
+    null-emitted once the watermark proves no matching purchase can
+    still arrive (c_ts + 30 min < watermark), so unmatched results
+    trail matched ones by up to watermark delay + window. In a BOUNDED
+    run the final watermark stops at max(event_time) − 1 h: clicks in
+    the last ~1.5 h of event time stay in state and are dropped at
+    shutdown, never null-emitted. That tail-holdback is inherent to
+    the semantics (not a bug), so the query is rows-only for the
+    driver; tests pin (a) matched rows == the inner join, (b) every
+    null-extended click truly has no in-window purchase, (c) every
+    null-emitted click is older than final-watermark − 30 min."""
+    clicks = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    buys = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+            "value",
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        buys,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts "
+            "AND p_ts <= c_ts + interval 30 minutes"
+        ),
+        "leftOuter",
+    ).select("click_id", "c_user", "c_ts", "purchase_id", "value")
+    return _run_to_memory(joined, "stream_stream_left_join", "append")
+
+
 def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full S6-S8 sink path at streaming time: events stream →
     ``foreachBatch`` → keyed last-wins UPSERT into a parquet table

@@ -135,3 +135,65 @@ def test_stream_stream_join_matches_batch_self_join(spark, sf_dir):
     ).select("click_id", "purchase_id", "c_user", "value")
     assert _rows(stream) == _rows(batch)
     assert stream.count() > 0
+
+
+def test_stream_stream_left_join_properties(spark, sf_dir):
+    """LEFT OUTER interval join under watermarks: (a) the matched
+    subset equals the batch inner join; (b) every null-extended click
+    has NO in-window purchase in the batch data; (c) null emissions
+    only happen for clicks the final watermark had proven closed
+    (older than max event time − 1 h − 30 min)."""
+    from pyspark.sql import functions as F
+
+    from block_data_fetcher_spark.streaming.jobs import (
+        q_stream_stream_left_join,
+    )
+
+    out = q_stream_stream_left_join(spark, sf_dir).cache()
+    matched = out.where(F.col("purchase_id").isNotNull()).select(
+        "click_id", "purchase_id", "c_user", "value"
+    )
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+        "value",
+    )
+    cond = F.expr(
+        "c_user = p_user AND p_ts >= c_ts "
+        "AND p_ts <= c_ts + interval 30 minutes"
+    )
+    batch_inner = clicks.join(buys, cond).select(
+        "click_id", "purchase_id", "c_user", "value"
+    )
+    assert _rows(matched) == _rows(batch_inner)
+
+    # (b) null-extended clicks truly unconverted in the batch data
+    unmatched_ids = {
+        r.click_id for r in out.where(F.col("purchase_id").isNull()).collect()
+    }
+    batch_unmatched = {
+        r.click_id
+        for r in clicks.join(buys, cond, "left_anti").collect()
+    }
+    assert unmatched_ids <= batch_unmatched
+    assert len(unmatched_ids) > 0  # the tail holdback must not eat ALL
+
+    # (c) tail holdback: no null emission newer than the closable bound
+    from pyspark.sql import functions as F2
+
+    max_ts = ev.agg(F2.max("ts")).first()[0]
+    newest_null = (
+        out.where(F.col("purchase_id").isNull()).agg(F2.max("c_ts")).first()[0]
+    )
+    import datetime
+
+    bound = max_ts - datetime.timedelta(hours=1, minutes=30)
+    assert newest_null <= bound + datetime.timedelta(minutes=1)
+    out.unpersist()
