@@ -376,7 +376,145 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PII patterns — RE2-safe (no backreferences/lookaround) so Java regex
+# (Spark) and RE2 (DuckDB) match identically.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the compliance pass every training-data
+    pipeline runs before a corpus ships: emails → [EMAIL], phone
+    numbers → [PHONE], IPv4 addresses → [IP], with per-doc match
+    counts for the scrub report.
+
+    The synthetic corpus carries no organic PII, so the query first
+    ENRICHES each doc with deterministic doc_id-derived PII (both
+    engines build the identical string), then scrubs it — the oracle
+    therefore verifies the actual regex/replace semantics, not a
+    vacuous no-op. All map-side built-ins (regexp_extract_all /
+    regexp_replace), zero shuffle, scan-speed at any corpus size;
+    the scrubbed text is equality-checked via the portable md5
+    fingerprint, not shipped."""
+    docs = table(spark, sf_dir, "documents")
+    ds = F.col("doc_id").cast("string")
+    enriched = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), ds, F.lit("@example.com"),
+        F.lit(" call 555-010-"), F.lpad(ds, 4, "0"),
+        F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit("."), (F.col("doc_id") % 100).cast("string"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(enriched, _PII_EMAIL, "[EMAIL]"),
+            _PII_PHONE,
+            "[PHONE]",
+        ),
+        _PII_IP,
+        "[IP]",
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(enriched, F.lit(_PII_EMAIL), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(enriched, F.lit(_PII_PHONE), 0))
+        .cast("long")
+        .alias("n_phones"),
+        F.size(F.regexp_extract_all(enriched, F.lit(_PII_IP), 0))
+        .cast("long")
+        .alias("n_ips"),
+        F.length(scrubbed).cast("long").alias("len_scrubbed"),
+        F.conv(F.substring(F.md5(scrubbed), 1, 15), 16, 10)
+        .cast("long")
+        .alias("scrubbed_fp"),
+    )
+
+
+CHUNK_TOKENS = 128
+CHUNK_STRIDE = 96  # 32-token overlap between consecutive chunks
+
+
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-window chunking: split each document into overlapping
+    token windows (128 tokens, stride 96) — the context-window
+    preparation step between curation and tokenization in an LLM data
+    pipeline.
+
+    Map-side only: token array let-bound once, chunk starts from
+    ``sequence(1, n, stride)`` (tail partials included), one generator
+    explode — no shuffle, scan-parallel at any corpus size. Chunks
+    are reported as (index, length, portable md5 fingerprint), so the
+    oracle verifies exact chunk CONTENT without shipping text."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    chunks = toks.select(
+        "doc_id",
+        "ws",
+        F.explode(
+            F.sequence(F.lit(1), F.size("ws"), F.lit(CHUNK_STRIDE))
+        ).alias("start"),
+    )
+    chunk = F.slice("ws", F.col("start"), F.lit(CHUNK_TOKENS))
+    return chunks.select(
+        "doc_id",
+        ((F.col("start") - 1) / CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.conv(F.substring(F.md5(F.concat_ws(" ", chunk)), 1, 15), 16, 10)
+        .cast("long")
+        .alias("chunk_fp"),
+    )
+
+
 ORACLE: dict[str, str] = {
+    "q_pii_scrub": f"""
+        WITH enriched AS (
+          SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com'
+                      || ' call 555-010-' || lpad(CAST(doc_id AS VARCHAR), 4, '0')
+                      || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.' || CAST(doc_id % 100 AS VARCHAR) AS t
+          FROM documents
+        ), scrub AS (
+          SELECT doc_id, t,
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(t, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+                     '{_PII_PHONE}', '[PHONE]', 'g'),
+                   '{_PII_IP}', '[IP]', 'g') AS s
+          FROM enriched
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT)
+                 AS n_emails,
+               CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT)
+                 AS n_phones,
+               CAST(len(regexp_extract_all(t, '{_PII_IP}')) AS BIGINT)
+                 AS n_ips,
+               CAST(length(s) AS BIGINT) AS len_scrubbed,
+               CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS scrubbed_fp
+        FROM scrub
+    """,
+    "q_chunk_docs": f"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ), starts AS (
+          SELECT doc_id, ws, unnest(range(1, len(ws) + 1, {CHUNK_STRIDE}))
+                   AS start
+          FROM toks
+        )
+        SELECT doc_id,
+               CAST((start - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+               CAST(len(ws[start : least(start + {CHUNK_TOKENS - 1}, len(ws))])
+                    AS BIGINT) AS n_chunk_tokens,
+               CAST('0x' || substr(md5(array_to_string(
+                      ws[start : least(start + {CHUNK_TOKENS - 1}, len(ws))],
+                      ' ')), 1, 15) AS BIGINT) AS chunk_fp
+        FROM starts
+    """,
     "q_tfidf": """
         WITH toks AS (
           SELECT doc_id, unnest(string_split(text, ' ')) AS term

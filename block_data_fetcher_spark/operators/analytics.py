@@ -228,6 +228,46 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build: compress each user's
+    event-type stream into validity intervals — one row per run of
+    equal event_type, with [valid_from, valid_to) bounds (open-ended
+    current row = NULL valid_to) and a version number. The warehouse
+    twin of the reference's last-wins upsert: instead of keeping only
+    the newest state, history is preserved as intervals.
+
+    Gaps-and-islands on VALUE CHANGE (vs q_sessionize's time gaps):
+    lag flags run starts, a running sum numbers runs, and the grouped
+    rollup + lead for the next run's start all reuse ONE user_id
+    partitioning — a single shuffle end to end."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    is_change = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type")),
+        1,
+    ).otherwise(0)
+    runs = ev.withColumn(
+        "version",
+        F.sum(is_change).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    grouped = runs.groupBy("user_id", "version", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("valid_from"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    return grouped.select(
+        "user_id",
+        "version",
+        "event_type",
+        "n_events",
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+    )
+
+
 def q_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters via the Karp-Schenker-Papadimitriou single-pass
     sketch (``df.stat.freqItems``) with the within-bound oracle
@@ -763,6 +803,31 @@ ORACLE: dict[str, str] = {
         SELECT event_type, count(DISTINCT user_id) AS exact_users,
                count(*) AS n_events, true AS within_bound
         FROM events GROUP BY event_type
+    """,
+    "q_scd2": """
+        WITH flagged AS (
+          SELECT user_id, ts, event_id, event_type,
+                 CASE WHEN lag(event_type) OVER w IS NULL
+                       OR lag(event_type) OVER w <> event_type
+                      THEN 1 ELSE 0 END AS is_change
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), runs AS (
+          SELECT user_id, ts, event_type,
+                 CAST(sum(is_change) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS version
+          FROM flagged
+        ), grouped AS (
+          SELECT user_id, version, event_type,
+                 count(*) AS n_events, min(ts) AS valid_from
+          FROM runs GROUP BY 1, 2, 3
+        )
+        SELECT user_id, version, event_type, n_events, valid_from,
+               lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+                 AS valid_to
+        FROM grouped
     """,
     "q_freq_items": """
         SELECT event_type, count(*) AS cnt, true AS in_sketch
