@@ -348,6 +348,58 @@ _NEAR_DUP_SQL = """
 """
 
 
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 vector quantization — the storage/serving
+    compression step of an embedding pipeline (4x smaller than
+    float32, 8x smaller than the double working form).
+
+    Per vector: scale = max|x| / 127; q_i = clamp(⌊x_i/scale + 0.5⌋,
+    −127, 127). The half-rounding is spelled as floor(+0.5) on BOTH
+    engines (their native round() functions disagree on tie-breaking),
+    so the quantized codes are bit-identical and the oracle can pin
+    the integer checksum exactly. `within_bound` asserts the
+    reconstruction error |x − q·scale| ≤ scale/2 for every component —
+    the defining property of correct symmetric quantization. Zero
+    shuffle, pure map-side array expressions."""
+    em = parallelize(table(spark, sf_dir, "embeddings"), spark)
+    xs = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    # let-bind through a 1-element transform: HOFs get no codegen CSE
+    def body(v: Column) -> Column:
+        # greatest(..) guards the all-zero vector (scale 0 → div/0)
+        scale = F.greatest(
+            F.array_max(F.transform(v, F.abs)) / 127.0, F.lit(1e-12)
+        )
+        q = F.transform(
+            v,
+            lambda x: F.least(
+                F.greatest(F.floor(x / scale + 0.5), F.lit(-127.0)),
+                F.lit(127.0),
+            ).cast("long"),
+        )
+        err_ok = F.forall(
+            F.zip_with(
+                v, q, lambda x, qq: F.abs(x - qq.cast("double") * scale)
+                <= scale * 0.5000001
+            ),
+            lambda b: b,
+        )
+        return F.struct(
+            F.round(scale + 1e-9, 6).alias("scale"),
+            F.aggregate(
+                q, F.lit(0).cast("long"), lambda acc, x: acc + x
+            ).alias("checksum"),
+            err_ok.alias("within_bound"),
+        )
+
+    out = F.get(F.transform(F.array(xs), body), 0)
+    return em.select("vec_id", out.alias("_q")).select(
+        "vec_id",
+        F.col("_q.scale").alias("scale"),
+        F.col("_q.checksum").alias("checksum"),
+        F.col("_q.within_bound").alias("within_bound"),
+    )
+
+
 def q_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style keep-set: drop every vector that near-duplicates
     (cosine > 0.99, blocked by label cell) a lower-id vector; return
@@ -365,7 +417,29 @@ def q_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return em.join(drop, "vec_id", "left_anti").select("vec_id", "label")
 
 
+_QUANT_SQL = """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+    ), s AS (
+      SELECT vec_id, x,
+             greatest(list_max(list_transform(x, e -> abs(e))) / 127.0,
+                      1e-12) AS scale
+      FROM v
+    ), q AS (
+      SELECT vec_id, x, scale,
+             list_transform(x, e -> CAST(least(greatest(
+               floor(e / scale + 0.5), -127.0), 127.0) AS BIGINT)) AS qc
+      FROM s
+    )
+    SELECT vec_id,
+           round(scale + 1e-9, 6) AS scale,
+           CAST(list_sum(qc) AS BIGINT) AS checksum,
+           true AS within_bound
+    FROM q
+"""
+
 ORACLE: dict[str, str] = {
+    "q_embed_quantize": _QUANT_SQL,
     "q_embed_dedup": f"""
         SELECT vec_id, label FROM embeddings
         WHERE vec_id NOT IN (SELECT vec_b FROM ({_NEAR_DUP_SQL}))

@@ -433,6 +433,67 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("data", "spark", "query")  # fixed retrieval query
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring of the corpus against a fixed 3-term
+    query — the ranking function a curation pipeline uses to pull
+    topical documents (e.g. seed-similar selection), and the
+    classical sparse-retrieval baseline next to the dense kNN path.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)  (Robertson/Lucene).
+
+    Scale shape: the token explode is filtered to the query terms
+    BEFORE any shuffle (a 3-term IN predicate at scan speed), so the
+    (doc, term) aggregate shuffles only matching postings — the
+    inverted-index access pattern, not a corpus-wide shuffle. Doc
+    lengths ride the same row; df (3 rows) and the N/avgdl scalars
+    broadcast back."""
+    docs = table(spark, sf_dir, "documents")
+    stats = docs.select(
+        F.count("*").alias("n_docs"),
+        F.avg(F.size(F.split("text", " "))).alias("avgdl"),
+    )
+    posts = (
+        docs.select(
+            "doc_id",
+            F.size(F.split("text", " ")).alias("dl"),
+            F.explode(F.split("text", " ")).alias("term"),
+        )
+        .where(F.col("term").isin(*BM25_QUERY))
+    )
+    tf = posts.groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf"), F.first("dl").alias("dl")
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    term_score = (
+        idf
+        * F.col("tf")
+        * (BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + BM25_K1
+            * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        tf.join(F.broadcast(df_t), "term")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(term_score) + 1e-9, 4).alias("bm25"),
+            F.count("*").alias("n_query_terms"),
+        )
+    )
+
+
 CHUNK_TOKENS = 128
 CHUNK_STRIDE = 96  # 32-token overlap between consecutive chunks
 
@@ -468,7 +529,35 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_TERMS = ", ".join(f"'{t}'" for t in BM25_QUERY)
+
 ORACLE: dict[str, str] = {
+    "q_bm25": f"""
+        WITH stats AS (
+          SELECT count(*) AS n_docs,
+                 avg(len(string_split(text, ' '))) AS avgdl
+          FROM documents
+        ), posts AS (
+          SELECT doc_id, len(string_split(text, ' ')) AS dl,
+                 unnest(string_split(text, ' ')) AS term
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+          FROM posts WHERE term IN ({_BM25_TERMS})
+          GROUP BY doc_id, term
+        ), dft AS (
+          SELECT term, count(*) AS df FROM tf GROUP BY term
+        )
+        SELECT doc_id,
+               round(sum(
+                 ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                 * tf * ({BM25_K1} + 1)
+                 / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl))
+               ) + 1e-9, 4) AS bm25,
+               count(*) AS n_query_terms
+        FROM tf JOIN dft USING (term) CROSS JOIN stats
+        GROUP BY doc_id
+    """,
     "q_pii_scrub": f"""
         WITH enriched AS (
           SELECT doc_id,

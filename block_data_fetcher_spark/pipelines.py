@@ -95,6 +95,50 @@ _HASH100_DUCK = (
 )
 
 
+# Target language mix for training (shares sum to 1.0); weights are
+# capped so no stratum is oversampled more than 3x its natural rate.
+MIX_TARGET = {"en": 0.30, "de": 0.175, "es": 0.175, "fr": 0.175, "zh": 0.175}
+MIX_CAP = 3.0
+
+
+def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix reweighting: per-language sampling weights that
+    move the corpus token distribution toward a target mix — the
+    data-mixture step (cf. DoReMi/Pile-style mixture tuning) that
+    sits between curation and sampling in an LLM pipeline.
+
+    weight(lang) = min(target_share / actual_share, cap); the
+    expected post-resampling token count is tokens·weight. One
+    grouped aggregate over the corpus plus a broadcast of the 1-row
+    total — the per-language table is dimension-sized at any corpus
+    scale, so the arithmetic is free; the heavy side stays a single
+    map-side-combined groupBy."""
+    docs = table(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("tokens")
+    )
+    total = per_lang.agg(F.sum("tokens").cast("long").alias("total"))
+    target = F.create_map(
+        *[F.lit(x) for kv in MIX_TARGET.items() for x in kv]
+    )
+    share = F.col("tokens") / F.col("total")
+    tgt = F.coalesce(target[F.col("lang")], F.lit(0.0))
+    weight = F.least(tgt / share, F.lit(MIX_CAP))
+    return (
+        per_lang.join(F.broadcast(total))
+        .select(
+            "lang",
+            "tokens",
+            F.round(share + 1e-9, 4).alias("actual_share"),
+            F.round(tgt, 4).alias("target_share"),
+            F.round(weight + 1e-9, 4).alias("weight"),
+            F.round(F.col("tokens") * weight + 1e-9, 1).alias(
+                "expected_tokens"
+            ),
+        )
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified corpus sampling for training-mix construction: keep
     10% of English (over-represented) and 50% of every other language,
@@ -230,6 +274,25 @@ ORACLE: dict[str, str] = {
                ) AS n_sampled
         FROM documents
         GROUP BY lang
+    """,
+    "q_mix_weights": f"""
+        WITH per_lang AS (
+          SELECT lang,
+                 CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+          FROM documents GROUP BY lang
+        ), tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total FROM per_lang),
+        tgt AS (
+          {" UNION ALL ".join(f"SELECT '{k}' AS lang, CAST({v} AS DOUBLE) AS t" for k, v in MIX_TARGET.items())}
+        )
+        SELECT p.lang, p.tokens,
+               round(p.tokens * 1.0 / total + 1e-9, 4) AS actual_share,
+               round(coalesce(t.t, 0.0), 4) AS target_share,
+               round(least(coalesce(t.t, 0.0) / (p.tokens * 1.0 / total),
+                           {MIX_CAP}) + 1e-9, 4) AS weight,
+               round(p.tokens * least(coalesce(t.t, 0.0)
+                       / (p.tokens * 1.0 / total), {MIX_CAP}) + 1e-9, 1)
+                 AS expected_tokens
+        FROM per_lang p CROSS JOIN tot LEFT JOIN tgt t ON p.lang = t.lang
     """,
     "q_decontaminate": f"""
         WITH bench_grams AS (
