@@ -228,6 +228,92 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EWMA_ALPHA = 0.3
+
+
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of each user's value
+    stream (α=0.3) — the classic time-series smoother that plain
+    window frames cannot express (every prior row contributes with a
+    different weight). Done as an ordered FOLD: collect the user's
+    (ts, event_id, value) stream, array_sort (lexicographic on the
+    struct = time order), and left-fold acc = α·x + (1−α)·acc seeded
+    with the first value — exactly DuckDB's
+    ``list_reduce(list(value ORDER BY ...))``, so the oracle is
+    bit-comparable after rounding.
+
+    Scale: one shuffle on user_id; per-user state is the user's own
+    event list — bounded by per-key cardinality like any
+    sessionization; for unbounded keys the same fold runs windowed
+    (per day) or as the streaming stateful rollup."""
+    ev = table(spark, sf_dir, "events")
+    arr = F.array_sort(F.collect_list(F.struct("ts", "event_id", "value")))
+    vals = F.transform(arr, lambda s: s["value"])
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.size(vals)),
+        F.element_at(vals, 1),
+        lambda acc, x: EWMA_ALPHA * x + (1 - EWMA_ALPHA) * acc,
+    )
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(ewma + 1e-9, 4).alias("ewma"),
+    )
+
+
+def q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score outliers: events whose value is more than 2.5
+    sample standard deviations from that user's mean — the
+    embarrassingly parallel anomaly screen a monitoring pipeline runs
+    (one shuffle on user_id, two window aggregates sharing it)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    mean = F.mean("value").over(w)
+    std = F.stddev_samp("value").over(w)
+    z = (F.col("value") - mean) / std
+    return (
+        ev.select("event_id", "user_id", "value", std.alias("std"), z.alias("z"))
+        .where((F.col("std") > 0) & (F.abs("z") > 2.5))
+        .select(
+            "event_id",
+            "user_id",
+            F.round("value", 2).alias("value"),
+            F.round(F.col("z") + 1e-9, 4).alias("z"),
+        )
+    )
+
+
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per event type: treating each event as a
+    30-minute session, the maximum number of simultaneously open
+    sessions — the sweep-line (+1 at start, −1 at end, running sum)
+    that answers capacity questions without expanding any intervals.
+
+    Half-open [ts, ts+30m): at a shared boundary instant the closing
+    −1 sorts before the opening +1, so back-to-back sessions never
+    double-count. One shuffle on event_type; the sweep is a single
+    ordered window per partition."""
+    ev = table(spark, sf_dir, "events")
+    starts = ev.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("delta")
+    )
+    ends = ev.select(
+        "event_type",
+        (F.col("ts") + F.expr("interval 30 minutes")).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    points = starts.unionByName(ends)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        points.withColumn("open", F.sum("delta").over(w))
+        .groupBy("event_type")
+        .agg(F.max("open").cast("long").alias("max_concurrent"))
+    )
+
+
 def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slowly-changing-dimension type 2 build: compress each user's
     event-type stream into validity intervals — one row per run of
@@ -803,6 +889,47 @@ ORACLE: dict[str, str] = {
         SELECT event_type, count(DISTINCT user_id) AS exact_users,
                count(*) AS n_events, true AS within_bound
         FROM events GROUP BY event_type
+    """,
+    "q_ewma": f"""
+        WITH ordered AS (
+          SELECT user_id, count(*) AS n_events,
+                 list(value ORDER BY ts, event_id, value) AS vals
+          FROM events GROUP BY user_id
+        )
+        SELECT user_id, n_events,
+               round(list_reduce(vals,
+                     (acc, x) -> {EWMA_ALPHA} * x + (1 - {EWMA_ALPHA}) * acc)
+                     + 1e-9, 4) AS ewma
+        FROM ordered
+    """,
+    "q_anomaly": """
+        SELECT event_id, user_id, round(value, 2) AS value,
+               round(z + 1e-9, 4) AS z
+        FROM (
+          SELECT event_id, user_id, value,
+                 stddev_samp(value) OVER w AS std,
+                 (value - avg(value) OVER w) / stddev_samp(value) OVER w AS z
+          FROM events
+          WINDOW w AS (PARTITION BY user_id)
+        ) WHERE std > 0 AND abs(z) > 2.5
+    """,
+    "q_interval_overlap": """
+        WITH points AS (
+          SELECT event_type, ts AS t, 1 AS delta FROM events
+          UNION ALL
+          SELECT event_type, ts + INTERVAL 30 MINUTE AS t, -1 AS delta
+          FROM events
+        )
+        SELECT event_type,
+               CAST(max(open) AS BIGINT) AS max_concurrent
+        FROM (
+          SELECT event_type,
+                 sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS open
+          FROM points
+        )
+        GROUP BY event_type
     """,
     "q_scd2": """
         WITH flagged AS (

@@ -97,7 +97,20 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip_agg(back)
 
 
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → ORC → read → aggregate. The columnar-format sibling of
+    the parquet path (warehouse interchange with Hive/Trino stacks);
+    ORC carries types natively, so unlike the text formats no
+    timestampFormat contract is needed — the roundtrip proves
+    binary-columnar interchange is lossless end to end."""
+    path = os.path.join(_WAREHOUSE, "formats", "events_orc")
+    _events_slice(spark, sf_dir).write.mode("overwrite").orc(path)
+    back = spark.read.schema(_SCHEMA).orc(path)
+    return _roundtrip_agg(back)
+
+
 ORACLE: dict[str, str] = {
     "q_csv_roundtrip": _ROUNDTRIP_ORACLE,
     "q_jsonl_roundtrip": _ROUNDTRIP_ORACLE,
+    "q_orc_roundtrip": _ROUNDTRIP_ORACLE,
 }

@@ -186,6 +186,29 @@ def test_repetition_filter_is_shuffle_free(spark, sf_dir):
     assert "Python" not in plan, plan
 
 
+def test_map_side_pipeline_queries_are_shuffle_free(spark, sf_dir):
+    # PII scrub, chunking, and int8 quantization are pure per-row
+    # array/regex expressions: scan-parallel, no exchange, no Python.
+    # parallelize() may add one round-robin input spread on tiny
+    # fixture files; no operator shuffle beyond that.
+    for name, allowed in (
+        ("q_pii_scrub", 0),
+        ("q_chunk_docs", 0),
+        ("q_embed_quantize", 1),
+    ):
+        df = _Q[name](spark, sf_dir)
+        plan = formatted_plan(df)
+        assert count_exchanges(df) <= allowed, (name, plan)
+        assert "Python" not in plan, (name, plan)
+
+
+def test_bm25_broadcasts_stats(spark, sf_dir):
+    # postings filter to the query terms before any shuffle; df and
+    # corpus stats come back as broadcasts, never a fact-side shuffle
+    df = _Q["q_bm25"](spark, sf_dir)
+    assert uses_broadcast_join(df), formatted_plan(df)
+
+
 def test_tfidf_counts_and_window_share_one_partitioning(spark, sf_dir):
     # docs shuffle once on doc_id; tf grouping and top-3 window reuse
     # it; df and N join back as broadcasts. Remaining exchanges belong
