@@ -347,6 +347,7 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     large-star/small-star variant, which this loop's join shape
     extends to directly. The DuckDB oracle computes the same fixpoint
     as a recursive CTE over the identical edge SQL."""
+    spark = _iter_session(spark)
     docs = table(spark, sf_dir, "documents")
     pairs = minhash_pairs(parallelize(docs, spark)).where(
         F.col("est_sim") >= 0.5
@@ -358,8 +359,11 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
             )
         )
-        .persist()
+        # eager: materialized ONCE at full parallelism (the expensive
+        # minhash build), reused every round from checkpoint blocks
+        .localCheckpoint(eager=True)
     )
+    _size_rounds_to(spark, edges.count())
     labels = docs.select(
         "doc_id", F.col("doc_id").alias("cluster_id")
     ).localCheckpoint(eager=False)
@@ -397,8 +401,30 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur_sum = row.s
     else:
         raise RuntimeError("dup_clusters: no fixpoint in 12 rounds")
-    edges.unpersist()
     return labels
+
+
+def _iter_session(spark: SparkSession) -> SparkSession:
+    """Session clone for iterative algorithms: per-round conf changes
+    (shuffle sizing) must not leak into the caller's session."""
+    from ..session import scoped
+
+    return scoped(spark)
+
+
+def _size_rounds_to(spark: SparkSession, n_rows: int) -> None:
+    """Size the iteration's shuffle partitions to the measured working
+    set (~100k rows/partition, floor 8, capped at the session's
+    cluster-sized setting). Iterative rounds run many small jobs; at
+    fixture scale 32 near-empty shuffle tasks per round are pure
+    scheduling overhead (measured ~35% of q_cc_star cold wall-clock),
+    while at real scale the cap keeps the cluster-sized default."""
+    try:
+        cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        cur = 200
+    parts = max(8, min(cur, n_rows // 100_000 + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
 
 
 def q_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -426,6 +452,7 @@ def q_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     label read-off is a single grouped min. The oracle is the SAME
     recursive-CTE fixpoint as q_dup_clusters: both algorithms must
     land on identical clusters."""
+    spark = _iter_session(spark)
     docs = table(spark, sf_dir, "documents")
     pairs = minhash_pairs(parallelize(docs, spark)).where(
         F.col("est_sim") >= 0.5
@@ -437,8 +464,9 @@ def q_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
+    _size_rounds_to(spark, edges.count())
 
     def sym(e: DataFrame) -> DataFrame:
         return e.unionByName(
