@@ -119,6 +119,87 @@ def test_minhash_similarity_is_valid(spark, texts):
     assert len(pairs) == 1 and pairs[0].est_sim == 1.0
 
 
+def test_chunking_covers_every_token(spark, sf_dir):
+    """Chunk windows must tile each document: first chunk starts at
+    token 1, consecutive starts differ by the stride, every token
+    index falls in at least one chunk, and only the last chunk may be
+    short."""
+    from block_data_fetcher_spark.functions.text import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        q_chunk_docs,
+    )
+    from block_data_fetcher_spark.catalog import table
+    from pyspark.sql import functions as F
+
+    chunks = q_chunk_docs(spark, sf_dir).collect()
+    n_tokens = {
+        r.doc_id: r.n
+        for r in table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    }
+    per_doc: dict[int, list] = {}
+    for r in chunks:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    assert set(per_doc) == set(n_tokens)
+    for doc_id, rows in per_doc.items():
+        rows.sort(key=lambda r: r.chunk_idx)
+        assert [r.chunk_idx for r in rows] == list(range(len(rows)))
+        n = n_tokens[doc_id]
+        for r in rows[:-1]:
+            assert r.n_chunk_tokens == min(CHUNK_TOKENS, n - r.chunk_idx * CHUNK_STRIDE)
+        last = rows[-1]
+        # last chunk reaches the final token exactly
+        assert last.chunk_idx * CHUNK_STRIDE + last.n_chunk_tokens == n
+
+
+def test_pii_scrub_is_idempotent_and_complete(spark):
+    """Scrubbing must remove every match (a second pass finds
+    nothing) and must not invent matches in clean text."""
+    from pyspark.sql import functions as F
+
+    from block_data_fetcher_spark.functions.text import (
+        _PII_EMAIL,
+        _PII_IP,
+        _PII_PHONE,
+    )
+
+    rows = [
+        ("mail me at a.b+c@ex-ample.co.uk thanks",),
+        ("call 415-555-0199 or 415-555-0200 now",),
+        ("served from 192.168.1.254 and 10.0.0.1",),
+        ("no pii here at all",),
+        ("mixed x@y.io 111-222-3333 8.8.8.8 end",),
+    ]
+    df = spark.createDataFrame(rows, "t string")
+    scrub = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _PII_EMAIL, "[EMAIL]"),
+            _PII_PHONE,
+            "[PHONE]",
+        ),
+        _PII_IP,
+        "[IP]",
+    )
+    out = df.select(
+        "t",
+        scrub.alias("s"),
+        (
+            F.size(F.regexp_extract_all(scrub, F.lit(_PII_EMAIL), 0))
+            + F.size(F.regexp_extract_all(scrub, F.lit(_PII_PHONE), 0))
+            + F.size(F.regexp_extract_all(scrub, F.lit(_PII_IP), 0))
+        ).alias("residual"),
+    ).collect()
+    for r in out:
+        assert r.residual == 0, (r.t, r.s)
+    by_t = {r.t: r.s for r in out}
+    assert by_t["no pii here at all"] == "no pii here at all"
+    assert "[EMAIL]" in by_t["mail me at a.b+c@ex-ample.co.uk thanks"]
+    assert by_t["call 415-555-0199 or 415-555-0200 now"].count("[PHONE]") == 2
+    assert by_t["served from 192.168.1.254 and 10.0.0.1"].count("[IP]") == 2
+
+
 def test_embed_near_dup_salted_blocks_exactly_once(spark, sf_dir, monkeypatch):
     """Triangle-block salting must emit every within-cell pair exactly
     once: a hot cell of n identical vectors yields exactly C(n,2)

@@ -30,6 +30,7 @@ _ANSI_QUERIES = [
     "q_csv_roundtrip",
     "q_dedup_exact",
     "q_filter_project",
+    "q_freq_items",
     "q_full_outer_join",
     "q_funnel",
     "q_group_count",
@@ -46,6 +47,9 @@ _ANSI_QUERIES = [
     "q_partitioned_sink",
     "q_salted_join",
     "q_scan_project",
+    "q_scd2",
+    "q_anomaly",
+    "q_interval_overlap",
     "q_self_join",
     "q_semi_join",
     "q_set_ops",
