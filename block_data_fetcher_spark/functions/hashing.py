@@ -427,6 +427,43 @@ def _size_rounds_to(spark: SparkSession, n_rows: int) -> None:
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
 
 
+LSH_VERIFY_MIN = 0.5  # exact-Jaccard acceptance threshold
+
+
+def q_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage near-dup detection — the production shape: LSH
+    candidate generation (cheap, recall-oriented) followed by EXACT
+    3-gram Jaccard verification of only the candidates
+    (precision-oriented). Emits every candidate with its sketch
+    estimate, exact similarity, and the accept/reject verdict.
+
+    Scale contract: the quadratic verify work is bounded by the
+    candidate count (≪ n²), and only candidate docs' shingle sets
+    travel through the verify joins — the corpus at large is touched
+    once, map-side, to build sets."""
+    docs = parallelize(table(spark, sf_dir, "documents"), spark)
+    pairs = minhash_pairs(docs)
+    sets = docs.select(
+        "doc_id", shingles(F.split("text", " ")).alias("sh")
+    )
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    jac = F.round(inter / union + 1e-9, 4)
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_sim",
+            jac.alias("jaccard"),
+            (jac >= LSH_VERIFY_MIN).alias("verified"),
+        )
+    )
+
+
 def q_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components via alternating LARGE-STAR / SMALL-STAR
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -718,10 +755,27 @@ GROUP BY 1, 2
 HAVING count(*) >= 2
 """
 
+_LSH_VERIFIED_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES} AS s FROM documents
+)
+SELECT p.doc_a, p.doc_b, p.est_sim,
+       round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.s, b.s))) + 1e-9, 4)
+         AS jaccard,
+       round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.s, b.s))) + 1e-9, 4)
+         >= {LSH_VERIFY_MIN} AS verified
+FROM ({_MINHASH_SQL}) p
+JOIN sh a ON a.doc_id = p.doc_a
+JOIN sh b ON b.doc_id = p.doc_b
+"""
+
 ORACLE: dict[str, str] = {
     "q_winnow": _WINNOW_SQL,
     "q_overlap_join": _OVERLAP_SQL,
     "q_cc_star": _DUP_CLUSTERS_SQL,
+    "q_lsh_verified": _LSH_VERIFIED_SQL,
     "q_dup_clusters": _DUP_CLUSTERS_SQL,
     "q_minhash_lsh": _MINHASH_SQL,
     "q_simhash": _SIMHASH_SQL,

@@ -202,7 +202,35 @@ def q_media_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact binary-payload dedup — the media twin of the text
+    dedup family: group identical payloads by md5 of the BYTES (not
+    any decoded form), keep the lowest media_id, report group sizes.
+
+    Scale shape: the hash is computed scan-side (payload bytes never
+    shuffle — only the 16-byte digest and ids do), then one groupBy
+    on the digest; the survivors join back by id if payloads are
+    needed. This is how petabyte media dedup actually runs: bytes
+    stay in place, digests move."""
+    media = synth_media(spark, sf_dir)
+    return (
+        media.select("media_id", "kind", F.md5("data").alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.min("media_id").alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .select("keep_id", "n_copies")
+    )
+
+
 ORACLE: dict[str, str] = {
+    "q_media_dedup": """
+        -- payload = utf-8 bytes of text, so grouping by text is
+        -- byte-identical grouping (DuckDB's md5 takes no BLOB)
+        SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM documents GROUP BY text
+    """,
     "q_multimodal_meta": """
         SELECT CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
                     WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
