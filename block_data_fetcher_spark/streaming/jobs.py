@@ -266,6 +266,31 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(joined, "stream_stream_join", "append")
 
 
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-ranked leaderboard: top-3 users by total purchase
+    value, recomputed per micro-batch (complete output mode — the one
+    mode that permits sorting, because the full aggregate state is
+    re-emitted each trigger).
+
+    Scale: state is one row per user (the grouped aggregate); the
+    sort runs over the REDUCED aggregate, never the stream. The
+    bounded-run result is pinned to the batch groupBy + top-k in
+    tests/test_streaming.py."""
+    ev = events_stream(spark, sf_dir).where(
+        F.col("event_type") == "purchase"
+    )
+    ranked = (
+        ev.groupBy("user_id")
+        .agg(
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.count("*").alias("n_purchases"),
+        )
+        .orderBy(F.col("total_value").desc(), F.col("user_id").asc())
+        .limit(3)
+    )
+    return _run_to_memory(ranked, "stream_topk", "complete")
+
+
 def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream LEFT OUTER join with event-time bounds: every
     click, null-extended when no purchase by the same user follows
@@ -422,3 +447,27 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(agg, "stream_session", "complete")
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles for the DETERMINISTIC bounded streams. A bounded
+# availableNow run that drains the whole source and emits either
+# complete-mode state or watermark-independent appends is exactly its
+# batch twin, so the batch oracle applies verbatim. Streams whose
+# bounded output depends on micro-batch boundaries or watermark
+# tail-holdback (left join, stateful, curate) stay rows-only.
+# ---------------------------------------------------------------------------
+
+from ..operators import windows as _batch_windows  # noqa: E402
+
+ORACLE: dict[str, str] = {
+    "q_stream_tumbling": _batch_windows.ORACLE["q_tumbling_window"],
+    "q_stream_upsert": _batch_windows.ORACLE["q_last_wins_window"],
+    "q_stream_topk": """
+        SELECT user_id, round(sum(value), 2) AS total_value,
+               count(*) AS n_purchases
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+        ORDER BY total_value DESC, user_id ASC LIMIT 3
+    """,
+}

@@ -197,3 +197,24 @@ def test_stream_stream_left_join_properties(spark, sf_dir):
     bound = max_ts - datetime.timedelta(hours=1, minutes=30)
     assert newest_null <= bound + datetime.timedelta(minutes=1)
     out.unpersist()
+
+
+def test_stream_topk_matches_batch(spark, sf_dir):
+    """Complete-mode ranked aggregate must equal the batch top-k."""
+    from pyspark.sql import functions as F
+
+    from block_data_fetcher_spark.streaming.jobs import q_stream_topk
+
+    stream = q_stream_topk(spark, sf_dir)
+    batch = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.count("*").alias("n_purchases"),
+        )
+        .orderBy(F.col("total_value").desc(), F.col("user_id").asc())
+        .limit(3)
+    )
+    assert _rows(stream) == _rows(batch)
