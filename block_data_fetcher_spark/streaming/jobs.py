@@ -463,6 +463,72 @@ from ..operators import windows as _batch_windows  # noqa: E402
 ORACLE: dict[str, str] = {
     "q_stream_tumbling": _batch_windows.ORACLE["q_tumbling_window"],
     "q_stream_upsert": _batch_windows.ORACLE["q_last_wins_window"],
+    # event_id is unique in the fixture, so within-watermark dedup of a
+    # fully-drained stream passes every row through
+    "q_stream_dedup": """
+        SELECT event_id, user_id, event_type FROM events
+    """,
+    # each event lands in exactly two 1h-by-30min sliding windows
+    "q_stream_sliding": """
+        SELECT w_start, w_start + INTERVAL 1 HOUR AS w_end,
+               count(*) AS cnt
+        FROM (
+          SELECT time_bucket(INTERVAL '30 minutes', ts)
+                   - k * INTERVAL '30 minutes' AS w_start
+          FROM events, unnest([0, 1]) AS t(k)
+        )
+        GROUP BY w_start
+    """,
+    # session_window merges while ts < prev + gap (half-open), so a
+    # new session starts at gap >= 1800s; end = last event + gap
+    "q_stream_session": """
+        WITH flagged AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                      THEN 1 ELSE 0 END AS is_start
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), numbered AS (
+          SELECT user_id, ts,
+                 CAST(sum(is_start) OVER (
+                        PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS sid
+          FROM flagged
+        )
+        SELECT user_id, min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               count(*) AS cnt
+        FROM numbered GROUP BY user_id, sid
+    """,
+    # one source file + maxFilesPerTrigger=1 → exactly one micro-batch,
+    # so the per-user state emitted in update mode is the full rollup
+    "q_stream_stateful": """
+        SELECT user_id, count(*) AS n_events,
+               round(sum(value), 2) AS total_value,
+               count(*) FILTER (event_type = 'purchase') AS n_purchases,
+               min(ts) AS first_ts, max(ts) AS last_ts
+        FROM events GROUP BY user_id
+    """,
+    "q_stream_static_join": """
+        WITH profile AS (
+          SELECT user_id, count(*) AS lifetime_events
+          FROM events GROUP BY user_id
+        )
+        SELECT e.event_id, e.user_id, e.event_type, p.lifetime_events
+        FROM events e LEFT JOIN profile p USING (user_id)
+    """,
+    # inner interval join of a fully-drained bounded run emits exactly
+    # the batch self-join's pairs (watermark only evicts state)
+    "q_stream_stream_join": """
+        SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+               c.user_id AS c_user, p.value
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
     "q_stream_topk": """
         SELECT user_id, round(sum(value), 2) AS total_value,
                count(*) AS n_purchases
