@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import parallelize, table
 
 # Tiny per-language stopword lists for the language-ID heuristic.
 # Deterministic and mirrored literally in the DuckDB oracle.
@@ -529,6 +529,108 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SUBSTR_W = 8  # tokens per dedup window
+SUBSTR_DUP_FRAC = 0.2  # flag docs whose shared-window fraction reaches this
+
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplicate detection (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL'22): slide an
+    8-token window over every document, fingerprint each window, and
+    flag documents whose distinct windows are substantially shared
+    with OTHER occurrences in the corpus — catching partial overlap
+    (boilerplate, quoted passages) that whole-document hashing misses.
+
+    Spark-first shape: window generation is a map-side generator
+    explode (``sequence`` of starts + ``slice``), so the blow-up is
+    linear in corpus token count and never leaves the scan stage. The
+    only shuffles are window-hash scale: one distinct on
+    (doc_id, window) and one count per window — both partially
+    aggregated map-side. Full text never moves; only 32-hex-char
+    fingerprints travel. At 100 TB the (doc, window) stream is ~token
+    count × 32 B; hashing windows to int64 first would halve shuffle
+    bytes (kept as md5 here for oracle portability).
+
+    A window that repeats WITHIN one doc only does not flag it
+    (per-doc distinct before counting); ``n_docs_with >= 2`` means
+    two distinct documents share the window."""
+    docs = parallelize(table(spark, sf_dir, "documents"), spark)
+    toks = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    wins = (
+        toks.select(
+            "doc_id",
+            "ws",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size("ws") - (SUBSTR_W - 1), F.lit(1)),
+                )
+            ).alias("start"),
+        )
+        .select(
+            "doc_id",
+            F.md5(
+                F.concat_ws(" ", F.slice("ws", F.col("start"), F.lit(SUBSTR_W)))
+            ).alias("wh"),
+        )
+        .distinct()
+    )
+    cnt = wins.groupBy("wh").agg(F.count("*").alias("n_docs_with"))
+    shared = F.sum(F.when(F.col("n_docs_with") >= 2, 1).otherwise(0)).cast("long")
+    frac = F.round(shared / F.count("*") + F.lit(1e-9), 4)
+    return (
+        wins.join(cnt, "wh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            shared.alias("n_shared"),
+            frac.alias("dup_frac"),
+            (frac >= SUBSTR_DUP_FRAC).alias("flagged"),
+        )
+    )
+
+
+FUZZY_PREFIX = 48  # chars of prefix compared
+FUZZY_MAX_DIST = 25  # emit pairs at or under this edit distance
+
+
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy duplicate pairs by edit distance: same-language document
+    pairs whose 48-char prefixes are within levenshtein distance 25 —
+    the verify stage of a blocked fuzzy-join (record linkage /
+    near-dup confirmation on short fields).
+
+    The blocking key (``lang``) bounds the quadratic distance work to
+    within-block pairs; ``levenshtein`` runs JVM-side per pair. Scale
+    contract: a categorical block key is the fixture-scale stand-in —
+    at 100 TB the block key would be an LSH/SimHash bucket (see
+    q_minhash_lsh / q_simhash) so blocks stay O(1000) rows, and the
+    prefix cap keeps each distance O(48²) regardless of document
+    size. Emits (doc_a < doc_b, lang, dist)."""
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "lang", F.substring("text", 1, FUZZY_PREFIX).alias("p")
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_a"), "lang", F.col("p").alias("pa")
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("p").alias("pb"),
+    )
+    dist = F.levenshtein("pa", "pb")
+    return (
+        a.join(
+            b,
+            (F.col("lang") == F.col("lang_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .where(dist <= FUZZY_MAX_DIST)
+        .select("doc_a", "doc_b", "lang", dist.cast("long").alias("dist"))
+    )
+
+
 _BM25_TERMS = ", ".join(f"'{t}'" for t in BM25_QUERY)
 
 ORACLE: dict[str, str] = {
@@ -702,5 +804,42 @@ ORACLE: dict[str, str] = {
     """,
     "q_quality_score": f"""
         SELECT doc_id, quality FROM ({quality_sql("documents")})
+    """,
+    "q_substring_dedup": f"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ), wins AS (
+          SELECT DISTINCT doc_id,
+                 md5(array_to_string(ws[start : start + {SUBSTR_W - 1}], ' '))
+                   AS wh
+          FROM (
+            SELECT doc_id, ws,
+                   unnest(range(1, greatest(len(ws) - {SUBSTR_W - 1}, 1) + 1))
+                     AS start
+            FROM toks
+          )
+        ), cnt AS (
+          SELECT wh, count(*) AS n_docs_with FROM wins GROUP BY wh
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_windows,
+               CAST(sum(CASE WHEN n_docs_with >= 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_shared,
+               round(sum(CASE WHEN n_docs_with >= 2 THEN 1 ELSE 0 END) * 1.0
+                     / count(*) + 1e-9, 4) AS dup_frac,
+               round(sum(CASE WHEN n_docs_with >= 2 THEN 1 ELSE 0 END) * 1.0
+                     / count(*) + 1e-9, 4) >= {SUBSTR_DUP_FRAC} AS flagged
+        FROM wins JOIN cnt USING (wh)
+        GROUP BY doc_id
+    """,
+    "q_fuzzy_match": f"""
+        WITH d AS (
+          SELECT doc_id, lang, substr(text, 1, {FUZZY_PREFIX}) AS p
+          FROM documents
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang,
+               CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist
+        FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.p, b.p) <= {FUZZY_MAX_DIST}
     """,
 }

@@ -702,7 +702,55 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("change") != "unchanged")
 
 
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (percentile-clipped) robust means per event type:
+    clip values at the type's exact p05/p95, then compare the raw and
+    clipped means — the outlier-robust aggregation every metrics
+    pipeline needs before training on noisy numeric features.
+
+    Two-pass shape: pass 1 computes exact percentiles per type (5
+    groups — the percentile state is per-group-bounded, not
+    corpus-bounded), the 5-row result broadcasts back onto the fact
+    scan, pass 2 is one map-side-combined aggregate. At 100 TB pass 1
+    would switch to ``approx_percentile`` (t-digest, mergeable,
+    single pass) — exact ``percentile`` is kept here so the DuckDB
+    oracle (``quantile_cont``, same linear-interpolation definition)
+    matches bit-for-bit at round(4)."""
+    ev = table(spark, sf_dir, "events")
+    pct = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05D)").alias("p05"),
+        F.expr("percentile(value, 0.95D)").alias("p95"),
+    )
+    clipped = ev.join(F.broadcast(pct), "event_type").withColumn(
+        "wv", F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("value") + F.lit(1e-9), 4).alias("mean_raw"),
+        F.round(F.avg("wv") + F.lit(1e-9), 4).alias("mean_winsorized"),
+        F.round(F.min("p05") + F.lit(1e-9), 4).alias("p05"),
+        F.round(F.max("p95") + F.lit(1e-9), 4).alias("p95"),
+    )
+
+
 ORACLE: dict[str, str] = {
+    "q_winsorize": """
+        WITH pct AS (
+          SELECT event_type,
+                 quantile_cont(value, 0.05) AS p05,
+                 quantile_cont(value, 0.95) AS p95
+          FROM events GROUP BY event_type
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(avg(value) + 1e-9, 4) AS mean_raw,
+               round(avg(least(greatest(value, pct.p05), pct.p95)) + 1e-9, 4)
+                 AS mean_winsorized,
+               round(min(pct.p05) + 1e-9, 4) AS p05,
+               round(max(pct.p95) + 1e-9, 4) AS p95
+        FROM events JOIN pct USING (event_type)
+        GROUP BY event_type
+    """,
     "q_snapshot_diff": """
         WITH a AS (
           SELECT user_id, event_type,

@@ -244,7 +244,62 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EXPORT_SHARDS = 16
+_FP_MOD = 1_000_000_007  # keep per-doc fingerprints summable in int64
+
+
+def q_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-export sharding: assign every document
+    to one of 16 shards by a pure hash of its id, and report each
+    shard's manifest (doc count, token count, order-independent
+    content fingerprint) — the final step that turns a curated corpus
+    into reproducible training files.
+
+    The shard id is a Knuth multiplicative hash of ``doc_id`` — a
+    pure function of the row, so shard membership is stable across
+    engines, re-runs, and task retries (same rationale as
+    :func:`q_stratified_sample`'s hash-mod draw; a `repartition(N)`
+    round-robin would re-deal on every retry). The content
+    fingerprint sums per-doc md5 prefixes mod a prime, so it is
+    insensitive to row order within a shard — two exports match iff
+    their shards hold identical document sets. One map-side-combined
+    aggregate over 16 keys; at 100 TB the physical write is
+    ``.repartition(N, shard).write.partitionBy("shard")`` with this
+    manifest as the verification artifact."""
+    docs = table(spark, sf_dir, "documents")
+    shard = (
+        (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+        % EXPORT_SHARDS
+    ).cast("long")
+    fp = (
+        F.conv(F.substring(F.md5("text"), 1, 12), 16, 10).cast("long")
+        % _FP_MOD
+    )
+    return (
+        docs.select(
+            shard.alias("shard"),
+            token_count("text").alias("toks"),
+            fp.alias("fp"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("toks").alias("n_tokens"),
+            F.sum("fp").alias("content_fp"),
+        )
+    )
+
+
 ORACLE: dict[str, str] = {
+    "q_export_shards": f"""
+        SELECT (doc_id * 2654435761) % 4294967296 % {EXPORT_SHARDS} AS shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+               CAST(sum(CAST('0x' || substr(md5(text), 1, 12) AS BIGINT)
+                        % {_FP_MOD}) AS BIGINT) AS content_fp
+        FROM documents
+        GROUP BY 1
+    """,
     "q_corpus_curate": f"""
         WITH scored AS (
           SELECT * FROM ({quality_sql("documents")})
