@@ -27,8 +27,14 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 
-_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
-_SCHEMA = "event_id long, event_type string, value double, ts timestamp"
+# The fixture `ts` is TIMESTAMP_NTZ (parquet ns, no zone): text writers
+# format it through `timestampNTZFormat` — setting only `timestampFormat`
+# would silently fall back to the millisecond default on write while the
+# read side demands micros, nulling every timestamp. Both options are
+# pinned to the same micros pattern (no offset: NTZ carries none) and the
+# read schema declares the same NTZ type the table has.
+_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+_SCHEMA = "event_id long, event_type string, value double, ts timestamp_ntz"
 
 # Anchor scratch output to the repo (not the caller's cwd — the
 # external driver may invoke the catalog from anywhere).
@@ -69,11 +75,14 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(_WAREHOUSE, "formats", "events_csv")
     _events_slice(spark, sf_dir).write.mode("overwrite").option(
         "header", "true"
-    ).option("timestampFormat", _TS_FMT).csv(path)
+    ).option("timestampFormat", _TS_FMT).option(
+        "timestampNTZFormat", _TS_FMT
+    ).csv(path)
     back = (
         spark.read.schema(_SCHEMA)
         .option("header", "true")
         .option("timestampFormat", _TS_FMT)
+        .option("timestampNTZFormat", _TS_FMT)
         .option("mode", "PERMISSIVE")
         .csv(path)
     )
@@ -87,10 +96,11 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(_WAREHOUSE, "formats", "events_jsonl")
     _events_slice(spark, sf_dir).write.mode("overwrite").option(
         "timestampFormat", _TS_FMT
-    ).json(path)
+    ).option("timestampNTZFormat", _TS_FMT).json(path)
     back = (
         spark.read.schema(_SCHEMA)
         .option("timestampFormat", _TS_FMT)
+        .option("timestampNTZFormat", _TS_FMT)
         .option("mode", "PERMISSIVE")
         .json(path)
     )
