@@ -417,6 +417,290 @@ def q_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return em.join(drop, "vec_id", "left_anti").select("vec_id", "label")
 
 
+# --- ANN: product quantization --------------------------------------------
+# M subspaces of DIM/M dims; K codes per subspace. The codebook is the
+# subvectors of the first K vectors (deterministic "trained" centroids,
+# same stance as IVF's vec_id<8 cells) so the oracle can rebuild it.
+PQ_M = 4
+PQ_K = 8
+PQ_SUB = DIM // PQ_M
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    """Σ (aᵢ−bᵢ)² via zip_with + left fold — the sequential summation
+    both engines share bit-for-bit (same contract as :func:`dot`)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_codebook(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
+    """codebook[m][k] = subvector m of vector k (vec_id < PQ_K),
+    collected driver-side — K·DIM floats, the legitimate dim collect."""
+    em = table(spark, sf_dir, "embeddings")
+    rows = sorted(
+        em.where(F.col("vec_id") < PQ_K).select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    full = [[float(x) for x in r["embedding"]] for r in rows]
+    return [
+        [full[k][m * PQ_SUB : (m + 1) * PQ_SUB] for k in range(PQ_K)]
+        for m in range(PQ_M)
+    ]
+
+
+def _pq_encoded(em: DataFrame, codebook) -> DataFrame:
+    """Adds per-subspace code/distance structs: for each subspace the
+    argmin over K literal centroids, ties to the lowest code (array_min
+    over (dist, code) structs — lexicographic struct order). All map
+    side: at 100 TB encoding is an embarrassingly parallel scan and the
+    8-byte code column replaces the 256-byte vector downstream."""
+    xs = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    cols = [em["vec_id"]]
+    for m in range(PQ_M):
+        sub = F.slice(xs, m * PQ_SUB + 1, PQ_SUB)
+        best = F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        _sq_dist(sub, F.lit(codebook[m][k])).alias("d"),
+                        F.lit(k).alias("c"),
+                    )
+                    for k in range(PQ_K)
+                ]
+            )
+        )
+        cols.append(best.alias(f"_b{m}"))
+    return em.select(*cols)
+
+
+def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (north star: the vector-compression
+    step between int8 quantization and IVF): each vector becomes M=4
+    sub-codes from K=8-entry codebooks — 3 bits per subspace, a 170x
+    compression of the 64-dim float32 vector.
+
+    Output pins the packed integer code exactly (codes are argmin ids —
+    integer-exact across engines because both compute the same
+    sequential-fold distances) and the reconstruction error (sum of
+    per-subspace min distances) to 4 decimals. Zero shuffle: encoding
+    is pure map-side expression work."""
+    em = parallelize(table(spark, sf_dir, "embeddings"), spark)
+    enc = _pq_encoded(em, _pq_codebook(spark, sf_dir))
+    code = None
+    err = None
+    for m in range(PQ_M):
+        c = F.col(f"_b{m}.c").cast("long") * (PQ_K**m)
+        d = F.col(f"_b{m}.d")
+        code = c if code is None else code + c
+        err = d if err is None else err + d
+    return enc.select(
+        "vec_id",
+        code.alias("pq_code"),
+        (F.round(err, 4) + 0.0).alias("recon_err"),
+    )
+
+
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via asymmetric distance computation (ADC) over the PQ
+    codes: the query (vec_id=0) precomputes a distance table
+    dtable[m][k] = ||q_m − c_{m,k}||² (M·K = 32 doubles, driver-side);
+    every per-vector approximate distance is then M table lookups — no
+    vector math at all on the scan side.
+
+    Scale: this is the FAISS IVFADC search shape — the fact table
+    carries only the code columns, the distance table broadcasts as
+    literals, and ranking is map + TakeOrderedAndProject with no
+    shuffle. Exactness is delegated to the oracle re-deriving the same
+    codes and table; approx distances are deterministic because both
+    engines sum the same 4 doubles in subspace order."""
+    codebook = _pq_codebook(spark, sf_dir)
+    em = table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in em.where(F.col("vec_id") == 0).head()["embedding"]]
+
+    def seq_sq(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    dtable = [
+        [seq_sq(q[m * PQ_SUB : (m + 1) * PQ_SUB], codebook[m][k]) for k in range(PQ_K)]
+        for m in range(PQ_M)
+    ]
+    enc = _pq_encoded(parallelize(em, spark), codebook)
+    approx = None
+    for m in range(PQ_M):
+        term = F.element_at(F.lit(dtable[m]), F.col(f"_b{m}.c") + 1)
+        approx = term if approx is None else approx + term
+    return (
+        enc.where(F.col("vec_id") != 0)
+        .select("vec_id", (F.round(approx, 4) + 0.0).alias("approx_dist"))
+        .orderBy(F.col("approx_dist").asc(), F.col("vec_id").asc())
+        .limit(5)
+    )
+
+
+_PQ_CODES_SQL = f"""
+  v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+  ms AS (SELECT unnest(range({PQ_M})) AS m),
+  sub AS (SELECT vec_id, m, list_slice(x, m*{PQ_SUB}+1, (m+1)*{PQ_SUB}) AS s
+          FROM v CROSS JOIN ms),
+  cent AS (SELECT vec_id AS code, m, s AS cs FROM sub WHERE vec_id < {PQ_K}),
+  d AS (SELECT sub.vec_id, sub.m, cent.code,
+               list_sum(list_transform(list_zip(sub.s, cent.cs),
+                        p -> (p[1]-p[2])*(p[1]-p[2]))) AS d
+        FROM sub JOIN cent ON sub.m = cent.m),
+  best AS (SELECT vec_id, m, code, d,
+                  row_number() OVER (PARTITION BY vec_id, m
+                                     ORDER BY d ASC, code ASC) AS rn
+           FROM d)
+"""
+
+_PQ_SQL = f"""
+WITH {_PQ_CODES_SQL}
+SELECT vec_id,
+       CAST(sum(code * CAST(pow({PQ_K}, m) AS BIGINT)) AS BIGINT) AS pq_code,
+       round(sum(d), 4) + 0.0 AS recon_err
+FROM best WHERE rn = 1 GROUP BY vec_id
+"""
+
+_ANN_PQ_SQL = f"""
+WITH {_PQ_CODES_SQL},
+  qsub AS (SELECT m, s AS qs FROM sub WHERE vec_id = 0),
+  dtable AS (SELECT cent.m, cent.code,
+                    list_sum(list_transform(list_zip(qs, cs),
+                             p -> (p[1]-p[2])*(p[1]-p[2]))) AS qd
+             FROM cent JOIN qsub ON cent.m = qsub.m)
+SELECT best.vec_id,
+       round(sum(dtable.qd), 4) + 0.0 AS approx_dist
+FROM best JOIN dtable ON best.m = dtable.m AND best.code = dtable.code
+WHERE best.rn = 1 AND best.vec_id <> 0
+GROUP BY best.vec_id
+ORDER BY approx_dist ASC, best.vec_id ASC LIMIT 5
+"""
+
+
+# --- k-means clustering ---------------------------------------------------
+# Lloyd's algorithm with deterministic init (centroids = vectors of
+# vec_id 0..K-1) and a fixed iteration count, so a DuckDB oracle can
+# unroll the exact same computation. Per-iteration centroids round to
+# 6 decimals on BOTH sides — this quantization absorbs the last-ulp
+# summation-order differences between Spark's hash-agg avg and
+# DuckDB's, so the argmin assignments stay engine-identical.
+KM_K = 4
+KM_ITERS = 3
+
+
+def _km_assign(em: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
+    """Map-side argmin over literal (id, centroid) pairs (ties → lowest
+    id): the same array_min-over-structs shape as PQ encoding. No
+    shuffle. Centroids keep their original cluster ids even if some
+    cluster emptied out along the way (drop-cluster rule)."""
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _sq_dist(F.col("x"), F.lit(cx)).alias("d"),
+                    F.lit(cid).alias("c"),
+                )
+                for cid, cx in cents
+            ]
+        )
+    )
+    return em.select("vec_id", "x", best["c"].alias("cluster"), best["d"].alias("d"))
+
+
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means clustering of the embedding corpus (north star: semantic
+    clustering for training-data mixing / SemDeDup cells): K=4,
+    3 Lloyd iterations, deterministic first-K init.
+
+    Per iteration: assignment is a map-side argmin against K broadcast
+    (literal) centroids; the update is posexplode → groupBy(cluster,
+    dim) avg — a (K·DIM)-row aggregate with map-side partial combine,
+    then a K·DIM-double driver collect (the legitimate dim collect,
+    same stance as IVF centroids). This is exactly Spark MLlib's
+    KMeans dataflow shape, minus sampled init. At 100 TB: per-round
+    cost is one scan + one tiny shuffle; centroids stay driver-side.
+    Empty clusters keep no centroid (drop-cluster rule, mirrored in
+    the oracle)."""
+    em = parallelize(table(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda e: e.cast("double")).alias("x"),
+    )
+    init = sorted(
+        em.where(F.col("vec_id") < KM_K).select("vec_id", "x").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    cents = [(int(r["vec_id"]), [float(v) for v in r["x"]]) for r in init]
+    for _ in range(KM_ITERS):
+        a = _km_assign(em, cents)
+        means = (
+            a.select("cluster", F.posexplode("x").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("m"))
+            .collect()
+        )
+        by_c: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_c.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
+        cents = [
+            (c, [by_c[c][i] for i in range(DIM)]) for c in sorted(by_c)
+        ]
+    final = _km_assign(em, cents)
+    return final.select(
+        "vec_id",
+        "cluster",
+        (F.round(F.sqrt(F.col("d")), 4) + 0.0).alias("dist"),
+    )
+
+
+def _kmeans_oracle() -> str:
+    """Unrolled Lloyd iterations as chained CTEs — the same rounded
+    centroid quantization at each step."""
+    ctes = [
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings)",
+        f"ms AS (SELECT unnest(range({DIM})) AS i)",
+        f"c0 AS (SELECT vec_id AS c, x AS cx FROM v WHERE vec_id < {KM_K})",
+    ]
+    for t in range(KM_ITERS + 1):
+        ctes.append(
+            f"""d{t} AS (SELECT v.vec_id, c.c,
+               list_sum(list_transform(list_zip(v.x, c.cx),
+                        p -> (p[1]-p[2])*(p[1]-p[2]))) AS d
+               FROM v CROSS JOIN c{t} c)"""
+        )
+        ctes.append(
+            f"""a{t} AS (SELECT vec_id, c, d FROM (
+               SELECT vec_id, c, d, row_number() OVER (
+                 PARTITION BY vec_id ORDER BY d ASC, c ASC) AS rn FROM d{t})
+               WHERE rn = 1)"""
+        )
+        if t < KM_ITERS:
+            ctes.append(
+                f"""m{t} AS (SELECT a.c, ms.i, round(avg(v.x[ms.i+1]), 6) AS m
+                   FROM a{t} a JOIN v USING (vec_id) CROSS JOIN ms
+                   GROUP BY a.c, ms.i)"""
+            )
+            ctes.append(
+                f"c{t + 1} AS (SELECT c, list(m ORDER BY i) AS cx FROM m{t} GROUP BY c)"
+            )
+    last = KM_ITERS
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT vec_id, c AS cluster, round(sqrt(d), 4) + 0.0 AS dist
+        FROM a{last}"""
+    )
+
+
+_KMEANS_SQL = _kmeans_oracle()
+
+
 _QUANT_SQL = """
     WITH v AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
@@ -439,6 +723,9 @@ _QUANT_SQL = """
 """
 
 ORACLE: dict[str, str] = {
+    "q_embed_pq": _PQ_SQL,
+    "q_ann_pq": _ANN_PQ_SQL,
+    "q_kmeans": _KMEANS_SQL,
     "q_embed_quantize": _QUANT_SQL,
     "q_embed_dedup": f"""
         SELECT vec_id, label FROM embeddings

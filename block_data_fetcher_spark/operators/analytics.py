@@ -109,7 +109,9 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate that reuses the same partitioning."""
     ev = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    # NTZ → LTZ → double (NTZ has no numeric cast; session tz is UTC)
+    sec = F.col("ts").cast("timestamp").cast("double")
+    gap = sec - F.lag(sec).over(w)
     is_start = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
     sessions = ev.withColumn(
         "session_id",
@@ -397,7 +399,7 @@ def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("long"))
+        .orderBy(F.col("ts").cast("timestamp").cast("long"))
         .rangeBetween(-3600, 0)
     )
     return ev.select(
@@ -505,7 +507,13 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     choice (one fan-out step, minimal false candidates)."""
     band = 3600  # seconds
     ev = table(spark, sf_dir, "events").select(
-        "event_id", "user_id", F.col("ts").cast("long").alias("sec")
+        "event_id",
+        "user_id",
+        # ts is TIMESTAMP_NTZ (naive micros in the fixture); NTZ has no
+        # direct long cast — go through LTZ (session tz is pinned UTC,
+        # so the epoch seconds are the same naive-UTC instants DuckDB
+        # computes with epoch(ts)).
+        F.col("ts").cast("timestamp").cast("long").alias("sec"),
     )
     left = ev.select(
         F.col("event_id").alias("a_id"),
@@ -733,7 +741,177 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PR_DAMP = 0.85
+PR_ITERS = 3
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the trade graph (edge u→v when a
+    customer in nation u bought from a supplier in nation v) — the
+    second iterative graph operator next to connected components
+    (q_dup_clusters / q_cc_star): importance propagation instead of
+    label propagation.
+
+    Dataflow per iteration (the shape that matters at 100 TB): ranks
+    stay DISTRIBUTED — contributions are edges ⋈ ranks on src (one
+    shuffle on the edge partitioning key), aggregated by dst (second
+    shuffle, map-side combinable), then the rank update is a left
+    join back to the node set. Nothing is collected; the edge list is
+    persisted once and reused every round. A fixed iteration count +
+    per-iteration round(.,10) on BOTH engines quantizes away
+    summation-order ulp drift, making the trajectory engine-exact
+    (same stance as k-means centroid rounding). Dangling-node mass is
+    not redistributed (plain damped formula, mirrored in the
+    oracle)."""
+    nodes = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node")
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .select(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .distinct()
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    n_nodes = nodes.count()
+    base = (1.0 - PR_DAMP) / n_nodes
+    ranks = nodes.select("node", F.lit(round(1.0 / n_nodes, 10)).alias("r"))
+    for _ in range(PR_ITERS):
+        contribs = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") / F.col("d")).alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            .select(
+                "node",
+                F.round(
+                    F.lit(base) + PR_DAMP * F.coalesce(F.col("contrib"), F.lit(0.0)),
+                    10,
+                ).alias("r"),
+            )
+        )
+    return ranks.select(
+        F.col("node").alias("nationkey"), (F.round(F.col("r"), 6) + 0.0).alias("rank")
+    )
+
+
+def _pagerank_oracle() -> str:
+    ctes = [
+        """e AS (SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+           FROM lineitem l
+           JOIN orders o ON l.l_orderkey = o.o_orderkey
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN supplier s ON l.l_suppkey = s.s_suppkey)""",
+        "n AS (SELECT n_nationkey AS node FROM nation)",
+        "deg AS (SELECT src, count(*) AS d FROM e GROUP BY src)",
+        """r0 AS (SELECT node,
+           round(1.0 / (SELECT count(*) FROM n), 10) AS r FROM n)""",
+    ]
+    for t in range(PR_ITERS):
+        ctes.append(
+            f"""c{t} AS (SELECT e.dst AS node, sum(r.r / deg.d) AS contrib
+               FROM e JOIN r{t} r ON e.src = r.node
+               JOIN deg ON e.src = deg.src GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""r{t + 1} AS (SELECT n.node,
+               round({1.0 - PR_DAMP} / (SELECT count(*) FROM n)
+                     + {PR_DAMP} * coalesce(c.contrib, 0), 10) AS r
+               FROM n LEFT JOIN c{t} c USING (node))"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT node AS nationkey, round(r, 6) + 0.0 AS rank FROM r{PR_ITERS}"""
+    )
+
+
+CM_W = 256  # sketch width  (ε = e/w ≈ 0.011 of stream length)
+CM_D = 4  # sketch depth  (failure prob per key ≈ e^-d ≈ 0.018)
+
+
+def q_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch heavy hitters: estimate per-user event counts
+    from a fixed d×w counter grid (d=4 rows × w=256 buckets, seeded
+    xxhash64 per row) and verify the top-10 exact heavy hitters'
+    estimates against the CM guarantee (est ≥ exact, always; and
+    est ≤ exact + ε·N with ε = e/w, checked deterministically).
+
+    Scale: the sketch build is ONE aggregation over (row, bucket) —
+    1024 cells regardless of stream size, fully map-side-combinable
+    (this is why CM beats exact groupBy at 100 TB: the shuffle carries
+    d·w partial counters per task, not |distinct keys| rows). The
+    heavy-hitter probe joins 10 keys × d rows against the 1024-cell
+    sketch — broadcast both ways. Oracle via the within-bound pattern
+    (sketch internals aren't comparable across engines): exact counts
+    + literal trues."""
+    import math
+
+    ev = table(spark, sf_dir, "events").select("user_id")
+    n_total = ev.count()  # scalar stream length for the ε·N bound
+    bound = math.e / CM_W * n_total
+
+    cells = ev.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        F.pmod(F.xxhash64("user_id", F.lit(r)), F.lit(CM_W)).alias(
+                            "b"
+                        ),
+                    )
+                    for r in range(CM_D)
+                ]
+            )
+        ).alias("rb")
+    )
+    sketch = cells.groupBy("rb.r", "rb.b").agg(F.count("*").alias("cnt"))
+
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("user_id").asc())
+        .limit(10)
+    )
+    probes = top.select(
+        "user_id",
+        "exact_cnt",
+        F.explode(F.sequence(F.lit(0), F.lit(CM_D - 1))).alias("r"),
+    ).withColumn("b", F.pmod(F.xxhash64("user_id", F.col("r")), F.lit(CM_W)))
+    est = (
+        probes.join(F.broadcast(sketch), ["r", "b"])
+        .groupBy("user_id", "exact_cnt")
+        .agg(F.min("cnt").alias("est"))
+    )
+    return est.select(
+        "user_id",
+        "exact_cnt",
+        (F.col("est") >= F.col("exact_cnt")).alias("overest_ok"),
+        ((F.col("est") - F.col("exact_cnt")) <= F.lit(bound)).alias("within_bound"),
+    ).orderBy(F.col("exact_cnt").desc(), F.col("user_id").asc())
+
+
 ORACLE: dict[str, str] = {
+    "q_pagerank": _pagerank_oracle(),
+    "q_countmin": """
+        SELECT user_id, count(*) AS exact_cnt,
+               true AS overest_ok, true AS within_bound
+        FROM events GROUP BY user_id
+        ORDER BY exact_cnt DESC, user_id ASC LIMIT 10
+    """,
     "q_winsorize": """
         WITH pct AS (
           SELECT event_type,

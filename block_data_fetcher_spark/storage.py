@@ -231,7 +231,74 @@ def q_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact⋈fact join end to end: orders and lineitem are
+    written as managed tables bucketed 8 ways on the order key, then
+    joined and aggregated. Because both sides' bucket layout already
+    satisfies the join's required distribution, the sort-merge join
+    runs with NO Exchange on either side (plan-gated in
+    tests/test_storage.py) — the engine's answer to the reference's
+    B-tree FK indexes (``migrations/20251023000002_create_transactions
+    .sql:36-41``): at 100 TB you pay the shuffle once at write time
+    and every subsequent join on the key is shuffle-free.
+
+    The merge hint pins the bucketed SMJ path (without it, AQE would
+    happily broadcast at fixture scale and the physical claim being
+    demonstrated — co-location — would never be exercised)."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    from .catalog import table
+
+    # The session catalog is in-memory: a table written by a PREVIOUS
+    # process is gone from the catalog but its warehouse directory
+    # survives, and saveAsTable refuses to reuse the location. Drop
+    # both the entry and any orphaned directory before writing.
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for name in ("bdf_orders_bkt", "bdf_lineitem_bkt"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
+
+    write_bucketed(
+        table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+        "bdf_orders_bkt",
+        ["o_orderkey"],
+        8,
+    )
+    write_bucketed(
+        table(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            "l_extendedprice",
+            "l_discount",
+        ),
+        "bdf_lineitem_bkt",
+        ["o_orderkey"],
+        8,
+    )
+    li = spark.table("bdf_lineitem_bkt")
+    orders = spark.table("bdf_orders_bkt")
+    return (
+        li.hint("merge")
+        .join(orders, "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
 ORACLE: dict[str, str] = {
+    "q_bucketed_join": """
+        SELECT o.o_orderpriority,
+               count(*) AS n_items,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
+    """,
     "q_partitioned_sink": """
         SELECT event_type, count(*) AS n,
                round(sum(value), 2) AS sum_value

@@ -44,14 +44,20 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
 # Explicit schema — streaming file sources require one; never inference
-# in production paths (SURVEY §1.3). ts arrives as nanos (see catalog).
+# in production paths (SURVEY §1.3). The fixture's ts is parquet
+# TIMESTAMP(MICROS) with no zone → TIMESTAMP_NTZ (naive micros), the
+# same type the batch catalog reads and the DuckDB oracles compare
+# against. (Earlier fixtures shipped TIMESTAMP(NANOS); reading THIS
+# schema with a LongType + div-1000 conversion would silently collapse
+# every event onto 1970 — schema drift fails loud via the NTZ type.)
 _EVENTS_RAW_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as long
+        StructField("ts", TimestampNTZType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -63,16 +69,17 @@ _EVENTS_RAW_SCHEMA = StructType(
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet — the batch-analog
     micro-batch source (reference ST1)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # The file source requires a directory: stream the sf_dir and
-    # glob-filter to the events file.
-    raw = (
+    # glob-filter to the events file. Watermarks demand TIMESTAMP
+    # (LTZ), not NTZ — cast under the pinned-UTC session, which maps
+    # each naive micros value to the same instant the oracle sees.
+    return (
         spark.readStream.schema(_EVENTS_RAW_SCHEMA)
         .option("maxFilesPerTrigger", 1)  # ST2 rate-limit analog
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
 def _run_to_memory(df: DataFrame, name: str, mode: str) -> DataFrame:
@@ -195,6 +202,112 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return _run_to_memory(rolled, "stream_stateful", "update")
+
+
+def q_stream_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same per-user rollup on Spark 4's `transformWithState`
+    API — the successor to ``applyInPandasWithState`` (q_stream_stateful)
+    with typed composable state (ValueState here; ListState/MapState/
+    timers available), per-key Arrow batches, and a RocksDB-backed
+    state store (required by the API; also the store you'd run at
+    100 TB — state spills to disk instead of capping at executor
+    heap).
+
+    The fixture source is a single parquet file → exactly one
+    micro-batch → the Update-mode emission per key IS the final
+    rollup, so the memory-sink table equals the batch aggregate and
+    gets a full value oracle (stronger than rows-only).
+
+    ENVIRONMENT GATE: transformWithState's Python↔JVM state protocol
+    is protobuf-framed (`pyspark/sql/streaming/proto/StateMessage_pb2`
+    imports `google.protobuf`); in containers without the protobuf
+    wheel the state driver worker cannot start. Where protobuf is
+    missing this falls back to the SAME rollup on
+    ``applyInPandasWithState`` — identical semantics and oracle, so
+    the catalog entry stays meaningful everywhere while the TWS code
+    path runs wherever the dependency exists."""
+    try:
+        import google.protobuf  # noqa: F401  (TWS state-server wire format)
+
+        _tws_available = True
+    except ImportError:
+        _tws_available = False
+
+    if not _tws_available:
+        ev = events_stream(spark, sf_dir)
+
+        def update(
+            key: tuple[Any, ...],
+            pdfs: Iterator[pd.DataFrame],
+            state: GroupState,
+        ) -> Iterator[pd.DataFrame]:
+            n, total = state.get if state.exists else (0, 0.0)
+            for pdf in pdfs:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            state.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 2)],
+                }
+            )
+
+        rolled = ev.groupBy("user_id").applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long, total_value double",
+            stateStructType="n long, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        return _run_to_memory(rolled, "stream_tws", "update")
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserRollup(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "n long, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._agg.get() if self._agg.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._agg.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    ev = events_stream(spark, sf_dir).select("user_id", "value")
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        rolled = ev.groupBy("user_id").transformWithStateInPandas(
+            UserRollup(),
+            outputStructType="user_id long, n_events long, total_value double",
+            outputMode="Update",
+            timeMode="None",
+        )
+        return _run_to_memory(rolled, "stream_tws", "update")
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
 
 
 def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -504,6 +617,11 @@ ORACLE: dict[str, str] = {
     """,
     # one source file + maxFilesPerTrigger=1 → exactly one micro-batch,
     # so the per-user state emitted in update mode is the full rollup
+    "q_stream_transform_state": """
+        SELECT user_id, count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events GROUP BY user_id
+    """,
     "q_stream_stateful": """
         SELECT user_id, count(*) AS n_events,
                round(sum(value), 2) AS total_value,

@@ -310,3 +310,24 @@ def test_bloom_join_injects_runtime_filter(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "bloom_filter_agg" in plan, plan
     assert "might_contain" in plan, plan
+
+
+def test_bucketed_join_catalog_query_single_exchange(spark, sf_dir):
+    """q_bucketed_join: both sides read from bucketed tables, so the
+    SMJ itself needs no Exchange — the only shuffle in the whole plan
+    is the final o_orderpriority aggregate. Exactly 1 Exchange and no
+    shuffle feeding the join proves the co-location contract held."""
+    df = _Q["q_bucketed_join"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" in plan, plan
+    assert count_exchanges(df) <= 1, plan
+
+
+def test_kmeans_assignment_has_no_key_shuffle(spark, sf_dir):
+    """The final k-means assignment is a map-side argmin against
+    literal centroids: no hash-partitioned Exchange in the returned
+    plan. (A RoundRobin repartition may appear — that's the
+    fixture-only `parallelize()` fan-out, a no-op at real scale where
+    the scan already yields >= cores splits.)"""
+    plan = formatted_plan(_Q["q_kmeans"](spark, sf_dir))
+    assert "hashpartitioning" not in plan, plan
