@@ -22,6 +22,7 @@ import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.windows import last_wins
 
@@ -56,6 +57,42 @@ def upsert_parquet(
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     tmp = tempfile.mkdtemp(prefix="upsert_", dir=os.path.dirname(path) or ".")
     deduped.write.mode("overwrite").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.replace(tmp, path)
+    return n
+
+
+def merge_aggregate(
+    spark: SparkSession,
+    partials: DataFrame,
+    path: str,
+    keys: list[str],
+) -> int:
+    """Algebraic aggregate maintenance: merge a batch's per-key
+    PARTIAL aggregates (columns besides `keys` must be sum-mergeable —
+    counts and sums, the algebraic class) into the stored aggregate
+    table by key-wise addition, write-temp-then-swap.
+
+    This is the incremental-materialized-view half of the sink family:
+    `upsert_parquet` keeps the newest ROW per key; this keeps the
+    running AGGREGATE per key, so a replayed batch is NOT idempotent —
+    exactly-once delivery comes from the streaming checkpoint (each
+    micro-batch merges once), the same contract Spark's own stateful
+    aggs rely on. At 100 TB the stored side is |keys| rows, not
+    |events| — the merge cost is bounded by key cardinality."""
+    if _exists(spark, path):
+        merged = spark.read.parquet(path).unionByName(partials)
+    else:
+        merged = partials
+    value_cols = [c for c in partials.columns if c not in keys]
+    rolled = merged.groupBy(*keys).agg(
+        *[F.sum(c).alias(c) for c in value_cols]
+    )
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix="mergeagg_", dir=os.path.dirname(path) or ".")
+    rolled.write.mode("overwrite").parquet(tmp)
     n = spark.read.parquet(tmp).count()
     if os.path.exists(path):
         shutil.rmtree(path)

@@ -66,7 +66,58 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.rollup("r_name", "n_name").agg(F.count("*").alias("cnt"))
 
 
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch `session_window` — the NATIVE dynamic-gap session operator
+    (the batch twin of q_stream_session; q_sessionize is the manual
+    gaps-and-islands spelling): per-user sessions close after 30
+    minutes of silence, session end = last event + gap.
+
+    Why both spellings exist: session_window is ONE grouped aggregate
+    (window merge inside the agg, one shuffle on user_id) vs the
+    two-window-pass island build — at 100 TB the native operator
+    carries (user, session) partial states map-side instead of a full
+    per-user sort + running sum. Sessions split when the inter-event
+    gap is ≥ the 30-minute window (touching windows do not overlap),
+    mirrored exactly in the oracle's lag predicate."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("s_start"),
+            F.col("w.end").alias("s_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 ORACLE: dict[str, str] = {
+    "q_session_window": """
+        WITH flags AS (
+          SELECT user_id, event_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS is_start
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+          SELECT user_id, ts, value,
+                 sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+          FROM flags
+        )
+        SELECT user_id,
+               min(ts) AS s_start,
+               max(ts) + INTERVAL 30 MINUTE AS s_end,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM sess GROUP BY user_id, sid
+    """,
     "q_last_wins_window": """
         SELECT user_id, event_id, event_type, value FROM (
           SELECT user_id, event_id, event_type, value,

@@ -231,6 +231,101 @@ def q_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure over the partitioned landing store: given a
+    deletion set of users (deterministic rule `user_id % 97 == 0`,
+    standing in for a GDPR request table), rewrite ONLY the hive
+    partitions that contain their rows — an anti-join per affected
+    day — and leave every other partition's files untouched.
+
+    The 100 TB story: erasure requests touch a tiny fraction of days;
+    dynamic partition overwrite (`partitionOverwriteMode=dynamic`)
+    replaces exactly the partitions present in the written frame, so
+    the rewrite cost is O(affected partitions), not O(table). The
+    affected-day list is derived from the delete candidates and
+    collected driver-side — partition *metadata*, the same cardinality
+    a metastore listing has. The returned aggregate reads the WHOLE
+    store back, proving deleted users are gone everywhere and
+    untouched partitions survived; the oracle computes the same
+    aggregate from the original parquet minus the delete set."""
+    import os
+
+    from .catalog import table
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "spark-warehouse",
+        "storage",
+        "events_gdpr",
+    )
+    ev = with_event_date(table(spark, sf_dir, "events"))
+    write_partitioned(repartition_for_write(ev, ["event_date"]), path, ["event_date"])
+
+    store = spark.read.parquet(path)
+    doomed = F.col("user_id") % 97 == 0
+    affected_days = [
+        r["event_date"]
+        for r in store.where(doomed).select("event_date").distinct().collect()
+    ]
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        cleaned = store.where(
+            F.col("event_date").isin(affected_days) & ~doomed
+        )
+        repartition_for_write(cleaned, ["event_date"]).write.partitionBy(
+            "event_date"
+        ).mode("overwrite").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    back = spark.read.parquet(path)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def q_zorder_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order-clustered sink end to end: events written sorted by the
+    Morton interleave of (user_id, value) buckets, read back with a
+    2-D selective predicate, aggregated. The data-skipping win is
+    measured in tests/test_storage.py on actual row-group min/max
+    stats; THIS entry proves the clustered layout is lossless — the
+    oracle computes the same filtered aggregate from the original
+    parquet.
+
+    At 100 TB this layout is the B-tree substitute for multi-dimension
+    point/range lookups: one range shuffle at write time, then every
+    (user, value) query prunes files on BOTH predicates."""
+    import os
+
+    from .catalog import table
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "spark-warehouse",
+        "storage",
+        "events_zorder",
+    )
+    ev = table(spark, sf_dir, "events")
+    zk = zorder_key(
+        [
+            linear_bucket(F.col("user_id").cast("double"), 0.0, 20000.0),
+            linear_bucket(F.col("value"), 0.0, 1000.0),
+        ]
+    )
+    write_zordered(ev.select("event_id", "user_id", "event_type", "value"), path, zk)
+    back = spark.read.parquet(path).where(
+        (F.col("user_id") % 1000 < 20) & (F.col("value") > 900.0)
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
 def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-located fact⋈fact join end to end: orders and lineitem are
     written as managed tables bucketed 8 ways on the order key, then
@@ -292,6 +387,21 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE: dict[str, str] = {
+    "q_gdpr_erasure": """
+        SELECT event_type, count(*) AS n,
+               count(DISTINCT user_id) AS n_users,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        WHERE user_id % 97 <> 0
+        GROUP BY event_type
+    """,
+    "q_zorder_sink": """
+        SELECT event_type, count(*) AS n,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        WHERE user_id % 1000 < 20 AND value > 900.0
+        GROUP BY event_type
+    """,
     "q_bucketed_join": """
         SELECT o.o_orderpriority,
                count(*) AS n_items,

@@ -492,6 +492,55 @@ def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance at streaming time:
+    each micro-batch reduces to per-event-type PARTIAL aggregates
+    (count, sum) inside the batch, then ``foreachBatch`` merges them
+    into the stored aggregate table by key-wise addition
+    (``etl.load.merge_aggregate``) — the algebraic-aggregate sink,
+    complementing the last-wins row UPSERT (q_stream_upsert).
+
+    The shuffle per batch carries |event_type| partial rows, not
+    |events| — at 100 TB the maintained view costs O(keys) per batch
+    regardless of stream volume. The final table must equal the batch
+    aggregate over the whole fixture (the oracle); multi-batch merge
+    arithmetic is unit-tested in tests/test_streaming.py."""
+    import shutil
+
+    from ..etl.load import merge_aggregate
+
+    ev = events_stream(spark, sf_dir).select("event_type", "value")
+    path = tempfile.mkdtemp(prefix="stream_mergeagg_") + "/agg_by_type"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        partials = batch_df.groupBy("event_type").agg(
+            F.count("*").alias("n"), F.sum("value").alias("sum_value")
+        )
+        merge_aggregate(batch_df.sparkSession, partials, path, ["event_type"])
+
+    try:
+        q = (
+            ev.writeStream.foreachBatch(write_batch)
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="ckpt_mergeagg_")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    out = spark.read.parquet(path).select(
+        "event_type", "n", (F.round(F.col("sum_value"), 2) + 0.0).alias("sum_value")
+    )
+    out = out.cache()
+    out.count()
+    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+    return out
+
+
 _DOCS_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -617,6 +666,11 @@ ORACLE: dict[str, str] = {
     """,
     # one source file + maxFilesPerTrigger=1 → exactly one micro-batch,
     # so the per-user state emitted in update mode is the full rollup
+    "q_stream_incremental_agg": """
+        SELECT event_type, count(*) AS n,
+               round(sum(value), 2) + 0.0 AS sum_value
+        FROM events GROUP BY event_type
+    """,
     "q_stream_transform_state": """
         SELECT user_id, count(*) AS n_events,
                round(sum(value), 2) AS total_value

@@ -218,3 +218,33 @@ def test_stream_topk_matches_batch(spark, sf_dir):
         .limit(3)
     )
     assert _rows(stream) == _rows(batch)
+
+
+def test_merge_aggregate_multibatch_equals_whole(spark, sf_dir, tmp_path):
+    """Merging per-batch partial aggregates across SEVERAL batches must
+    equal the single aggregate over the whole input — the algebraic
+    invariant q_stream_incremental_agg's single-file fixture can't
+    exercise on its own."""
+    from pyspark.sql import functions as F
+
+    from block_data_fetcher_spark.etl.load import merge_aggregate
+
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    path = str(tmp_path / "agg_by_type")
+    for i in range(3):
+        batch = ev.where(F.col("event_id") % 3 == i)
+        partials = batch.groupBy("event_type").agg(
+            F.count("*").alias("n"), F.sum("value").alias("sum_value")
+        )
+        merge_aggregate(spark, partials, path, ["event_type"])
+    got = {
+        r["event_type"]: (r["n"], round(r["sum_value"], 2))
+        for r in spark.read.parquet(path).collect()
+    }
+    want = {
+        r["event_type"]: (r["n"], round(r["sum_value"], 2))
+        for r in ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .collect()
+    }
+    assert got == want
