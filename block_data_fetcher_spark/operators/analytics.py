@@ -741,6 +741,101 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# One SQL text, two engines: Spark 4 executes the recursive CTE
+# natively (UNION ALL step, iterative execution under the hood) and
+# DuckDB runs the identical statement as the oracle — the strongest
+# form of the "a switching user keeps their SQL" claim (SURVEY §6).
+# The recursion is a per-customer linked-list walk (rn → rn+1), so the
+# working set never exceeds |orders in the window| and the running sum
+# accumulates in a DETERMINISTIC sequential order — engine-exact
+# without any quantization tricks.
+_RECURSIVE_SQL = """
+    WITH RECURSIVE o AS (
+      SELECT o_custkey AS c, o_totalprice AS p,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+      WHERE o_orderdate >= DATE '1995-01-01'
+        AND o_orderdate <  DATE '1995-04-01'
+    ), walk(c, rn, acc) AS (
+      SELECT c, rn, p FROM o WHERE rn = 1
+      UNION ALL
+      SELECT o.c, o.rn, walk.acc + o.p
+      FROM o JOIN walk ON o.c = walk.c AND o.rn = walk.rn + 1
+    )
+    SELECT c AS custkey, max(rn) AS n_orders,
+           round(max(acc), 2) AS total_spend
+    FROM walk GROUP BY c
+"""
+
+
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native recursive CTE (Spark 4): walk each customer's Q1-1995
+    orders as a linked list (rn → rn+1), accumulating spend step by
+    step — the iterate-until-exhausted SQL surface PostgreSQL users
+    had, now answered in-engine instead of via the DataFrame loop
+    spellings (q_dup_clusters / q_cc_star / q_pagerank).
+
+    Scale: each recursion step is one equi-join of the (pruned) order
+    list against the previous frontier; depth is bounded by the max
+    chain length in the window, and rows never exceed the input. The
+    oracle runs the IDENTICAL statement."""
+    from ..catalog import load
+
+    load(spark, sf_dir, register_views=True)
+    return spark.sql(_RECURSIVE_SQL)
+
+
+def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT: the top-2
+    nations per region by customer count — the "for each row, run this
+    dependent query" SQL shape. Catalyst decorrelates it into a
+    ranked-window join (no per-row re-execution); DuckDB executes the
+    identical text as the oracle.
+
+    Scale: after decorrelation this is one customer→nation aggregate
+    (broadcast dims) + a per-region rank — the same physics as
+    q_topn_per_group, reached from the SQL surface."""
+    from ..catalog import load
+
+    load(spark, sf_dir, register_views=True)
+    return spark.sql(_LATERAL_SQL)
+
+
+_LATERAL_SQL = """
+    SELECT r.r_name, t.n_name, t.n_customers
+    FROM region r, LATERAL (
+      SELECT n.n_name, count(*) AS n_customers
+      FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+      WHERE n.n_regionkey = r.r_regionkey
+      GROUP BY n.n_name
+      ORDER BY n_customers DESC, n_name ASC
+      LIMIT 2
+    ) t
+"""
+
+
+def q_linear_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in least-squares family (`regr_slope` / `regr_intercept`
+    / `regr_r2` / `regr_count`): per-event-type OLS fit of value
+    against user_id — closed-form regression as an ALGEBRAIC aggregate
+    (sums of x, y, xy, x², y²), so it map-side combines like any sum
+    and needs exactly one shuffle of 5 partials per group. The
+    trainable-scorer primitive a curation pipeline fits in-engine
+    instead of exporting to a notebook."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        (F.round(F.expr("regr_slope(value, CAST(user_id AS DOUBLE))") + 1e-9, 6) + 0.0).alias(
+            "slope"
+        ),
+        (F.round(F.expr("regr_intercept(value, CAST(user_id AS DOUBLE))") + 1e-9, 6) + 0.0).alias(
+            "intercept"
+        ),
+        (F.round(F.expr("regr_r2(value, CAST(user_id AS DOUBLE))") + 1e-9, 6) + 0.0).alias("r2"),
+        F.expr("regr_count(value, CAST(user_id AS DOUBLE))").alias("n"),
+    )
+
+
 PR_DAMP = 0.85
 PR_ITERS = 3
 
@@ -906,6 +1001,16 @@ def q_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE: dict[str, str] = {
     "q_pagerank": _pagerank_oracle(),
+    "q_recursive_cte": _RECURSIVE_SQL,
+    "q_lateral_topn": _LATERAL_SQL,
+    "q_linear_regr": """
+        SELECT event_type,
+               round(regr_slope(value, CAST(user_id AS DOUBLE)) + 1e-9, 6) + 0.0 AS slope,
+               round(regr_intercept(value, CAST(user_id AS DOUBLE)) + 1e-9, 6) + 0.0 AS intercept,
+               round(regr_r2(value, CAST(user_id AS DOUBLE)) + 1e-9, 6) + 0.0 AS r2,
+               regr_count(value, CAST(user_id AS DOUBLE)) AS n
+        FROM events GROUP BY event_type
+    """,
     "q_countmin": """
         SELECT user_id, count(*) AS exact_cnt,
                true AS overest_ok, true AS within_bound

@@ -119,8 +119,33 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip_agg(back)
 
 
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → XML (Spark 4's built-in XML source, rowTag=event) →
+    read with explicit schema → aggregate. The schema-on-read path for
+    the XML feeds enterprise stacks still emit; the same
+    timestampNTZFormat contract as CSV/JSON pins the NTZ column
+    through the text representation."""
+    path = os.path.join(_WAREHOUSE, "formats", "events_xml")
+    _events_slice(spark, sf_dir).write.mode("overwrite").format("xml").option(
+        "rootTag", "events"
+    ).option("rowTag", "event").option("timestampFormat", _TS_FMT).option(
+        "timestampNTZFormat", _TS_FMT
+    ).save(path)
+    back = (
+        spark.read.schema(_SCHEMA)
+        .format("xml")
+        .option("rowTag", "event")
+        .option("timestampFormat", _TS_FMT)
+        .option("timestampNTZFormat", _TS_FMT)
+        .option("mode", "PERMISSIVE")
+        .load(path)
+    )
+    return _roundtrip_agg(back)
+
+
 ORACLE: dict[str, str] = {
     "q_csv_roundtrip": _ROUNDTRIP_ORACLE,
     "q_jsonl_roundtrip": _ROUNDTRIP_ORACLE,
     "q_orc_roundtrip": _ROUNDTRIP_ORACLE,
+    "q_xml_roundtrip": _ROUNDTRIP_ORACLE,
 }
