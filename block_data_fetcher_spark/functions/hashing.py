@@ -510,7 +510,7 @@ def q_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
             e.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
 
-    def star(e: DataFrame, large: bool) -> DataFrame:
+    def star(e: DataFrame, large: bool, dedup: bool = True) -> DataFrame:
         s = sym(e)
         w = Window.partitionBy("a")
         with_m = s.withColumn(
@@ -524,13 +524,15 @@ def q_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = out.unionByName(
                 with_m.select(F.col("a").alias("u"), F.col("m").alias("v"))
             )
-        return (
-            out.select(
-                F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
-            )
-            .where(F.col("a") != F.col("b"))
-            .distinct()
-        )
+        out = out.select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        ).where(F.col("a") != F.col("b"))
+        # Duplicate edges don't change a neighborhood MINIMUM, so the
+        # intermediate large-star result skips its distinct (one fewer
+        # Exchange per round); only the round's final (small-star)
+        # output canonicalizes, which also keeps the convergence
+        # signature computed over a true set.
+        return out.distinct() if dedup else out
 
     def signature(e: DataFrame):
         row = e.agg(
@@ -541,9 +543,9 @@ def q_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     prev = signature(edges)
     for _ in range(15):
-        edges = star(star(edges, large=True), large=False).localCheckpoint(
-            eager=False
-        )
+        edges = star(
+            star(edges, large=True, dedup=False), large=False
+        ).localCheckpoint(eager=False)
         cur = signature(edges)
         if cur == prev:
             break

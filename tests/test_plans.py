@@ -331,3 +331,14 @@ def test_kmeans_assignment_has_no_key_shuffle(spark, sf_dir):
     the scan already yields >= cores splits.)"""
     plan = formatted_plan(_Q["q_kmeans"](spark, sf_dir))
     assert "hashpartitioning" not in plan, plan
+
+
+def test_lateral_topn_decorrelates(spark, sf_dir):
+    """The correlated LATERAL subquery must be decorrelated into a
+    ranked-window join (WindowGroupLimit + broadcast dims) — never
+    re-executed per outer row via a nested-loop join."""
+    df = _Q["q_lateral_topn"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan

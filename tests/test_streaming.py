@@ -248,3 +248,69 @@ def test_merge_aggregate_multibatch_equals_whole(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stream_upsert_restart_from_checkpoint_exactly_once(spark, sf_dir, tmp_path):
+    """Kill-and-restart recovery: run the upsert stream over file 1
+    with a durable checkpoint, then drop file 2 into the source dir
+    and RESTART with the same checkpoint. The restarted query must
+    process only the new file (no re-emission of batch 0) and the
+    final table must equal the batch last-wins over both slices —
+    the exactly-once-by-key contract (ST6/S8) across process
+    boundaries, not just within one run."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from block_data_fetcher_spark.etl.load import stream_upsert
+    from block_data_fetcher_spark.operators.windows import last_wins
+    from block_data_fetcher_spark.streaming.jobs import _EVENTS_RAW_SCHEMA
+
+    ev = table(spark, sf_dir, "events")
+    src = tmp_path / "src"
+    os.makedirs(src)
+    half1 = ev.where(F.col("event_id") % 2 == 0)
+    half2 = ev.where(F.col("event_id") % 2 == 1)
+    half1.write.mode("overwrite").parquet(str(tmp_path / "h1"))
+    half2.write.mode("overwrite").parquet(str(tmp_path / "h2"))
+
+    def add_file(from_dir: str, name: str) -> None:
+        import shutil
+
+        files = [f for f in os.listdir(from_dir) if f.endswith(".parquet")]
+        shutil.copy(os.path.join(from_dir, files[0]), str(src / name))
+
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out" / "latest_by_user")
+
+    def run_once() -> None:
+        stream = (
+            spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+            .parquet(str(src))
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .select("user_id", "event_id", "event_type", "value", "ts")
+        )
+        q = stream_upsert(
+            stream, out, keys=["user_id"], order=["ts", "event_id"], checkpoint=ckpt
+        )
+        q.awaitTermination(300)
+
+    add_file(str(tmp_path / "h1"), "part1.parquet")
+    run_once()
+    n_after_first = spark.read.parquet(out).count()
+
+    add_file(str(tmp_path / "h2"), "part2.parquet")
+    run_once()  # same checkpoint: must pick up ONLY part2
+
+    got = {
+        r["user_id"]: r["event_id"]
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r["user_id"]: r["event_id"]
+        for r in last_wins(ev, ["user_id"], ["ts", "event_id"])
+        .select("user_id", "event_id")
+        .collect()
+    }
+    assert got == want
+    assert n_after_first > 0
