@@ -50,15 +50,22 @@ def write_bucketed(
     bucket_cols: Sequence[str],
     n_buckets: int,
     sort_cols: Sequence[str] | None = None,
+    path: str | None = None,
 ) -> None:
-    """Bucketed managed table: rows are hash-distributed into
-    ``n_buckets`` files by ``bucket_cols`` at WRITE time, so any
-    equi-join or aggregation on those columns later runs with no
-    shuffle — the co-located-join contract for repeated fact⋈fact
-    joins (lineitem⋈orders here; transactions⋈instructions in the
-    reference's schema)."""
+    """Bucketed table: rows are hash-distributed into ``n_buckets``
+    files by ``bucket_cols`` at WRITE time, so any equi-join or
+    aggregation on those columns later runs with no shuffle — the
+    co-located-join contract for repeated fact⋈fact joins
+    (lineitem⋈orders here; transactions⋈instructions in the
+    reference's schema).
+
+    ``path`` makes it an EXTERNAL table at an explicit location —
+    use it when the caller must control where data lands (the
+    session's warehouse dir follows the launching process's cwd)."""
     writer = df.write.bucketBy(n_buckets, *bucket_cols)
     writer = writer.sortBy(*(sort_cols or bucket_cols))
+    if path is not None:
+        writer = writer.option("path", path)
     writer.mode("overwrite").format("parquet").saveAsTable(table_name)
 
 
@@ -346,13 +353,24 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .catalog import table
 
-    # The session catalog is in-memory: a table written by a PREVIOUS
-    # process is gone from the catalog but its warehouse directory
-    # survives, and saveAsTable refuses to reuse the location. Drop
-    # both the entry and any orphaned directory before writing.
-    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    # External tables at repo-anchored locations: the in-memory session
+    # catalog forgets tables across processes while their directories
+    # survive (saveAsTable refuses to reuse a live location), and a
+    # MANAGED table would land in the launching process's
+    # cwd/spark-warehouse — outside this repo when the external driver
+    # runs from elsewhere. Drop stale entries + directories, then pin
+    # the data under the repo with explicit paths.
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "spark-warehouse",
+        "storage",
+    )
     for name in ("bdf_orders_bkt", "bdf_lineitem_bkt"):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+        # pre-r3 runs wrote these as managed tables in the session
+        # warehouse — clear that location too so reruns don't collide
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
         shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
 
     write_bucketed(
@@ -360,6 +378,7 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bdf_orders_bkt",
         ["o_orderkey"],
         8,
+        path=os.path.join(base, "bdf_orders_bkt"),
     )
     write_bucketed(
         table(spark, sf_dir, "lineitem").select(
@@ -370,6 +389,7 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bdf_lineitem_bkt",
         ["o_orderkey"],
         8,
+        path=os.path.join(base, "bdf_lineitem_bkt"),
     )
     li = spark.table("bdf_lineitem_bkt")
     orders = spark.table("bdf_orders_bkt")

@@ -232,3 +232,62 @@ def test_stream_jdbc_upsert_offline(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert sorted(seen) == [(1, "b", 20), (2, "c", 5)]
+
+
+def test_gdpr_dynamic_overwrite_leaves_other_partitions_untouched(
+    spark, sf_dir, tmp_path
+):
+    """The surgical-rewrite claim behind q_gdpr_erasure: dynamic
+    partition overwrite must replace ONLY the partitions present in
+    the written frame — files of unaffected days keep their exact
+    paths and mtimes."""
+    import os
+
+    from block_data_fetcher_spark.storage import (
+        repartition_for_write,
+        with_event_date,
+        write_partitioned,
+    )
+
+    path = str(tmp_path / "events_by_date")
+    ev = with_event_date(table(spark, sf_dir, "events"))
+    write_partitioned(repartition_for_write(ev, ["event_date"]), path, ["event_date"])
+
+    store = spark.read.parquet(path)
+    days = sorted(
+        r["event_date"] for r in store.select("event_date").distinct().collect()
+    )
+    assert len(days) >= 2
+    target, untouched = days[0], days[1:]
+
+    def snapshot(day):
+        d = os.path.join(path, f"event_date={day}")
+        return {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    before = {d: snapshot(d) for d in untouched}
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        cleaned = store.where(
+            (F.col("event_date") == target) & (F.col("user_id") % 97 != 0)
+        )
+        repartition_for_write(cleaned, ["event_date"]).write.partitionBy(
+            "event_date"
+        ).mode("overwrite").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    after = {d: snapshot(d) for d in untouched}
+    assert after == before  # same files, same mtimes — never rewritten
+    # and the target partition actually lost the doomed users
+    back = spark.read.parquet(path)
+    assert (
+        back.where(
+            (F.col("event_date") == target) & (F.col("user_id") % 97 == 0)
+        ).count()
+        == 0
+    )
