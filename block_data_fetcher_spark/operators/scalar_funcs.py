@@ -171,7 +171,71 @@ def q_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression family (`try_divide` / `try_cast` /
+    `try_add`): NULL instead of raise on divide-by-zero, bad casts,
+    and overflow — the per-row guards a permissive ingest keeps in
+    ANSI mode (the engine's sessions run ANSI-on, Spark 4's default,
+    so un-guarded expressions would FAIL the job; these are the
+    sanctioned escape hatches).
+
+    The oracle spells the same semantics portably: x / nullif(y, 0)
+    and try_cast."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        (
+            F.round(F.try_divide(F.col("value"), F.col("user_id") % 5), 4) + 0.0
+        ).alias("per_bucket"),
+        F.expr(
+            "try_cast(get_json_object(props, '$.retries') AS BIGINT)"
+        ).alias("retries"),
+        F.try_add(F.col("event_id"), F.lit(1)).alias("next_id"),
+    )
+
+
+ORACLE_TRY = """
+    SELECT event_id,
+           round(value / nullif(user_id % 5, 0), 4) + 0.0 AS per_bucket,
+           try_cast(json_extract_string(props, '$.retries') AS BIGINT) AS retries,
+           event_id + 1 AS next_id
+    FROM events
+"""
+
+
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (SQL LISTAGG / string_agg): the
+    comma-joined nation list per region plus the member count.
+
+    Spark has no ordered string_agg aggregate; the deterministic
+    spelling is collect_list → array_sort → concat_ws — the collect
+    stays bounded because the grouped values are dimension-sized (the
+    operator contract: string-agg output must be display-scale; an
+    unbounded group would belong in an array column, not a string).
+    One shuffle, map-side partial collect."""
+    n = table(spark, sf_dir, "nation")
+    r = F.broadcast(table(spark, sf_dir, "region"))
+    return (
+        n.join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias(
+                "nations"
+            ),
+            F.count("*").alias("n_nations"),
+        )
+    )
+
+
 ORACLE: dict[str, str] = {
+    "q_try_funcs": ORACLE_TRY,
+    "q_string_agg": """
+        SELECT r.r_name,
+               string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+               count(*) AS n_nations
+        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+    """,
     "q_regexp_funcs": """
         SELECT doc_id,
                regexp_extract(text, '^(\\w+)', 1) AS first_word,
