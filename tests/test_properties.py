@@ -472,3 +472,105 @@ def test_gap_fill_spine_is_dense_and_conserves_counts(spark, rows):
         mine = [r for r in out if r.user_id == u]
         assert len(mine) == hi - lo + 1, (u, lo, hi, mine)
         assert sum(r.n_purchases for r in mine) == purchases.get(u, 0)
+
+
+def test_session_window_consistent_with_sessionize(spark, sf_dir):
+    """Two spellings, one semantics: the native session_window operator
+    and the manual gaps-and-islands build must agree on the number of
+    sessions per user AND on total events covered."""
+    from block_data_fetcher_spark import api
+
+    qs = api.queries()
+    native = (
+        qs["q_session_window"](spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+    )
+    manual = (
+        qs["q_sessionize"](spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+    )
+    got = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in native.collect()}
+    want = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in manual.collect()}
+    assert got == want
+
+
+def test_pq_codes_are_argmin(spark, sf_dir):
+    """Every PQ code must be the argmin over its subspace codebook:
+    re-derive distances for a sample of vectors in plain Python and
+    check the assigned code is minimal (ties to lowest code)."""
+    from block_data_fetcher_spark.catalog import table
+    from block_data_fetcher_spark.functions.similarity import (
+        PQ_K,
+        PQ_M,
+        PQ_SUB,
+        _pq_codebook,
+    )
+    from block_data_fetcher_spark import api
+
+    codebook = _pq_codebook(spark, sf_dir)
+    enc = {r["vec_id"]: r["pq_code"] for r in
+           api.queries()["q_embed_pq"](spark, sf_dir).collect()}
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in table(spark, sf_dir, "embeddings").limit(25).collect()
+    }
+    for vid, x in vecs.items():
+        code = enc[vid]
+        for m in range(PQ_M):
+            got_c = (code // (PQ_K**m)) % PQ_K
+            sub = x[m * PQ_SUB : (m + 1) * PQ_SUB]
+
+            def d(c):
+                acc = 0.0
+                for a, b in zip(sub, codebook[m][c]):
+                    acc += (a - b) * (a - b)
+                return acc
+
+            best = min(range(PQ_K), key=lambda c: (d(c), c))
+            assert got_c == best, (vid, m, got_c, best)
+
+
+def test_countmin_never_underestimates_adversarial(spark):
+    """CM sketch guarantee on adversarial input: a few dominant keys
+    plus a long tail — the estimate for EVERY key must be ≥ its exact
+    count (underestimation is impossible by construction; this guards
+    the bucket arithmetic)."""
+    from block_data_fetcher_spark.operators.analytics import CM_D, CM_W
+
+    rows = [(k,) for k in ([7] * 500 + [13] * 300 + list(range(100, 400)))]
+    df = spark.createDataFrame(rows, "user_id long")
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        F.pmod(F.xxhash64("user_id", F.lit(r)), F.lit(CM_W)).alias("b"),
+                    )
+                    for r in range(CM_D)
+                ]
+            )
+        ).alias("rb")
+    )
+    sketch = {(r["r"], r["b"]): r["cnt"] for r in
+              cells.groupBy("rb.r", "rb.b").agg(F.count("*").alias("cnt")).collect()}
+    exact = {r["user_id"]: r["n"] for r in
+             df.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    probes = df.select("user_id").distinct().select(
+        "user_id",
+        *[
+            F.pmod(F.xxhash64("user_id", F.lit(r)), F.lit(CM_W)).alias(f"b{r}")
+            for r in range(CM_D)
+        ],
+    ).collect()
+    for row in probes:
+        est = min(sketch[(r, row[f"b{r}"])] for r in range(CM_D))
+        assert est >= exact[row["user_id"]], row["user_id"]
