@@ -304,6 +304,72 @@ ORDER BY cos_sim DESC, emb.vec_id ASC LIMIT 5
 """
 
 
+def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF index MATERIALIZED: q_ann_ivf's docstring promises "at
+    100 TB, write the table partitioned BY cell and a query reads only
+    N_PROBE partitions" — this entry does exactly that. Vectors are
+    assigned to cells (same gemm-in-pandas-UDF as q_ann_ivf), written
+    hive-partitioned by cell under the repo warehouse, and the probe
+    reads back with `cell IN (probes)` — which lands as directory-level
+    PartitionFilters (plan-gated in tests/test_plans.py): the index
+    lookup IS partition pruning, no filter evaluation per row, files of
+    non-probed cells never open. Ranking within candidates is the same
+    exact-cosine fold, so the result set equals q_ann_ivf's and shares
+    its oracle."""
+    import os
+
+    from pyspark.sql import types as T
+
+    em = table(spark, sf_dir, "embeddings")
+    cent_rows = sorted(
+        em.where(F.col("vec_id") < N_CENTROIDS)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+
+    def _unit(vec) -> list[float]:
+        n = math.sqrt(sum(float(x) * float(x) for x in vec))
+        return [float(x) / n for x in vec]
+
+    cent_mat = np.array([_unit(r["embedding"]) for r in cent_rows])
+
+    @F.pandas_udf(T.IntegerType())
+    def cell_of(embs: pd.Series) -> pd.Series:
+        e = np.stack(embs.to_numpy()).astype(np.float64)
+        return pd.Series(np.argmax(e @ cent_mat.T, axis=1).astype(np.int32))
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "spark-warehouse",
+        "storage",
+        "ivf_index",
+    )
+    (
+        em.select("vec_id", "embedding", cell_of(F.col("embedding")).alias("cell"))
+        .repartition("cell")
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+    qvec = next(r["embedding"] for r in cent_rows if r["vec_id"] == 0)
+    qsims = cent_mat @ np.asarray(_unit(qvec))
+    probe_cells = [int(c) for c in np.argsort(-qsims, kind="stable")[:N_PROBE]]
+    qlit = F.lit([float(x) for x in qvec])
+
+    index = spark.read.parquet(path)
+    return (
+        index.where(F.col("cell").isin(probe_cells) & (F.col("vec_id") != 0))
+        .select(
+            "vec_id",
+            (F.round(cosine(F.col("embedding"), qlit), 4) + 0.0).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(5)
+    )
+
+
 def _plane_sql(j: int) -> str:
     coefs = ", ".join(f"{c}.0" for c in HYPERPLANES[j])
     return (
@@ -733,6 +799,7 @@ ORACLE: dict[str, str] = {
     """,
     "q_ann_lsh": _ANN_SQL,
     "q_ann_ivf": _IVF_SQL,
+    "q_ann_ivf_indexed": _IVF_SQL,
     "q_knn_topk": """
         WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
         SELECT vec_id,

@@ -342,3 +342,13 @@ def test_lateral_topn_decorrelates(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_ann_ivf_indexed_prunes_partitions(spark, sf_dir):
+    """The materialized IVF index probe must read only the probed
+    cells' partitions: the cell IN filter lands as directory-level
+    PartitionFilters, not a per-row Filter."""
+    df = _Q["q_ann_ivf_indexed"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "PartitionFilters: [" in plan, plan
+    assert "cell" in plan.split("PartitionFilters")[1][:200], plan
