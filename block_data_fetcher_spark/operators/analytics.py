@@ -1008,7 +1008,7 @@ ORACLE: dict[str, str] = {
                round(regr_slope(value, CAST(user_id AS DOUBLE)) + 1e-9, 6) + 0.0 AS slope,
                round(regr_intercept(value, CAST(user_id AS DOUBLE)) + 1e-9, 6) + 0.0 AS intercept,
                round(regr_r2(value, CAST(user_id AS DOUBLE)) + 1e-9, 6) + 0.0 AS r2,
-               regr_count(value, CAST(user_id AS DOUBLE)) AS n
+               CAST(regr_count(value, CAST(user_id AS DOUBLE)) AS BIGINT) AS n
         FROM events GROUP BY event_type
     """,
     "q_countmin": """
