@@ -102,37 +102,42 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent tasks of ~(n/S)² work instead of one n² task. Pure
     physical change: the emitted pair set is identical (oracle-pinned
     and property-tested against the unsalted plan)."""
-    s_n = EMBED_BLOCK_SALTS
     em = parallelize(table(spark, sf_dir, "embeddings"), spark).select(
-        "vec_id",
-        "label",
-        unit(F.col("embedding")).alias("u"),
-        F.pmod(F.col("vec_id"), F.lit(s_n)).cast("int").alias("salt"),
+        "vec_id", "label", unit(F.col("embedding")).alias("u")
     )
+    return triangle_pairs(em, "label").where(F.col("cos_sim") > 0.99)
+
+
+def triangle_pairs(em: DataFrame, block: str) -> DataFrame:
+    """All unordered same-block pairs with rounded cosine, via the
+    salted triangle-block join (see q_embed_near_dup's docstring for
+    the derivation): each row replicates to its (lo, hi) salt blocks
+    so a hot block becomes S(S+1)/2 bounded tasks instead of one n²
+    task. ``em`` must carry (vec_id, <block>, u) with u already
+    unit-normalized; emits (vec_a < vec_b, cos_sim rounded to 4)."""
+    s_n = EMBED_BLOCK_SALTS
+    em = em.withColumn("salt", F.pmod(F.col("vec_id"), F.lit(s_n)).cast("int"))
     left = em.select(
         F.col("vec_id").alias("vec_a"),
-        "label",
+        block,
         F.col("u").alias("ua"),
         F.col("salt").alias("lo"),
         F.explode(F.sequence(F.col("salt"), F.lit(s_n - 1))).alias("hi"),
     )
     right = em.select(
         F.col("vec_id").alias("vec_b"),
-        "label",
+        block,
         F.col("u").alias("ub"),
         F.explode(F.sequence(F.lit(0), F.col("salt"))).alias("lo"),
         F.col("salt").alias("hi"),
     )
-    pairs = left.join(right, ["label", "lo", "hi"]).where(
+    pairs = left.join(right, [block, "lo", "hi"]).where(
         (F.col("lo") != F.col("hi")) | (F.col("vec_a") < F.col("vec_b"))
     )
-    return (
-        pairs.select(
-            F.least("vec_a", "vec_b").alias("vec_a"),
-            F.greatest("vec_a", "vec_b").alias("vec_b"),
-            F.round(dot(F.col("ua"), F.col("ub")), 4).alias("cos_sim"),
-        )
-        .where(F.col("cos_sim") > 0.99)
+    return pairs.select(
+        F.least("vec_a", "vec_b").alias("vec_a"),
+        F.greatest("vec_a", "vec_b").alias("vec_b"),
+        F.round(dot(F.col("ua"), F.col("ub")), 4).alias("cos_sim"),
     )
 
 
@@ -693,6 +698,18 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost is one scan + one tiny shuffle; centroids stay driver-side.
     Empty clusters keep no centroid (drop-cluster rule, mirrored in
     the oracle)."""
+    final = _kmeans_final(spark, sf_dir)
+    return final.select(
+        "vec_id",
+        "cluster",
+        (F.round(F.sqrt(F.col("d")), 4) + 0.0).alias("dist"),
+    )
+
+
+def _kmeans_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the Lloyd iterations and returns the final assignment
+    frame (vec_id, x, cluster, d) — shared by q_kmeans and
+    q_semdedup (which blocks near-dup removal on the clusters)."""
     em = parallelize(table(spark, sf_dir, "embeddings"), spark).select(
         "vec_id",
         F.transform(F.col("embedding"), lambda e: e.cast("double")).alias("x"),
@@ -716,17 +733,38 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents = [
             (c, [by_c[c][i] for i in range(DIM)]) for c in sorted(by_c)
         ]
-    final = _km_assign(em, cents)
-    return final.select(
-        "vec_id",
-        "cluster",
-        (F.round(F.sqrt(F.col("d")), 4) + 0.0).alias("dist"),
+    return _km_assign(em, cents)
+
+
+SEMDEDUP_TAU = 0.95
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup as published (Abbas et al. '23), composed from the
+    engine's own parts: k-means clusters the corpus semantically
+    (q_kmeans's exact trajectory), near-duplicate pairs are found ONLY
+    within each cluster (the salted triangle-block join — the
+    clusters are the blocking key, so the quadratic never crosses
+    cluster boundaries), and the keep-set drops the higher id of every
+    pair over cosine τ=0.95. Returns the kept (vec_id, cluster).
+
+    Scale: cluster assignment is map-side; pairing cost is bounded per
+    salt-block; the drop list reduces before the anti-join. The oracle
+    replays the identical pipeline in SQL (unrolled k-means CTEs +
+    within-cluster pair join)."""
+    final = _kmeans_final(spark, sf_dir)
+    em = final.select(
+        "vec_id", "cluster", unit(F.col("x")).alias("u")
     )
+    pairs = triangle_pairs(em, "cluster").where(F.col("cos_sim") > SEMDEDUP_TAU)
+    drop = pairs.select(F.col("vec_b").alias("vec_id")).distinct()
+    return em.join(drop, "vec_id", "left_anti").select("vec_id", "cluster")
 
 
-def _kmeans_oracle() -> str:
+def _kmeans_ctes() -> str:
     """Unrolled Lloyd iterations as chained CTEs — the same rounded
-    centroid quantization at each step."""
+    centroid quantization at each step. Shared by the k-means and
+    SemDeDup oracles (a{KM_ITERS} holds the final assignment)."""
     ctes = [
         "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings)",
         f"ms AS (SELECT unnest(range({DIM})) AS i)",
@@ -754,17 +792,39 @@ def _kmeans_oracle() -> str:
             ctes.append(
                 f"c{t + 1} AS (SELECT c, list(m ORDER BY i) AS cx FROM m{t} GROUP BY c)"
             )
-    last = KM_ITERS
-    return (
-        "WITH "
-        + ",\n".join(ctes)
-        + f"""
-        SELECT vec_id, c AS cluster, round(sqrt(d), 4) + 0.0 AS dist
-        FROM a{last}"""
+    return ",\n".join(ctes)
+
+
+_KMEANS_SQL = (
+    "WITH "
+    + _kmeans_ctes()
+    + f"""
+    SELECT vec_id, c AS cluster, round(sqrt(d), 4) + 0.0 AS dist
+    FROM a{KM_ITERS}"""
+)
+
+_SEMDEDUP_SQL = (
+    "WITH "
+    + _kmeans_ctes()
+    + f""",
+    uu AS (
+      SELECT vec_id,
+             list_transform(x, e -> e / sqrt(list_sum(
+               list_transform(x, y -> y * y)))) AS u
+      FROM v
+    ),
+    sd_pairs AS (
+      SELECT y.vec_id AS vb
+      FROM a{KM_ITERS} x JOIN a{KM_ITERS} y
+        ON x.c = y.c AND x.vec_id < y.vec_id
+      JOIN uu ux ON ux.vec_id = x.vec_id
+      JOIN uu uy ON uy.vec_id = y.vec_id
+      WHERE round(list_sum(list_transform(list_zip(ux.u, uy.u),
+                    p -> p[1] * p[2])), 4) > {SEMDEDUP_TAU}
     )
-
-
-_KMEANS_SQL = _kmeans_oracle()
+    SELECT a.vec_id, a.c AS cluster FROM a{KM_ITERS} a
+    WHERE a.vec_id NOT IN (SELECT vb FROM sd_pairs)"""
+)
 
 
 _QUANT_SQL = """
@@ -792,6 +852,7 @@ ORACLE: dict[str, str] = {
     "q_embed_pq": _PQ_SQL,
     "q_ann_pq": _ANN_PQ_SQL,
     "q_kmeans": _KMEANS_SQL,
+    "q_semdedup": _SEMDEDUP_SQL,
     "q_embed_quantize": _QUANT_SQL,
     "q_embed_dedup": f"""
         SELECT vec_id, label FROM embeddings
