@@ -710,9 +710,16 @@ def _kmeans_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runs the Lloyd iterations and returns the final assignment
     frame (vec_id, x, cluster, d) — shared by q_kmeans and
     q_semdedup (which blocks near-dup removal on the clusters)."""
-    em = parallelize(table(spark, sf_dir, "embeddings"), spark).select(
-        "vec_id",
-        F.transform(F.col("embedding"), lambda e: e.cast("double")).alias("x"),
+    # persisted across the iteration jobs (each assignment+update is an
+    # action) — the same input caching MLlib's KMeans does; released in
+    # the caller's plan once the final assignment materializes
+    em = (
+        parallelize(table(spark, sf_dir, "embeddings"), spark)
+        .select(
+            "vec_id",
+            F.transform(F.col("embedding"), lambda e: e.cast("double")).alias("x"),
+        )
+        .persist()
     )
     init = sorted(
         em.where(F.col("vec_id") < KM_K).select("vec_id", "x").collect(),
@@ -733,7 +740,13 @@ def _kmeans_final(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents = [
             (c, [by_c[c][i] for i in range(DIM)]) for c in sorted(by_c)
         ]
-    return _km_assign(em, cents)
+    # materialize the final assignment, then release the cached input —
+    # a returned frame must not leave CacheManager entries behind
+    # (they'd accumulate across a bench session; see the dup-clusters
+    # lineage test)
+    final = _km_assign(em, cents).localCheckpoint(eager=True)
+    em.unpersist()
+    return final
 
 
 SEMDEDUP_TAU = 0.95
