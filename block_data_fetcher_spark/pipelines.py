@@ -162,6 +162,30 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BALANCED_K = 10
+
+
+def q_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced per-stratum sampling: EXACTLY k=10 documents per
+    language, chosen by ranking on a content hash (md5 — identical in
+    both engines) — the class-balanced subset builder for training
+    mixes, complementing rate-based q_stratified_sample (which keeps a
+    proportion, not a count).
+
+    Ranking on a deterministic content hash = a seeded uniform draw
+    that is reproducible across engines, retries, and partitionings
+    (Spark's sample() is none of these). One shuffle on lang; the
+    per-group sort is a WindowGroupLimit top-k, not a full sort, so a
+    stratum's cost is bounded by k, not its population."""
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5("text"), F.col("doc_id"))
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= BALANCED_K)
+        .select("lang", "rk", "doc_id")
+    )
+
+
 # The short-doc guard matters: Spark's sequence(1, 0) DESCENDS to
 # [1, 0] (it does not return empty like DuckDB's range), so a <5-token
 # document would reach slice() with start=0 and fail the whole job.
@@ -319,6 +343,14 @@ ORACLE: dict[str, str] = {
                u.quality
         FROM uniq u LEFT JOIN dupes d ON u.doc_id = d.doc_id
         WHERE d.doc_id IS NULL
+    """,
+    "q_balanced_sample": f"""
+        SELECT lang, rk, doc_id FROM (
+          SELECT lang, doc_id,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY md5(text), doc_id) AS rk
+          FROM documents
+        ) WHERE rk <= {BALANCED_K}
     """,
     "q_stratified_sample": f"""
         SELECT lang,

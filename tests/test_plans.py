@@ -352,3 +352,44 @@ def test_ann_ivf_indexed_prunes_partitions(spark, sf_dir):
     plan = formatted_plan(df)
     assert "PartitionFilters: [" in plan, plan
     assert "cell" in plan.split("PartitionFilters")[1][:200], plan
+
+
+def test_aqe_splits_skewed_join_partition_at_runtime(spark):
+    """The runtime half of the skew story (salting is the static
+    half): with AQE skew-join on and thresholds scaled to fixture
+    bytes, a join where one key holds ~90% of rows must execute as
+    SortMergeJoin(skew=true) with an AQEShuffleRead that splits the
+    oversized partition — no code change, exactly what saves an
+    unsalted hot key at 100 TB."""
+    from pyspark.sql import functions as F
+
+    overrides = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "128KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    for k, v in overrides.items():
+        spark.conf.set(k, v)
+    try:
+        big = spark.range(300000).select(
+            F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id").cast("string")).alias("payload"),
+        )
+        small = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        joined = big.join(small.hint("merge"), "k")
+        n = len(joined.collect())
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert n == 270100
+    assert "skew=true" in plan, plan
+    assert "skewed" in plan, plan
