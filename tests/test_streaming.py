@@ -314,3 +314,73 @@ def test_stream_upsert_restart_from_checkpoint_exactly_once(spark, sf_dir, tmp_p
     }
     assert got == want
     assert n_after_first > 0
+
+
+def test_incremental_agg_restart_does_not_double_count(spark, sf_dir, tmp_path):
+    """merge_aggregate is NOT idempotent (counts add), so exactly-once
+    across restarts must come from the streaming checkpoint: feed file
+    1, restart with the same checkpoint plus file 2, and the
+    maintained aggregate must equal the whole-input aggregate — a
+    re-delivered batch would double-count and fail this."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from block_data_fetcher_spark.etl.load import merge_aggregate
+    from block_data_fetcher_spark.streaming.jobs import _EVENTS_RAW_SCHEMA
+
+    ev = table(spark, sf_dir, "events")
+    src = tmp_path / "src"
+    os.makedirs(src)
+    for i in (0, 1):
+        ev.where(F.col("event_id") % 2 == i).write.mode("overwrite").parquet(
+            str(tmp_path / f"h{i}")
+        )
+
+    def add_file(i: int) -> None:
+        import shutil
+
+        d = str(tmp_path / f"h{i}")
+        f = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        shutil.copy(os.path.join(d, f), str(src / f"part{i}.parquet"))
+
+    ckpt = str(tmp_path / "ckpt")
+    path = str(tmp_path / "out" / "agg_by_type")
+
+    def run_once() -> None:
+        stream = (
+            spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+            .parquet(str(src))
+            .select("event_type", "value")
+        )
+
+        def write_batch(batch_df, batch_id) -> None:
+            partials = batch_df.groupBy("event_type").agg(
+                F.count("*").alias("n"), F.sum("value").alias("sum_value")
+            )
+            merge_aggregate(batch_df.sparkSession, partials, path, ["event_type"])
+
+        q = (
+            stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    add_file(0)
+    run_once()
+    add_file(1)
+    run_once()
+
+    got = {
+        r["event_type"]: (r["n"], round(r["sum_value"], 2))
+        for r in spark.read.parquet(path).collect()
+    }
+    want = {
+        r["event_type"]: (r["n"], round(r["sum_value"], 2))
+        for r in ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .collect()
+    }
+    assert got == want
