@@ -741,6 +741,102 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow cogroup (`groupBy.cogroup.applyInPandas`): per user, the
+    purchase→latest-prior-click as-of match done with
+    `pandas.merge_asof` — the API surface for pairwise per-key
+    alignment that needs imperative logic (merge_asof's galloping
+    backward scan) rather than a join expression.
+
+    Scale shape: both sides shuffle ONCE on user_id and arrive as
+    per-key Arrow batches; state is bounded by one user's history.
+    This is the escape hatch the reference's per-address enrichments
+    would use when window functions can't express the pairing.
+    Determinism: both frames sort by (ts, event_id); merge_asof
+    backward picks the last row ≤ t, i.e. max (ts, event_id) —
+    mirrored by the oracle's ORDER BY ts DESC, event_id DESC LIMIT 1
+    lateral."""
+    import pandas as pd
+
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+
+    out_schema = (
+        "user_id long, purchase_id long, click_id long, lag_sec double"
+    )
+
+    def match(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "purchase_id": pd.Series(dtype="int64"),
+                    "click_id": pd.Series(dtype="Int64"),
+                    "lag_sec": pd.Series(dtype="float64"),
+                }
+            )
+        l = left.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        if right.empty:
+            return pd.DataFrame(
+                {
+                    "user_id": l["user_id"],
+                    "purchase_id": l["event_id"],
+                    "click_id": pd.array([None] * len(l), dtype="Int64"),
+                    "lag_sec": pd.array([None] * len(l), dtype="float64"),
+                }
+            )
+        r = (
+            right.sort_values(["ts", "event_id"])
+            .rename(columns={"event_id": "click_id", "ts": "c_ts"})
+            .reset_index(drop=True)
+        )
+        m = pd.merge_asof(
+            l,
+            r[["c_ts", "click_id"]],
+            left_on="ts",
+            right_on="c_ts",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        lag = (m["ts"] - m["c_ts"]).dt.total_seconds().round(1)
+        return pd.DataFrame(
+            {
+                "user_id": m["user_id"],
+                "purchase_id": m["event_id"],
+                "click_id": m["click_id"].astype("Int64"),
+                "lag_sec": lag,
+            }
+        )
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(match, out_schema)
+    )
+
+
+_COGROUP_ASOF_SQL = """
+    WITH c AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id, p.event_id AS purchase_id,
+           m.event_id AS click_id,
+           round(epoch(p.ts - m.ts), 1) AS lag_sec
+    FROM p LEFT JOIN LATERAL (
+      SELECT event_id, ts FROM c
+      WHERE c.user_id = p.user_id AND c.ts <= p.ts
+      ORDER BY ts DESC, event_id DESC LIMIT 1
+    ) m ON true
+"""
+
+
 # One SQL text, two engines: Spark 4 executes the recursive CTE
 # natively (UNION ALL step, iterative execution under the hood) and
 # DuckDB runs the identical statement as the oracle — the strongest
@@ -1002,6 +1098,7 @@ def q_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE: dict[str, str] = {
     "q_pagerank": _pagerank_oracle(),
     "q_recursive_cte": _RECURSIVE_SQL,
+    "q_cogroup_asof": _COGROUP_ASOF_SQL,
     "q_lateral_topn": _LATERAL_SQL,
     "q_linear_regr": """
         SELECT event_type,
