@@ -262,6 +262,86 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HOLT_A = 0.5  # level smoothing
+HOLT_B = 0.3  # trend smoothing
+
+
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing per user (level + trend) with
+    a one-step-ahead forecast — the next rung above EWMA on the
+    forecasting ladder, and like it inexpressible as a window frame
+    (two COUPLED recurrences: l' = α·x + (1−α)(l+b),
+    b' = β(l'−l) + (1−β)b).
+
+    Same ordered-fold shape as q_ewma — one shuffle on user_id, the
+    fold carries a {level, trend} STRUCT accumulator. DuckDB's
+    list_reduce requires acc and element types to match, so the oracle
+    lifts each value into a {l, b} struct and folds struct→struct —
+    arithmetic identical term for term, sequential order identical.
+    Seed: l₀ = x₁, b₀ = x₂ − x₁ (b₀ = 0 for single-event users)."""
+    ev = table(spark, sf_dir, "events")
+    arr = F.array_sort(F.collect_list(F.struct("ts", "event_id", "value")))
+    vals = F.transform(arr, lambda s: s["value"])
+    x1 = F.element_at(vals, 1)
+    init = F.when(
+        F.size(vals) == 1, F.struct(x1.alias("l"), F.lit(0.0).alias("b"))
+    ).otherwise(
+        F.struct(x1.alias("l"), (F.element_at(vals, 2) - x1).alias("b"))
+    )
+
+    def step(acc, x):
+        new_l = HOLT_A * x + (1 - HOLT_A) * (acc["l"] + acc["b"])
+        new_b = HOLT_B * (new_l - acc["l"]) + (1 - HOLT_B) * acc["b"]
+        return F.struct(new_l.alias("l"), new_b.alias("b"))
+
+    folded = F.aggregate(F.slice(vals, 3, F.size(vals)), init, step)
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(folded["l"] + 1e-9, 4).alias("level"),
+        F.round(folded["b"] + 1e-9, 4).alias("trend"),
+        F.round(folded["l"] + folded["b"] + 1e-9, 4).alias("forecast_1"),
+    )
+
+
+# The accumulator is a 2-element LIST [l, b], NOT a struct: DuckDB
+# 1.0's list_reduce updates a struct accumulator field-by-field, so a
+# later field's expression reading acc.<earlier field> silently sees
+# the NEW value (verified: the b update observed the just-computed l).
+# List construction evaluates both elements against the old
+# accumulator, matching Spark's struct semantics.
+_HOLT_STEP = (
+    f"[{HOLT_A}*x[1] + {1 - HOLT_A}*(acc[1] + acc[2]), "
+    f"{HOLT_B}*(({HOLT_A}*x[1] + {1 - HOLT_A}*(acc[1] + acc[2])) - acc[1]) "
+    f"+ {1 - HOLT_B}*acc[2]]"
+)
+
+_HOLT_SQL = f"""
+    WITH ordered AS (
+      SELECT user_id, count(*) AS n_events,
+             list(value ORDER BY ts, event_id, value) AS vals
+      FROM events GROUP BY user_id
+    ), folded AS (
+      SELECT user_id, n_events,
+             list_reduce(
+               list_prepend(
+                 CASE WHEN len(vals) = 1
+                      THEN [vals[1], 0.0]
+                      ELSE [vals[1], vals[2] - vals[1]]
+                 END,
+                 list_transform(vals[3:], x -> [x, 0.0])
+               ),
+               (acc, x) -> {_HOLT_STEP}
+             ) AS s
+      FROM ordered
+    )
+    SELECT user_id, n_events,
+           round(s[1] + 1e-9, 4) AS level,
+           round(s[2] + 1e-9, 4) AS trend,
+           round(s[1] + s[2] + 1e-9, 4) AS forecast_1
+    FROM folded
+"""
+
+
 def q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user z-score outliers: events whose value is more than 2.5
     sample standard deviations from that user's mean — the
@@ -1099,6 +1179,7 @@ ORACLE: dict[str, str] = {
     "q_pagerank": _pagerank_oracle(),
     "q_recursive_cte": _RECURSIVE_SQL,
     "q_cogroup_asof": _COGROUP_ASOF_SQL,
+    "q_holt_forecast": _HOLT_SQL,
     "q_lateral_topn": _LATERAL_SQL,
     "q_linear_regr": """
         SELECT event_type,
