@@ -828,22 +828,34 @@ def q_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     alignment that needs imperative logic (merge_asof's galloping
     backward scan) rather than a join expression.
 
-    Scale shape: both sides shuffle ONCE on user_id and arrive as
-    per-key Arrow batches; state is bounded by one user's history.
-    This is the escape hatch the reference's per-address enrichments
-    would use when window functions can't express the pairing.
-    Determinism: both frames sort by (ts, event_id); merge_asof
-    backward picks the last row ≤ t, i.e. max (ts, event_id) —
-    mirrored by the oracle's ORDER BY ts DESC, event_id DESC LIMIT 1
-    lateral."""
+    Scale shape: the cogroup key is a COARSE bucket (user_id mod 64),
+    not user_id itself — per-key Python invocation overhead is the
+    classic cogroup trap (one merge_asof call per user measured 6×
+    slower than this), so each Arrow batch carries thousands of users
+    and ONE vectorized `merge_asof(by="user_id")` aligns them all;
+    Python calls are O(buckets), state is bounded by a bucket's
+    history. Determinism: frames sort by (ts, event_id); merge_asof
+    backward picks the last row ≤ t per user, i.e. max (ts, event_id)
+    — mirrored by the oracle's ORDER BY ts DESC, event_id DESC
+    LIMIT 1 lateral."""
     import pandas as pd
 
-    ev = table(spark, sf_dir, "events")
-    purchases = ev.where(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "event_id"
+    # Two INDEPENDENT scans on purpose: deriving both cogroup sides
+    # from one DataFrame shares attribute ids across the children, and
+    # Spark 4.1's FlatMapCoGroupsInPandas then mis-prunes the right
+    # side's non-key columns (observed: right batches arrived with the
+    # key column only at sf0.1). Fresh reads give each side its own
+    # expression ids; the scan is the same parquet either way.
+    bucket = F.pmod(F.col("user_id"), F.lit(64)).alias("bucket")
+    purchases = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(bucket, "user_id", "ts", "event_id")
     )
-    clicks = ev.where(F.col("event_type") == "click").select(
-        "user_id", "ts", "event_id"
+    clicks = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "click")
+        .select(bucket, "user_id", "ts", "event_id")
     )
 
     out_schema = (
@@ -877,9 +889,10 @@ def q_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         m = pd.merge_asof(
             l,
-            r[["c_ts", "click_id"]],
+            r[["c_ts", "user_id", "click_id"]],
             left_on="ts",
             right_on="c_ts",
+            by="user_id",
             direction="backward",
             allow_exact_matches=True,
         )
@@ -894,8 +907,8 @@ def q_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        purchases.groupBy("user_id")
-        .cogroup(clicks.groupBy("user_id"))
+        purchases.groupBy("bucket")
+        .cogroup(clicks.groupBy("bucket"))
         .applyInPandas(match, out_schema)
     )
 
