@@ -118,6 +118,33 @@ def q_text_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution — the
+    lexical-diversity gate next to the repetition filter (low entropy
+    = templated/repetitive text, a standard LLM-corpus quality
+    signal). Computed as H = ln(N) − Σ c·ln(c) / N over per-word
+    counts c, so ONE (doc, word) aggregate and one per-doc aggregate
+    suffice — no per-word probability column, both shuffles on doc_id
+    (the second reuses the first's partitioning)."""
+    docs = table(spark, sf_dir, "documents")
+    words = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+        .where(F.col("w") != "")
+    )
+    wc = words.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    n = F.sum("c")
+    return wc.groupBy("doc_id").agg(
+        n.cast("long").alias("n_tokens"),
+        F.count("*").alias("vocab"),
+        (
+            F.round(
+                F.log(n) - F.sum(F.col("c") * F.log("c")) / n + 1e-9, 4
+            )
+            + 0.0
+        ).alias("entropy"),
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus stats (X3)."""
     docs = table(spark, sf_dir, "documents")
@@ -785,6 +812,20 @@ ORACLE: dict[str, str] = {
     "q_text_stats": """
         SELECT lang, count(*) AS n_docs, round(avg(n_chars) + 1e-9, 4) AS avg_chars
         FROM documents GROUP BY lang
+    """,
+    "q_token_entropy": """
+        WITH wc AS (
+          SELECT doc_id, w, count(*) AS c FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+          ) WHERE w <> ''
+          GROUP BY doc_id, w
+        )
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               count(*) AS vocab,
+               round(ln(sum(c)) - sum(c * ln(c)) / sum(c) + 1e-9, 4)
+                 + 0.0 AS entropy
+        FROM wc GROUP BY doc_id
     """,
     "q_token_count": r"""
         SELECT doc_id,

@@ -262,6 +262,36 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-transition matrix: counts and row-normalized
+    probabilities of event_type → next event_type per user stream —
+    the Markov-chain estimate behind funnel diagnostics and
+    session-behavior models.
+
+    One shuffle on user_id for the lag window; the (from, to)
+    aggregate reuses nothing bigger than |types|² rows, map-side
+    combined. Probabilities are integer ratios → `+1e-9` before
+    round, per the engine's determinism contract."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    counts = steps.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n")
+    )
+    row_total = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.round(F.col("n") / F.sum("n").over(row_total) + 1e-9, 4) + 0.0).alias(
+            "p"
+        ),
+    )
+
+
 HOLT_A = 0.5  # level smoothing
 HOLT_B = 0.3  # trend smoothing
 
@@ -1193,6 +1223,22 @@ ORACLE: dict[str, str] = {
     "q_recursive_cte": _RECURSIVE_SQL,
     "q_cogroup_asof": _COGROUP_ASOF_SQL,
     "q_holt_forecast": _HOLT_SQL,
+    "q_transitions": """
+        WITH steps AS (
+          SELECT event_type AS from_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS to_type
+          FROM events
+        ), counts AS (
+          SELECT from_type, to_type, count(*) AS n
+          FROM steps WHERE to_type IS NOT NULL
+          GROUP BY from_type, to_type
+        )
+        SELECT from_type, to_type, n,
+               round(n / (sum(n) OVER (PARTITION BY from_type)) + 1e-9, 4)
+                 + 0.0 AS p
+        FROM counts
+    """,
     "q_lateral_topn": _LATERAL_SQL,
     "q_linear_regr": """
         SELECT event_type,
