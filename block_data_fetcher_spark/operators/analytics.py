@@ -262,6 +262,32 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outliers: events outside [Q1 − 1.5·IQR,
+    Q3 + 1.5·IQR] of their event type — the robust (quantile-based)
+    screen next to the z-score one (q_anomaly), immune to the
+    outliers' own pull on the threshold.
+
+    Two passes sharing the event_type partitioning: exact interpolated
+    quartiles per (small-cardinality) group, broadcast back onto the
+    scan as a filter. At 100 TB the quartile pass switches to the GK
+    sketch (q_approx_quantiles) and the filter stays identical."""
+    ev = table(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.25).alias("q1"),
+        F.percentile("value", 0.75).alias("q3"),
+    )
+    fenced = ev.join(F.broadcast(q), "event_type").where(
+        (F.col("value") < F.col("q1") - 1.5 * (F.col("q3") - F.col("q1")))
+        | (F.col("value") > F.col("q3") + 1.5 * (F.col("q3") - F.col("q1")))
+    )
+    return fenced.groupBy("event_type").agg(
+        F.count("*").alias("n_outliers"),
+        (F.round(F.min("value") + 1e-9, 4) + 0.0).alias("min_out"),
+        (F.round(F.max("value") + 1e-9, 4) + 0.0).alias("max_out"),
+    )
+
+
 def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order event-transition matrix: counts and row-normalized
     probabilities of event_type → next event_type per user stream —
@@ -1223,6 +1249,21 @@ ORACLE: dict[str, str] = {
     "q_recursive_cte": _RECURSIVE_SQL,
     "q_cogroup_asof": _COGROUP_ASOF_SQL,
     "q_holt_forecast": _HOLT_SQL,
+    "q_iqr_outliers": """
+        WITH q AS (
+          SELECT event_type,
+                 quantile_cont(value, 0.25) AS q1,
+                 quantile_cont(value, 0.75) AS q3
+          FROM events GROUP BY event_type
+        )
+        SELECT e.event_type, count(*) AS n_outliers,
+               round(min(e.value) + 1e-9, 4) + 0.0 AS min_out,
+               round(max(e.value) + 1e-9, 4) + 0.0 AS max_out
+        FROM events e JOIN q ON e.event_type = q.event_type
+        WHERE e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+           OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+        GROUP BY e.event_type
+    """,
     "q_transitions": """
         WITH steps AS (
           SELECT event_type AS from_type,
