@@ -162,6 +162,39 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WEIGHTED_K = 5
+_TWO60 = 1152921504606846976.0  # 2^60, exactly representable in a double
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    exponential-jumps form): keep the k=5 docs per language with the
+    smallest priority −ln(u)/w, where w = n_chars (length-weighted
+    corpus sampling — longer docs proportionally likelier) and u is a
+    uniform derived from the doc's content hash.
+
+    u = (hex₁₅(md5(doc_id)) + 0.5) / 2⁶⁰ is a pure function of the row
+    and bit-identical across engines (same md5, same double division),
+    so the draw is reproducible across retries/partitionings like the
+    other sampling ops. One shuffle on lang; per-stratum cost is a
+    WindowGroupLimit top-k. (The ln is evaluated by two libms —
+    not guaranteed correctly-rounded — but a ranking flip needs two
+    continuous priorities within one ulp; doc_id tie-break covers the
+    measure-zero case.)"""
+    docs = table(spark, sf_dir, "documents")
+    h = F.expr(
+        "conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10)"
+    ).cast("double")
+    u = (h + F.lit(0.5)) / F.lit(_TWO60)
+    pri = -F.log(u) / F.col("n_chars")
+    w = Window.partitionBy("lang").orderBy(pri.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= WEIGHTED_K)
+        .select("lang", "rk", "doc_id", "n_chars")
+    )
+
+
 BALANCED_K = 10
 
 
@@ -343,6 +376,17 @@ ORACLE: dict[str, str] = {
                u.quality
         FROM uniq u LEFT JOIN dupes d ON u.doc_id = d.doc_id
         WHERE d.doc_id IS NULL
+    """,
+    "q_weighted_sample": f"""
+        SELECT lang, rk, doc_id, n_chars FROM (
+          SELECT lang, doc_id, n_chars,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY -ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                                      AS BIGINT) + 0.5) / {_TWO60!r}) / n_chars ASC,
+                            doc_id ASC) AS rk
+          FROM documents
+        ) WHERE rk <= {WEIGHTED_K}
     """,
     "q_balanced_sample": f"""
         SELECT lang, rk, doc_id FROM (
