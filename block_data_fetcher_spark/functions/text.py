@@ -368,6 +368,68 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bigrams(text: Column | str) -> Column:
+    """Adjacent token pairs 'a b' from the whitespace token stream —
+    zip of the array against itself shifted by one (empty tokens
+    filtered first so pairs never straddle a blank)."""
+    arr = F.filter(tokens(text), lambda t: t != "")
+    n = F.size(arr)
+    return F.zip_with(
+        F.slice(arr, 1, n - 1),
+        F.slice(arr, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+
+
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring with add-one smoothing: per
+    document, mean ln P(w_i | w_{i-1}) where
+    P(b|a) = (c_ab + 1) / (c_a + V) — one rung up the perplexity
+    ladder from q_unigram_logprob, sensitive to word ORDER (a
+    shuffled-word document keeps its unigram score but craters here —
+    the template/spam signal unigrams miss).
+
+    Scale shape: bigram and unigram frequency tables are reduced
+    aggregates; the per-doc-bigram join keys on the bigram string
+    (AQE may broadcast the reduced side at fixture scale, shuffle-join
+    at corpus scale); vocab size rides along as a 1-row cross join.
+    Documents shorter than 2 tokens have no bigrams and drop out —
+    mirrored by the oracle."""
+    docs = table(spark, sf_dir, "documents")
+    doc_bg = docs.select(
+        "doc_id", F.explode(_bigrams("text")).alias("bg")
+    ).withColumn("w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+    corpus_bg = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(_bigrams("text")).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count("*").alias("c_ab"))
+    )
+    uni = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(tokens("text")).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("c_a"))
+    )
+    vocab = uni.agg(F.count("*").alias("v"))
+    scored = (
+        doc_bg.join(corpus_bg, "bg")
+        .join(uni, doc_bg.w1 == uni.term)
+        .join(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log((F.col("c_ab") + 1) / (F.col("c_a") + F.col("v"))).alias(
+                "lp"
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.sum("lp") / F.count("*") + 1e-9, 4).alias("logprob"),
+    )
+
+
 def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency-ranked vocabulary builder: tokens ordered by corpus
     frequency (ties by token), kept while cumulative coverage of the
@@ -784,6 +846,36 @@ ORACLE: dict[str, str] = {
                  AS logprob
         FROM toks JOIN freq USING (term) CROSS JOIN tot
         WHERE toks.term <> ''
+        GROUP BY doc_id
+    """,
+    "q_bigram_logprob": """
+        WITH bigr AS (
+          SELECT doc_id, bg FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                     list_zip(toks[1:len(toks)-1], toks[2:]),
+                     p -> p[1] || ' ' || p[2])) AS bg
+            FROM (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), t -> t <> '') AS toks
+              FROM documents
+            )
+          )
+        ), cbg AS (
+          SELECT bg, count(*) AS c_ab FROM bigr GROUP BY bg
+        ), uni AS (
+          SELECT term, count(*) AS c_a FROM (
+            SELECT unnest(string_split(text, ' ')) AS term FROM documents
+          ) WHERE term <> '' GROUP BY term
+        ), voc AS (SELECT count(*) AS v FROM uni)
+        SELECT doc_id,
+               count(*) AS n_bigrams,
+               round(sum(ln((c_ab + 1) * 1.0 / (c_a + v))) / count(*) + 1e-9, 4)
+                 AS logprob
+        FROM bigr
+        JOIN cbg USING (bg)
+        JOIN uni ON string_split(bigr.bg, ' ')[1] = uni.term
+        CROSS JOIN voc
         GROUP BY doc_id
     """,
     "q_vocab_coverage": """
