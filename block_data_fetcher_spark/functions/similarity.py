@@ -24,7 +24,7 @@ import math
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import parallelize, table
@@ -283,8 +283,9 @@ _COS = (
     " * sqrt(list_sum(list_transform({b}, x -> x * x))))"
 )
 
-_IVF_SQL = f"""
-WITH emb AS (
+# Shared by the IVF probe oracle and the kNN-join oracle: embeddings,
+# centroid cells, and the per-vector cell assignment.
+_IVF_ASSIGN_CTES = f"""emb AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
 ), cent AS (
   SELECT vec_id AS cid, e AS ce FROM emb WHERE vec_id < {N_CENTROIDS}
@@ -297,7 +298,10 @@ WITH emb AS (
   FROM sims
 ), assign AS (
   SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1
-), probe AS (
+)"""
+
+_IVF_SQL = f"""
+WITH {_IVF_ASSIGN_CTES}, probe AS (
   SELECT cid AS cell FROM ranked WHERE vec_id = 0 AND rn <= {N_PROBE}
 ), q AS (
   SELECT e AS qe FROM emb WHERE vec_id = 0
@@ -373,6 +377,95 @@ def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         .limit(5)
     )
+
+
+KNN_JOIN_K = 3
+
+
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN self-join: the top-3 nearest neighbors for EVERY vector,
+    searched within its IVF cell — the kNN-graph builder that feeds
+    dedup clustering, label propagation, and diversity scoring (vs
+    q_knn_topk's single-query lookup).
+
+    Scale: candidate generation is the salted triangle-block join
+    inside each coarse cell (never all-pairs across cells); the
+    undirected pair stream is mirrored into directed edges and ranked
+    per source with a WindowGroupLimit top-k. Recall is bounded by the
+    cell assignment (neighbors straddling a cell boundary are missed —
+    the standard IVF trade; probe>1 would widen it). Same gemm-based
+    cell assignment as q_ann_ivf, same cosine fold as every similarity
+    op."""
+    from pyspark.sql import types as T
+
+    em = table(spark, sf_dir, "embeddings")
+    cent_rows = sorted(
+        em.where(F.col("vec_id") < N_CENTROIDS)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+
+    def _unit(vec) -> list[float]:
+        n = math.sqrt(sum(float(x) * float(x) for x in vec))
+        return [float(x) / n for x in vec]
+
+    cent_mat = np.array([_unit(r["embedding"]) for r in cent_rows])
+
+    @F.pandas_udf(T.IntegerType())
+    def cell_of(embs: pd.Series) -> pd.Series:
+        e = np.stack(embs.to_numpy()).astype(np.float64)
+        return pd.Series(np.argmax(e @ cent_mat.T, axis=1).astype(np.int32))
+
+    cells = parallelize(em, spark).select(
+        "vec_id",
+        cell_of(F.col("embedding")).alias("cell"),
+        unit(F.col("embedding")).alias("u"),
+    )
+    pairs = triangle_pairs(cells, "cell")
+    directed = pairs.select(
+        F.col("vec_a").alias("vec_id"),
+        F.col("vec_b").alias("neighbor"),
+        "cos_sim",
+    ).unionByName(
+        pairs.select(
+            F.col("vec_b").alias("vec_id"),
+            F.col("vec_a").alias("neighbor"),
+            "cos_sim",
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor").asc()
+    )
+    return (
+        directed.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= KNN_JOIN_K)
+        .select("vec_id", "rk", "neighbor", (F.col("cos_sim") + 0.0).alias("cos_sim"))
+    )
+
+
+_KNN_JOIN_SQL = f"""
+WITH {_IVF_ASSIGN_CTES}, uu AS (
+  SELECT vec_id,
+         list_transform(e, x -> x / sqrt(list_sum(
+           list_transform(e, y -> y * y)))) AS u
+  FROM emb
+), directed AS (
+  SELECT x.vec_id AS vec_id, y.vec_id AS neighbor,
+         round(list_sum(list_transform(list_zip(ux.u, uy.u),
+               p -> p[1] * p[2])), 4) AS cos_sim
+  FROM assign x JOIN assign y
+    ON x.cell = y.cell AND x.vec_id <> y.vec_id
+  JOIN uu ux ON ux.vec_id = x.vec_id
+  JOIN uu uy ON uy.vec_id = y.vec_id
+)
+SELECT vec_id, rk, neighbor, cos_sim + 0.0 AS cos_sim FROM (
+  SELECT vec_id, neighbor, cos_sim,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos_sim DESC, neighbor ASC) AS rk
+  FROM directed
+) WHERE rk <= {KNN_JOIN_K}
+"""
 
 
 def _plane_sql(j: int) -> str:
@@ -874,6 +967,7 @@ ORACLE: dict[str, str] = {
     "q_ann_lsh": _ANN_SQL,
     "q_ann_ivf": _IVF_SQL,
     "q_ann_ivf_indexed": _IVF_SQL,
+    "q_knn_join": _KNN_JOIN_SQL,
     "q_knn_topk": """
         WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
         SELECT vec_id,
