@@ -842,6 +842,29 @@ def _kmeans_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final
 
 
+def q_cluster_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic training-mix report: document counts and character
+    mass per (k-means cluster × language) — the composition table a
+    data-mixing pass reads to rebalance a corpus by TOPIC, not just by
+    metadata (the embeddings fixture aligns vec_id with doc_id).
+
+    The cluster assignment is q_kmeans's exact trajectory; the join to
+    documents is keyed on the id and the rollup is one map-side-
+    combined aggregate over (K × |langs|) groups."""
+    final = _kmeans_final(spark, sf_dir).select("vec_id", "cluster")
+    docs = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang", "n_chars"
+    )
+    return (
+        final.join(docs, "vec_id")
+        .groupBy("cluster", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("chars"),
+        )
+    )
+
+
 SEMDEDUP_TAU = 0.95
 
 
@@ -959,6 +982,16 @@ ORACLE: dict[str, str] = {
     "q_ann_pq": _ANN_PQ_SQL,
     "q_kmeans": _KMEANS_SQL,
     "q_semdedup": _SEMDEDUP_SQL,
+    "q_cluster_mix": (
+        "WITH "
+        + _kmeans_ctes()
+        + f"""
+        SELECT a.c AS cluster, d.lang,
+               count(*) AS n_docs,
+               CAST(sum(d.n_chars) AS BIGINT) AS chars
+        FROM a{KM_ITERS} a JOIN documents d ON a.vec_id = d.doc_id
+        GROUP BY a.c, d.lang"""
+    ),
     "q_embed_quantize": _QUANT_SQL,
     "q_embed_dedup": f"""
         SELECT vec_id, label FROM embeddings
