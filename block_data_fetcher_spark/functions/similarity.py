@@ -842,6 +842,62 @@ def _kmeans_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final
 
 
+RRF_K = 60
+RRF_TOP = 10
+
+
+def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: the BM25 sparse
+    ranking (q_bm25's fixed 3-term query) and the dense cosine ranking
+    to the vec_id=0 query vector are fused as
+    RRF(d) = Σ 1/(60 + rankᵢ(d)) — the standard hybrid-search
+    combiner, rank-based so the two incomparable score scales never
+    mix. Docs absent from the sparse list (no query term) contribute
+    only their dense term.
+
+    Scale: each ranking is its own reduced pipeline (inverted-index
+    BM25; map + top-k cosine); fusion joins RANK LISTS, not corpora —
+    the dense list is the base (it covers every doc), the sparse list
+    left-joins on. Ranks tie-break by id in both engines."""
+    from .text import q_bm25
+
+    sparse = q_bm25(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()))
+        .alias("r_sparse"),
+    )
+    em = table(spark, sf_dir, "embeddings")
+    qvec = em.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    qlit = F.lit([float(x) for x in qvec])
+    dense = em.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.round(cosine(F.col("embedding"), qlit), 4).desc(),
+                F.col("vec_id").asc(),
+            )
+        )
+        .alias("r_dense"),
+    )
+    rrf = (
+        F.coalesce(1.0 / (RRF_K + F.col("r_sparse")), F.lit(0.0))
+        + 1.0 / (RRF_K + F.col("r_dense"))
+    )
+    return (
+        dense.join(sparse, "doc_id", "left")
+        .select(
+            "doc_id",
+            "r_dense",
+            "r_sparse",
+            (F.round(rrf + 1e-9, 6) + 0.0).alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+        .limit(RRF_TOP)
+    )
+
+
 def q_cluster_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic training-mix report: document counts and character
     mass per (k-means cluster × language) — the composition table a
@@ -1001,6 +1057,7 @@ ORACLE: dict[str, str] = {
     "q_ann_ivf": _IVF_SQL,
     "q_ann_ivf_indexed": _IVF_SQL,
     "q_knn_join": _KNN_JOIN_SQL,
+    "q_rank_fusion": None,  # filled below — needs the BM25 oracle text
     "q_knn_topk": """
         WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
         SELECT vec_id,
@@ -1015,3 +1072,36 @@ ORACLE: dict[str, str] = {
     """,
     "q_embed_near_dup": _NEAR_DUP_SQL,
 }
+
+
+def _rrf_sql() -> str:
+    """RRF oracle — embeds the BM25 oracle as the sparse leg (imported
+    here, not duplicated) and the rounded-cosine ranking as the dense
+    leg."""
+    from .text import ORACLE as _text_oracle
+
+    return f"""
+    WITH sparse_raw AS ({_text_oracle["q_bm25"]}),
+    sparse AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r_sparse
+      FROM sparse_raw
+    ), emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), q AS (SELECT e AS qe FROM emb WHERE vec_id = 0),
+    dense AS (
+      SELECT vec_id AS doc_id,
+             row_number() OVER (
+               ORDER BY round({_COS.format(a="e", b="qe")}, 4) DESC,
+                        vec_id ASC) AS r_dense
+      FROM emb CROSS JOIN q
+    )
+    SELECT dense.doc_id, r_dense, r_sparse,
+           round(coalesce(1.0 / ({RRF_K} + r_sparse), 0.0)
+                 + 1.0 / ({RRF_K} + r_dense) + 1e-9, 6) + 0.0 AS rrf
+    FROM dense LEFT JOIN sparse ON dense.doc_id = sparse.doc_id
+    ORDER BY rrf DESC, dense.doc_id ASC LIMIT {RRF_TOP}
+    """
+
+
+ORACLE["q_rank_fusion"] = _rrf_sql()
