@@ -898,6 +898,60 @@ def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NDCG_AT = 10
+
+
+def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation: NDCG@10 of the dense cosine
+    ranking, with graded relevance rel(d) = 1 when d shares the query
+    vector's label (the fixture's cluster label stands in for
+    judgments). DCG = Σ rel/log₂(rank+1) over the top-10; the ideal
+    DCG normalizes by the best attainable ordering — the metric a
+    curation pipeline tracks when it tunes its retrieval leg.
+
+    One ranked window over the reduced score column; the label lookup
+    rides the same row. Deterministic: ranking on rounded cosine with
+    id tie-break, log₂ on small-integer ranks."""
+    em = table(spark, sf_dir, "embeddings")
+    qrow = em.where(F.col("vec_id") == 0).select("embedding", "label").head()
+    qlit = F.lit([float(x) for x in qrow[0]])
+    qlabel = qrow[1]
+    ranked = em.where(F.col("vec_id") != 0).select(
+        "vec_id",
+        (F.col("label") == F.lit(qlabel)).cast("int").alias("rel"),
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.round(cosine(F.col("embedding"), qlit), 4).desc(),
+                F.col("vec_id").asc(),
+            )
+        )
+        .alias("rk"),
+    )
+    top = ranked.where(F.col("rk") <= NDCG_AT)
+    dcg = F.sum(F.col("rel") / F.log2(F.col("rk") + 1))
+    ideal = ranked.select(
+        "rel",
+        F.row_number()
+        .over(Window.orderBy(F.col("rel").desc(), F.col("vec_id").asc()))
+        .alias("irk"),
+    ).where(F.col("irk") <= NDCG_AT)
+    idcg = ideal.agg(
+        F.sum(F.col("rel") / F.log2(F.col("irk") + 1)).alias("idcg")
+    )
+    return (
+        top.agg(dcg.alias("dcg"), F.sum("rel").alias("n_relevant"))
+        .join(F.broadcast(idcg))
+        .select(
+            (F.round(F.col("dcg") + 1e-9, 4) + 0.0).alias("dcg"),
+            "n_relevant",
+            (F.round(F.col("dcg") / F.col("idcg") + 1e-9, 4) + 0.0).alias(
+                "ndcg"
+            ),
+        )
+    )
+
+
 def q_cluster_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic training-mix report: document counts and character
     mass per (k-means cluster × language) — the composition table a
@@ -1105,3 +1159,29 @@ def _rrf_sql() -> str:
 
 
 ORACLE["q_rank_fusion"] = _rrf_sql()
+
+ORACLE["q_ndcg"] = f"""
+    WITH emb AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), q AS (SELECT e AS qe, label AS qlabel FROM emb WHERE vec_id = 0),
+    ranked AS (
+      SELECT vec_id,
+             CAST(emb.label = q.qlabel AS INT) AS rel,
+             row_number() OVER (
+               ORDER BY round({_COS.format(a="e", b="qe")}, 4) DESC,
+                        vec_id ASC) AS rk
+      FROM emb CROSS JOIN q WHERE vec_id <> 0
+    ), ideal AS (
+      SELECT rel, row_number() OVER (ORDER BY rel DESC, vec_id ASC) AS irk
+      FROM ranked
+    ), idcg AS (
+      SELECT sum(rel / log2(irk + 1)) AS idcg FROM ideal
+      WHERE irk <= {NDCG_AT}
+    )
+    SELECT round(sum(rel / log2(rk + 1)) + 1e-9, 4) + 0.0 AS dcg,
+           CAST(sum(rel) AS BIGINT) AS n_relevant,
+           round(sum(rel / log2(rk + 1)) / any_value(idcg.idcg) + 1e-9, 4)
+             + 0.0 AS ndcg
+    FROM ranked CROSS JOIN idcg
+    WHERE rk <= {NDCG_AT}
+"""

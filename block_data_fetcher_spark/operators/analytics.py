@@ -262,6 +262,60 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PSI_SPLIT = "2024-01-15"
+PSI_BINS = 10
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index between the value distributions of
+    the first and second halves of the event stream — the standard
+    drift monitor a production scorer runs on its input features:
+    PSI = Σ (qᵢ − pᵢ)·ln(qᵢ/pᵢ) over 10 fixed-width bins, with
+    add-one smoothing so empty bins stay finite AND deterministic
+    (no epsilon hand-tuning to disagree over).
+
+    Map-side binning (floor-divide, clamped), one tiny (period, bin)
+    aggregate, a 20-row pivot join — the whole monitor reduces before
+    anything shuffles. PSI < 0.1 is the conventional 'stable' gate."""
+    ev = table(spark, sf_dir, "events")
+    binned = ev.select(
+        F.when(F.col("ts") < F.lit(PSI_SPLIT).cast("timestamp_ntz"), "ref")
+        .otherwise("cur")
+        .alias("period"),
+        # floor() explicitly: DuckDB's double→int CAST rounds while
+        # Spark's truncates — floor-then-cast agrees everywhere
+        F.least(
+            F.greatest(F.floor(F.col("value") / 100).cast("int"), F.lit(0)),
+            F.lit(PSI_BINS - 1),
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("period", "bin").agg(F.count("*").alias("c"))
+    totals = counts.groupBy("period").agg(F.sum("c").alias("n"))
+    shares = counts.join(totals, "period").select(
+        "period",
+        "bin",
+        ((F.col("c") + 1) / (F.col("n") + PSI_BINS)).alias("share"),
+    )
+    ref = shares.where(F.col("period") == "ref").select(
+        "bin", F.col("share").alias("p")
+    )
+    cur = shares.where(F.col("period") == "cur").select(
+        "bin", F.col("share").alias("q")
+    )
+    joined = ref.join(cur, "bin")
+    return joined.agg(
+        F.count("*").alias("n_bins"),
+        (
+            F.round(
+                F.sum((F.col("q") - F.col("p")) * F.log(F.col("q") / F.col("p")))
+                + 1e-9,
+                6,
+            )
+            + 0.0
+        ).alias("psi"),
+    )
+
+
 def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tukey-fence outliers: events outside [Q1 − 1.5·IQR,
     Q3 + 1.5·IQR] of their event type — the robust (quantile-based)
@@ -1249,6 +1303,29 @@ ORACLE: dict[str, str] = {
     "q_recursive_cte": _RECURSIVE_SQL,
     "q_cogroup_asof": _COGROUP_ASOF_SQL,
     "q_holt_forecast": _HOLT_SQL,
+    "q_psi_drift": f"""
+        WITH binned AS (
+          SELECT CASE WHEN ts < TIMESTAMP '{PSI_SPLIT}' THEN 'ref'
+                      ELSE 'cur' END AS period,
+                 least(greatest(CAST(floor(value / 100) AS INT), 0),
+                       {PSI_BINS - 1}) AS bin
+          FROM events
+        ), counts AS (
+          SELECT period, bin, count(*) AS c FROM binned GROUP BY period, bin
+        ), totals AS (
+          SELECT period, sum(c) AS n FROM counts GROUP BY period
+        ), shares AS (
+          SELECT counts.period, bin,
+                 (c + 1) * 1.0 / (n + {PSI_BINS}) AS share
+          FROM counts JOIN totals ON counts.period = totals.period
+        )
+        SELECT count(*) AS n_bins,
+               round(sum((q.share - p.share) * ln(q.share / p.share))
+                     + 1e-9, 6) + 0.0 AS psi
+        FROM (SELECT bin, share FROM shares WHERE period = 'ref') p
+        JOIN (SELECT bin, share FROM shares WHERE period = 'cur') q
+          USING (bin)
+    """,
     "q_iqr_outliers": """
         WITH q AS (
           SELECT event_type,
