@@ -316,6 +316,59 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the same stream
+    halves PSI monitors: D = sup |F_ref(v) − F_cur(v)| over the
+    empirical CDFs — the bin-free drift test (PSI's fixed bins can
+    hide a shift that lands inside one bin).
+
+    Shape: per-distinct-value (ref, cur) counts, ONE ordered window
+    for both cumulative sums, a global max — the sort is over
+    |distinct values|, not |events|. Ties handled exactly: cumulative
+    counts advance per distinct value, so both CDFs are evaluated at
+    the same jump points."""
+    ev = table(spark, sf_dir, "events")
+    split = F.lit(PSI_SPLIT).cast("timestamp_ntz")
+    per_val = (
+        ev.select(
+            "value",
+            F.when(F.col("ts") < split, 1).otherwise(0).alias("is_ref"),
+        )
+        .groupBy("value")
+        .agg(
+            F.sum("is_ref").alias("n_ref"),
+            F.sum(1 - F.col("is_ref")).alias("n_cur"),
+        )
+    )
+    totals = per_val.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    w = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cdf = per_val.select(
+        "value",
+        F.sum("n_ref").over(w).alias("c_ref"),
+        F.sum("n_cur").over(w).alias("c_cur"),
+    ).join(F.broadcast(totals))
+    return cdf.agg(
+        (
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("c_ref") / F.col("t_ref")
+                        - F.col("c_cur") / F.col("t_cur")
+                    )
+                )
+                + 1e-9,
+                6,
+            )
+            + 0.0
+        ).alias("ks_d"),
+        F.count("*").alias("n_points"),
+    )
+
+
 def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tukey-fence outliers: events outside [Q1 − 1.5·IQR,
     Q3 + 1.5·IQR] of their event type — the robust (quantile-based)
@@ -1303,6 +1356,29 @@ ORACLE: dict[str, str] = {
     "q_recursive_cte": _RECURSIVE_SQL,
     "q_cogroup_asof": _COGROUP_ASOF_SQL,
     "q_holt_forecast": _HOLT_SQL,
+    "q_ks_test": f"""
+        WITH per_val AS (
+          SELECT value,
+                 sum(CASE WHEN ts < TIMESTAMP '{PSI_SPLIT}' THEN 1 ELSE 0 END)
+                   AS n_ref,
+                 sum(CASE WHEN ts < TIMESTAMP '{PSI_SPLIT}' THEN 0 ELSE 1 END)
+                   AS n_cur
+          FROM events GROUP BY value
+        ), tot AS (
+          SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur FROM per_val
+        ), cdf AS (
+          SELECT value,
+                 sum(n_ref) OVER (ORDER BY value
+                                  ROWS UNBOUNDED PRECEDING) AS c_ref,
+                 sum(n_cur) OVER (ORDER BY value
+                                  ROWS UNBOUNDED PRECEDING) AS c_cur
+          FROM per_val
+        )
+        SELECT round(max(abs(c_ref * 1.0 / t_ref - c_cur * 1.0 / t_cur))
+                     + 1e-9, 6) + 0.0 AS ks_d,
+               count(*) AS n_points
+        FROM cdf CROSS JOIN tot
+    """,
     "q_psi_drift": f"""
         WITH binned AS (
           SELECT CASE WHEN ts < TIMESTAMP '{PSI_SPLIT}' THEN 'ref'
