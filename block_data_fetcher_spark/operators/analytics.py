@@ -316,6 +316,64 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user value concentration — the
+    skew-quantification twin of the heavy-hitter sketches: how
+    unequally the event value mass distributes over users
+    (G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over ascending per-user
+    totals).
+
+    One groupBy to user totals, one ordered window for the rank, a
+    scalar reduction — |users| rows after the first aggregate. The
+    rank's tie-break on user_id is value-neutral: swapping equal
+    totals never changes Σ i·xᵢ."""
+    ev = table(spark, sf_dir, "events")
+    totals = ev.groupBy("user_id").agg(F.sum("value").alias("x"))
+    ranked = totals.select(
+        "x",
+        F.row_number()
+        .over(Window.orderBy(F.col("x").asc(), F.col("user_id").asc()))
+        .alias("i"),
+    )
+    return ranked.agg(
+        F.count("*").alias("n_users"),
+        (
+            F.round(
+                2 * F.sum(F.col("i") * F.col("x"))
+                / (F.count("*") * F.sum("x"))
+                - (F.count("*") + 1) / F.count("*")
+                + 1e-9,
+                6,
+            )
+            + 0.0
+        ).alias("gini"),
+    )
+
+
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each user's value sequence — the
+    temporal-dependence screen (is a user's next value predictable
+    from the last?): Pearson corr between value and its lag over the
+    time-ordered stream, users with <3 events dropped (corr of a
+    2-point series is ±1 noise).
+
+    One shuffle on user_id serves the lag window AND the corr
+    aggregate (corr is algebraic: 5 map-side partials)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "user_id", "value", F.lag("value").over(w).alias("prev")
+    ).where(F.col("prev").isNotNull())
+    return (
+        lagged.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            (F.round(F.corr("value", "prev") + 1e-9, 4) + 0.0).alias("ac1"),
+        )
+        .where(F.col("n_pairs") >= 2)
+    )
+
+
 def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov statistic between the same stream
     halves PSI monitors: D = sup |F_ref(v) − F_cur(v)| over the
@@ -1356,6 +1414,30 @@ ORACLE: dict[str, str] = {
     "q_recursive_cte": _RECURSIVE_SQL,
     "q_cogroup_asof": _COGROUP_ASOF_SQL,
     "q_holt_forecast": _HOLT_SQL,
+    "q_gini": """
+        WITH totals AS (
+          SELECT user_id, sum(value) AS x FROM events GROUP BY user_id
+        ), ranked AS (
+          SELECT x, row_number() OVER (ORDER BY x ASC, user_id ASC) AS i
+          FROM totals
+        )
+        SELECT count(*) AS n_users,
+               round(2.0 * sum(i * x) / (count(*) * sum(x))
+                     - (count(*) + 1.0) / count(*) + 1e-9, 6) + 0.0 AS gini
+        FROM ranked
+    """,
+    "q_autocorr": """
+        WITH lagged AS (
+          SELECT user_id, value,
+                 lag(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS prev
+          FROM events
+        )
+        SELECT user_id, count(*) AS n_pairs,
+               round(corr(value, prev) + 1e-9, 4) + 0.0 AS ac1
+        FROM lagged WHERE prev IS NOT NULL
+        GROUP BY user_id HAVING count(*) >= 2
+    """,
     "q_ks_test": f"""
         WITH per_val AS (
           SELECT value,
