@@ -316,6 +316,72 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit screen: observed digit shares
+    of positive event values vs the Benford expectation
+    log₁₀(1 + 1/d) — the forensic data-quality test for fabricated or
+    truncated numeric columns.
+
+    First digit = floor(v / 10^floor(log₁₀ v)) — pure map-side math;
+    the aggregate is 9 rows. Deviation is reported per digit (the
+    judge of 'is this synthetic' reads the profile, not one scalar)."""
+    ev = table(spark, sf_dir, "events").where(F.col("value") > 0)
+    digit = F.floor(
+        F.col("value") / F.pow(F.lit(10.0), F.floor(F.log10("value")))
+    ).cast("int")
+    counts = ev.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").alias("n")
+    )
+    total = Window.partitionBy()
+    return counts.select(
+        "digit",
+        "n",
+        (F.round(F.col("n") / F.sum("n").over(total) + 1e-9, 4) + 0.0).alias(
+            "observed"
+        ),
+        (
+            F.round(F.log10(1 + 1 / F.col("digit").cast("double")) + 1e-9, 4)
+            + 0.0
+        ).alias("benford"),
+    )
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus vocabulary: OLS slope of
+    ln(frequency) against ln(rank) — natural text sits near −1;
+    strong deviation flags templated or synthetic corpora (the
+    corpus-level cousin of the per-doc repetition gate).
+
+    The frequency table is the reduced |vocab| aggregate; the rank is
+    one ordered window over it; the fit is the algebraic regr_slope —
+    nothing bigger than the vocabulary ever shuffles."""
+    docs = table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    ranked = freq.select(
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.col("cnt").desc(), F.col("term").asc()))
+        .alias("rank"),
+    )
+    return ranked.agg(
+        F.count("*").alias("vocab"),
+        (
+            F.round(
+                F.expr("regr_slope(ln(cnt), ln(rank))") + 1e-9, 4
+            )
+            + 0.0
+        ).alias("zipf_slope"),
+        (
+            F.round(F.expr("regr_r2(ln(cnt), ln(rank))") + 1e-9, 4) + 0.0
+        ).alias("r2"),
+    )
+
+
 def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of per-user value concentration — the
     skew-quantification twin of the heavy-hitter sketches: how
@@ -1414,6 +1480,35 @@ ORACLE: dict[str, str] = {
     "q_recursive_cte": _RECURSIVE_SQL,
     "q_cogroup_asof": _COGROUP_ASOF_SQL,
     "q_holt_forecast": _HOLT_SQL,
+    "q_benford": """
+        WITH pos AS (SELECT value FROM events WHERE value > 0),
+        digits AS (
+          SELECT CAST(floor(value / pow(10.0, floor(log10(value)))) AS INT)
+                   AS digit
+          FROM pos
+        ), counts AS (
+          SELECT digit, count(*) AS n FROM digits GROUP BY digit
+        )
+        SELECT digit, n,
+               round(n * 1.0 / (sum(n) OVER ()) + 1e-9, 4) + 0.0 AS observed,
+               round(log10(1 + 1.0 / digit) + 1e-9, 4) + 0.0 AS benford
+        FROM counts
+    """,
+    "q_zipf_fit": """
+        WITH freq AS (
+          SELECT term, count(*) AS cnt FROM (
+            SELECT unnest(string_split(text, ' ')) AS term FROM documents
+          ) WHERE term <> '' GROUP BY term
+        ), ranked AS (
+          SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term ASC) AS rank
+          FROM freq
+        )
+        SELECT count(*) AS vocab,
+               round(regr_slope(ln(cnt), ln(rank)) + 1e-9, 4) + 0.0
+                 AS zipf_slope,
+               round(regr_r2(ln(cnt), ln(rank)) + 1e-9, 4) + 0.0 AS r2
+        FROM ranked
+    """,
     "q_gini": """
         WITH totals AS (
           SELECT user_id, sum(value) AS x FROM events GROUP BY user_id
