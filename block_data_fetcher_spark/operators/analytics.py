@@ -316,6 +316,76 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test between the ref/cur stream halves'
+    value means — the inference companion to the PSI/KS drift
+    monitors ("is the mean shift significant?"): t and the
+    Welch–Satterthwaite degrees of freedom from per-half
+    (n, mean, variance), all algebraic aggregates.
+
+    The entire test reduces to TWO rows of sufficient statistics
+    before any arithmetic — the canonical 'statistics at 100 TB'
+    shape: scan once, carry 3 numbers per side."""
+    ev = table(spark, sf_dir, "events")
+    split = F.lit(PSI_SPLIT).cast("timestamp_ntz")
+    halves = ev.groupBy(
+        F.when(F.col("ts") < split, "ref").otherwise("cur").alias("period")
+    ).agg(
+        F.count("*").alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    r = halves.where(F.col("period") == "ref").select(
+        F.col("n").alias("n1"), F.col("m").alias("m1"), F.col("v").alias("v1")
+    )
+    c = halves.where(F.col("period") == "cur").select(
+        F.col("n").alias("n2"), F.col("m").alias("m2"), F.col("v").alias("v2")
+    )
+    j = r.join(c)
+    se1 = F.col("v1") / F.col("n1")
+    se2 = F.col("v2") / F.col("n2")
+    t = (F.col("m1") - F.col("m2")) / F.sqrt(se1 + se2)
+    df = (se1 + se2) * (se1 + se2) / (
+        se1 * se1 / (F.col("n1") - 1) + se2 * se2 / (F.col("n2") - 1)
+    )
+    return j.select(
+        "n1",
+        "n2",
+        (F.round(t + 1e-9, 4) + 0.0).alias("t_stat"),
+        (F.round(df + 1e-9, 2) + 0.0).alias("df"),
+    )
+
+
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test between event_type and user-id
+    parity (a stand-in categorical split): χ² = Σ (O−E)²/E over the
+    contingency table, expected counts from the margins — the
+    categorical association screen beside the numeric drift tests.
+
+    One (type, parity) aggregate (|types|×2 cells), margins re-derived
+    from the cells with windows sharing the same tiny frame — the raw
+    table is never re-scanned."""
+    ev = table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", (F.col("user_id") % 2).alias("parity")
+    ).agg(F.count("*").alias("o"))
+    row_m = Window.partitionBy("event_type")
+    col_m = Window.partitionBy("parity")
+    tot = Window.partitionBy()
+    e = (
+        F.sum("o").over(row_m)
+        * F.sum("o").over(col_m)
+        / F.sum("o").over(tot)
+    )
+    contrib = cells.select(
+        ((F.col("o") - e) * (F.col("o") - e) / e).alias("x")
+    )
+    return contrib.agg(
+        F.count("*").alias("n_cells"),
+        (F.round(F.sum("x") + 1e-9, 4) + 0.0).alias("chi2"),
+    )
+
+
 def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-significant-digit screen: observed digit shares
     of positive event values vs the Benford expectation
@@ -1480,6 +1550,39 @@ ORACLE: dict[str, str] = {
     "q_recursive_cte": _RECURSIVE_SQL,
     "q_cogroup_asof": _COGROUP_ASOF_SQL,
     "q_holt_forecast": _HOLT_SQL,
+    "q_welch_ttest": f"""
+        WITH halves AS (
+          SELECT CASE WHEN ts < TIMESTAMP '{PSI_SPLIT}' THEN 'ref'
+                      ELSE 'cur' END AS period,
+                 count(*) AS n, avg(value) AS m, var_samp(value) AS v
+          FROM events GROUP BY 1
+        ), r AS (SELECT n AS n1, m AS m1, v AS v1 FROM halves
+                 WHERE period = 'ref'),
+        c AS (SELECT n AS n2, m AS m2, v AS v2 FROM halves
+              WHERE period = 'cur')
+        SELECT n1, n2,
+               round((m1 - m2) / sqrt(v1 / n1 + v2 / n2) + 1e-9, 4) + 0.0
+                 AS t_stat,
+               round(pow(v1 / n1 + v2 / n2, 2)
+                     / (pow(v1 / n1, 2) / (n1 - 1)
+                        + pow(v2 / n2, 2) / (n2 - 1)) + 1e-9, 2) + 0.0 AS df
+        FROM r CROSS JOIN c
+    """,
+    "q_chi_square": """
+        WITH cells AS (
+          SELECT event_type, user_id % 2 AS parity, count(*) AS o
+          FROM events GROUP BY event_type, user_id % 2
+        ), ex AS (
+          SELECT o,
+                 (sum(o) OVER (PARTITION BY event_type))
+                 * (sum(o) OVER (PARTITION BY parity))
+                 * 1.0 / (sum(o) OVER ()) AS e
+          FROM cells
+        )
+        SELECT count(*) AS n_cells,
+               round(sum((o - e) * (o - e) / e) + 1e-9, 4) + 0.0 AS chi2
+        FROM ex
+    """,
     "q_benford": """
         WITH pos AS (SELECT value FROM events WHERE value > 0),
         digits AS (
