@@ -33,6 +33,33 @@ def _exists(spark: SparkSession, path: str) -> bool:
     )
 
 
+def _atomic_swap(path: str, tmp: str) -> None:
+    """Crash-safe directory swap: rename the live table ASIDE first
+    (`path` -> `path.old`), move `tmp` into place, then delete the
+    aside copy. A crash at any point leaves either the old table at
+    `path` or at `path.old` plus the complete new one at `tmp` — never
+    a window with NO copy, which the naive rmtree-then-replace had.
+    (On a real object store this is the same two-phase commit a
+    Delta/Iceberg snapshot swap gives you for free.)"""
+    old = path + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(path):
+        os.replace(path, old)
+    os.replace(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+_BATCH_MARKER = "_last_batch_id"
+
+
+def _read_batch_marker(path: str) -> int | None:
+    marker = os.path.join(path, _BATCH_MARKER)
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            return int(fh.read().strip())
+    return None
+
+
 def upsert_parquet(
     spark: SparkSession,
     incoming: DataFrame,
@@ -58,9 +85,7 @@ def upsert_parquet(
     tmp = tempfile.mkdtemp(prefix="upsert_", dir=os.path.dirname(path) or ".")
     deduped.write.mode("overwrite").parquet(tmp)
     n = spark.read.parquet(tmp).count()
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    os.replace(tmp, path)
+    _atomic_swap(path, tmp)
     return n
 
 
@@ -69,6 +94,7 @@ def merge_aggregate(
     partials: DataFrame,
     path: str,
     keys: list[str],
+    batch_id: int | None = None,
 ) -> int:
     """Algebraic aggregate maintenance: merge a batch's per-key
     PARTIAL aggregates (columns besides `keys` must be sum-mergeable —
@@ -77,11 +103,20 @@ def merge_aggregate(
 
     This is the incremental-materialized-view half of the sink family:
     `upsert_parquet` keeps the newest ROW per key; this keeps the
-    running AGGREGATE per key, so a replayed batch is NOT idempotent —
-    exactly-once delivery comes from the streaming checkpoint (each
-    micro-batch merges once), the same contract Spark's own stateful
-    aggs rely on. At 100 TB the stored side is |keys| rows, not
-    |events| — the merge cost is bounded by key cardinality."""
+    running AGGREGATE per key, so a replayed batch is NOT idempotent
+    by itself. foreachBatch delivery is AT-LEAST-once (a crash after
+    the table swap but before the checkpoint commit replays the
+    batch), so callers pass Spark's ``batch_id`` and the last merged
+    id is persisted in a ``_last_batch_id`` marker INSIDE the table
+    directory — written into the temp dir BEFORE the swap, so the
+    merge and its marker commit in the same atomic rename. A replayed
+    ``batch_id <= stored`` is skipped: the standard foreachBatch
+    idempotence pattern. At 100 TB the stored side is |keys| rows,
+    not |events| — the merge cost is bounded by key cardinality."""
+    if batch_id is not None and os.path.exists(path):
+        stored = _read_batch_marker(path)
+        if stored is not None and batch_id <= stored:
+            return spark.read.parquet(path).count()
     if _exists(spark, path):
         merged = spark.read.parquet(path).unionByName(partials)
     else:
@@ -94,9 +129,10 @@ def merge_aggregate(
     tmp = tempfile.mkdtemp(prefix="mergeagg_", dir=os.path.dirname(path) or ".")
     rolled.write.mode("overwrite").parquet(tmp)
     n = spark.read.parquet(tmp).count()
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    os.replace(tmp, path)
+    if batch_id is not None:
+        with open(os.path.join(tmp, _BATCH_MARKER), "w") as fh:
+            fh.write(str(batch_id))
+    _atomic_swap(path, tmp)
     return n
 
 
@@ -115,9 +151,7 @@ def insert_if_absent(
     tmp = tempfile.mkdtemp(prefix="seed_", dir=os.path.dirname(path) or ".")
     merged.write.mode("overwrite").parquet(tmp)
     n = spark.read.parquet(tmp).count()
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    os.replace(tmp, path)
+    _atomic_swap(path, tmp)
     return n
 
 

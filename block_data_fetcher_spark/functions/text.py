@@ -373,10 +373,12 @@ def _bigrams(text: Column | str) -> Column:
     zip of the array against itself shifted by one (empty tokens
     filtered first so pairs never straddle a blank)."""
     arr = F.filter(tokens(text), lambda t: t != "")
-    n = F.size(arr)
+    # clamp at 0: an empty/whitespace-only text tokenizes to n=0 and
+    # slice(arr, 1, -1) is a runtime error in Spark, not an empty array
+    n = F.greatest(F.size(arr) - 1, F.lit(0))
     return F.zip_with(
-        F.slice(arr, 1, n - 1),
-        F.slice(arr, 2, n - 1),
+        F.slice(arr, 1, n),
+        F.slice(arr, 2, n),
         lambda a, b: F.concat_ws(" ", a, b),
     )
 

@@ -276,7 +276,11 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Map-side binning (floor-divide, clamped), one tiny (period, bin)
     aggregate, a 20-row pivot join — the whole monitor reduces before
-    anything shuffles. PSI < 0.1 is the conventional 'stable' gate."""
+    anything shuffles. The observed counts are LEFT-joined onto a
+    full (period × 10-bin) spine so bins present in only one period
+    (appearing/vanishing mass — exactly the drift PSI exists to catch)
+    enter the sum as smoothed zeros instead of being dropped by the
+    pivot join. PSI < 0.1 is the conventional 'stable' gate."""
     ev = table(spark, sf_dir, "events")
     binned = ev.select(
         F.when(F.col("ts") < F.lit(PSI_SPLIT).cast("timestamp_ntz"), "ref")
@@ -290,8 +294,16 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bin"),
     )
     counts = binned.groupBy("period", "bin").agg(F.count("*").alias("c"))
-    totals = counts.groupBy("period").agg(F.sum("c").alias("n"))
-    shares = counts.join(totals, "period").select(
+    spine = (
+        spark.range(PSI_BINS)
+        .select(F.col("id").cast("int").alias("bin"))
+        .crossJoin(spark.createDataFrame([("ref",), ("cur",)], ["period"]))
+    )
+    full = spine.join(counts, ["period", "bin"], "left").select(
+        "period", "bin", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    totals = full.groupBy("period").agg(F.sum("c").alias("n"))
+    shares = full.join(totals, "period").select(
         "period",
         "bin",
         ((F.col("c") + 1) / (F.col("n") + PSI_BINS)).alias("share"),
@@ -1668,12 +1680,21 @@ ORACLE: dict[str, str] = {
           FROM events
         ), counts AS (
           SELECT period, bin, count(*) AS c FROM binned GROUP BY period, bin
+        ), spine AS (
+          SELECT CAST(i AS INT) AS bin, period
+          FROM range({PSI_BINS}) t(i)
+          CROSS JOIN (SELECT 'ref' AS period UNION ALL SELECT 'cur') p
+        ), full_counts AS (
+          SELECT spine.period, spine.bin, coalesce(counts.c, 0) AS c
+          FROM spine LEFT JOIN counts
+            ON spine.period = counts.period AND spine.bin = counts.bin
         ), totals AS (
-          SELECT period, sum(c) AS n FROM counts GROUP BY period
+          SELECT period, sum(c) AS n FROM full_counts GROUP BY period
         ), shares AS (
-          SELECT counts.period, bin,
+          SELECT full_counts.period, bin,
                  (c + 1) * 1.0 / (n + {PSI_BINS}) AS share
-          FROM counts JOIN totals ON counts.period = totals.period
+          FROM full_counts JOIN totals
+            ON full_counts.period = totals.period
         )
         SELECT count(*) AS n_bins,
                round(sum((q.share - p.share) * ln(q.share / p.share))

@@ -238,6 +238,50 @@ def q_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def erase_partitions(
+    spark: SparkSession,
+    path: str,
+    doomed: Column,
+    affected_days: list,
+    partition_col: str = "event_date",
+) -> None:
+    """Rewrite the hive partitions listed in ``affected_days`` with
+    the rows matching ``doomed`` removed.
+
+    Dynamic partition overwrite only replaces partitions PRESENT in
+    the written frame — if every row of an affected day is doomed,
+    the cleaned frame has no rows for that day, the overwrite never
+    touches it, and the deleted data would silently survive. So after
+    the rewrite, any affected partition directory absent from the
+    cleaned frame is deleted explicitly (partition-metadata-sized
+    work: the same listing a metastore DROP PARTITION does)."""
+    import os
+    import shutil
+
+    store = spark.read.parquet(path)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        cleaned = store.where(
+            F.col(partition_col).isin(affected_days) & ~doomed
+        )
+        # partition list of the cleaned frame, collected BEFORE the
+        # overwrite mutates the files `cleaned` lazily reads from
+        surviving = {
+            r[partition_col]
+            for r in cleaned.select(partition_col).distinct().collect()
+        }
+        repartition_for_write(cleaned, [partition_col]).write.partitionBy(
+            partition_col
+        ).mode("overwrite").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    for day in affected_days:
+        if day not in surviving:
+            part_dir = os.path.join(path, f"{partition_col}={day}")
+            shutil.rmtree(part_dir, ignore_errors=True)
+
+
 def q_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Right-to-erasure over the partitioned landing store: given a
     deletion set of users (deterministic rule `user_id % 97 == 0`,
@@ -274,17 +318,7 @@ def q_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         r["event_date"]
         for r in store.where(doomed).select("event_date").distinct().collect()
     ]
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        cleaned = store.where(
-            F.col("event_date").isin(affected_days) & ~doomed
-        )
-        repartition_for_write(cleaned, ["event_date"]).write.partitionBy(
-            "event_date"
-        ).mode("overwrite").parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    erase_partitions(spark, path, doomed, affected_days)
 
     back = spark.read.parquet(path)
     return back.groupBy("event_type").agg(

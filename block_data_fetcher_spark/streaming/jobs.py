@@ -502,9 +502,14 @@ def q_stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The shuffle per batch carries |event_type| partial rows, not
     |events| — at 100 TB the maintained view costs O(keys) per batch
-    regardless of stream volume. The final table must equal the batch
+    regardless of stream volume. foreachBatch is at-least-once, so
+    ``batch_id`` is passed through to ``merge_aggregate``, which
+    persists the last merged id atomically with the table and skips
+    replays — exactly-once even for a crash between the table swap
+    and the checkpoint commit. The final table must equal the batch
     aggregate over the whole fixture (the oracle); multi-batch merge
-    arithmetic is unit-tested in tests/test_streaming.py."""
+    arithmetic and replay-skip are unit-tested in
+    tests/test_streaming.py."""
     import shutil
 
     from ..etl.load import merge_aggregate
@@ -518,7 +523,10 @@ def q_stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         partials = batch_df.groupBy("event_type").agg(
             F.count("*").alias("n"), F.sum("value").alias("sum_value")
         )
-        merge_aggregate(batch_df.sparkSession, partials, path, ["event_type"])
+        merge_aggregate(
+            batch_df.sparkSession, partials, path, ["event_type"],
+            batch_id=batch_id,
+        )
 
     try:
         q = (

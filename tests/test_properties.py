@@ -574,3 +574,21 @@ def test_countmin_never_underestimates_adversarial(spark):
     for row in probes:
         est = min(sketch[(r, row[f"b{r}"])] for r in range(CM_D))
         assert est >= exact[row["user_id"]], row["user_id"]
+
+
+def test_bigrams_empty_and_short_text_yield_empty_array(spark):
+    """Regression: a document whose text tokenizes to 0 or 1 tokens
+    must produce an EMPTY bigram array, not a runtime error — n=0 used
+    to feed slice(arr, 1, -1), which Spark rejects at execution."""
+    from block_data_fetcher_spark.functions.text import _bigrams
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "solo"), (4, "two tokens"), (5, "\t\n")],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r["bg"]
+        for r in df.select("doc_id", _bigrams("text").alias("bg")).collect()
+    }
+    assert rows[1] == [] and rows[2] == [] and rows[3] == [] and rows[5] == []
+    assert rows[4] == ["two tokens"]

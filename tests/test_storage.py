@@ -291,3 +291,50 @@ def test_gdpr_dynamic_overwrite_leaves_other_partitions_untouched(
         ).count()
         == 0
     )
+
+
+def test_gdpr_erasure_wholly_doomed_partition_is_deleted(spark, sf_dir, tmp_path):
+    """Erasure must hold even when EVERY row of a partition belongs to
+    deleted users: dynamic overwrite alone would skip that partition
+    (no surviving rows to write), silently retaining the data.
+    erase_partitions must drop the directory explicitly."""
+    import os
+
+    from block_data_fetcher_spark.storage import (
+        erase_partitions,
+        repartition_for_write,
+        with_event_date,
+        write_partitioned,
+    )
+
+    path = str(tmp_path / "events_gdpr_edge")
+    ev = with_event_date(table(spark, sf_dir, "events"))
+    write_partitioned(repartition_for_write(ev, ["event_date"]), path, ["event_date"])
+
+    store = spark.read.parquet(path)
+    days = sorted(
+        r["event_date"] for r in store.select("event_date").distinct().collect()
+    )
+    whole, partial = days[0], days[1]
+    # doom: ALL rows of `whole`, plus a user subset of `partial`
+    doomed = (F.col("event_date") == F.lit(whole)) | (
+        (F.col("event_date") == F.lit(partial)) & (F.col("user_id") % 7 == 0)
+    )
+    erase_partitions(spark, path, doomed, [whole, partial])
+
+    assert not os.path.exists(os.path.join(path, f"event_date={whole}"))
+    back = spark.read.parquet(path)
+    assert back.where(F.col("event_date") == F.lit(whole)).count() == 0
+    assert (
+        back.where(
+            (F.col("event_date") == F.lit(partial)) & (F.col("user_id") % 7 == 0)
+        ).count()
+        == 0
+    )
+    # non-doomed rows of the partial day and all other days survive
+    want_partial = ev.where(
+        (F.col("event_date") == F.lit(partial)) & (F.col("user_id") % 7 != 0)
+    ).count()
+    assert back.where(F.col("event_date") == F.lit(partial)).count() == want_partial
+    want_rest = ev.where(~F.col("event_date").isin([whole, partial])).count()
+    assert back.where(~F.col("event_date").isin([whole, partial])).count() == want_rest

@@ -250,6 +250,42 @@ def test_merge_aggregate_multibatch_equals_whole(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_merge_aggregate_replayed_batch_id_is_skipped(spark, sf_dir, tmp_path):
+    """foreachBatch is AT-LEAST-once: a crash between the table swap
+    and the checkpoint commit replays the batch on restart. The
+    batch_id marker persisted inside the table directory must make the
+    replay a no-op — merging the SAME partials with the SAME batch_id
+    twice (and then with an older id) leaves the table unchanged."""
+    from pyspark.sql import functions as F
+
+    from block_data_fetcher_spark.etl.load import merge_aggregate
+
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    partials = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("value").alias("sum_value")
+    )
+    path = str(tmp_path / "agg_by_type")
+    merge_aggregate(spark, partials, path, ["event_type"], batch_id=0)
+    once = {
+        r["event_type"]: (r["n"], round(r["sum_value"], 2))
+        for r in spark.read.parquet(path).collect()
+    }
+    # replay of batch 0 (crash-after-swap scenario) and a stale older id
+    merge_aggregate(spark, partials, path, ["event_type"], batch_id=0)
+    merge_aggregate(spark, partials, path, ["event_type"], batch_id=0)
+    replayed = {
+        r["event_type"]: (r["n"], round(r["sum_value"], 2))
+        for r in spark.read.parquet(path).collect()
+    }
+    assert replayed == once
+    # a genuinely new batch id still merges (counts double)
+    merge_aggregate(spark, partials, path, ["event_type"], batch_id=1)
+    merged = {
+        r["event_type"]: r["n"] for r in spark.read.parquet(path).collect()
+    }
+    assert merged == {k: 2 * v[0] for k, v in once.items()}
+
+
 def test_stream_upsert_restart_from_checkpoint_exactly_once(spark, sf_dir, tmp_path):
     """Kill-and-restart recovery: run the upsert stream over file 1
     with a durable checkpoint, then drop file 2 into the source dir
@@ -358,7 +394,10 @@ def test_incremental_agg_restart_does_not_double_count(spark, sf_dir, tmp_path):
             partials = batch_df.groupBy("event_type").agg(
                 F.count("*").alias("n"), F.sum("value").alias("sum_value")
             )
-            merge_aggregate(batch_df.sparkSession, partials, path, ["event_type"])
+            merge_aggregate(
+                batch_df.sparkSession, partials, path, ["event_type"],
+                batch_id=batch_id,
+            )
 
         q = (
             stream.writeStream.foreachBatch(write_batch)
