@@ -231,35 +231,88 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EWMA_ALPHA = 0.3
+FOLD_SEGMENT = 4096  # rows per segment partial in the chunked folds
+
+
+def _with_rn_segments(ev: DataFrame, seg_size: int) -> DataFrame:
+    """Per-user time-order row number and its segment index — the
+    chunking scaffold for ordered-fold recurrences. The window SORT
+    spills to disk (sort-based aggregation), unlike a whole-history
+    collect_list which must materialize one array in one task."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id", "value")
+    return ev.select(
+        "user_id", "value", F.row_number().over(w).alias("rn")
+    ).withColumn("seg", F.floor((F.col("rn") - 1) / F.lit(seg_size)))
+
+
+def ewma_segmented(ev: DataFrame, seg_size: int = FOLD_SEGMENT) -> DataFrame:
+    """Bounded-memory EWMA: the recurrence acc = α·x + (1−α)·acc is an
+    AFFINE map acc → s·acc + o per element, and affine maps compose —
+    so each ≤`seg_size`-row segment folds to one (s, o) pair and the
+    per-user state is O(n/seg_size) segment partials, never the whole
+    history in one array (the round-3 watch item).
+
+    Seeding: acc₁ = x₁ equals folding ALL elements from acc₀ = x₁
+    (α·x₁ + (1−α)·x₁ = x₁), so the final value is simply
+    s_total·x_first + o_total with every element treated uniformly."""
+    base = _with_rn_segments(ev, seg_size)
+    per_seg = base.groupBy("user_id", "seg").agg(
+        F.array_sort(F.collect_list(F.struct("rn", "value"))).alias("arr"),
+        F.count("*").alias("k"),
+    )
+    vals = F.transform(F.col("arr"), lambda s: s["value"])
+    so = F.aggregate(
+        vals,
+        F.struct(F.lit(1.0).alias("s"), F.lit(0.0).alias("o")),
+        lambda acc, x: F.struct(
+            ((1 - EWMA_ALPHA) * acc["s"]).alias("s"),
+            (EWMA_ALPHA * x + (1 - EWMA_ALPHA) * acc["o"]).alias("o"),
+        ),
+    )
+    per_seg = per_seg.select(
+        "user_id",
+        "seg",
+        "k",
+        so.alias("m"),
+        F.element_at(vals, 1).alias("v_first"),
+    )
+    per_user = per_seg.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("seg", "m", "v_first"))).alias("ms"),
+        F.sum("k").alias("n_events"),
+    )
+    tot = F.aggregate(
+        F.col("ms"),
+        F.struct(F.lit(1.0).alias("s"), F.lit(0.0).alias("o")),
+        lambda acc, seg: F.struct(
+            (acc["s"] * seg["m"]["s"]).alias("s"),
+            (acc["o"] * seg["m"]["s"] + seg["m"]["o"]).alias("o"),
+        ),
+    )
+    x_first = F.element_at(F.col("ms"), 1)["v_first"]
+    return per_user.select(
+        "user_id",
+        "n_events",
+        F.round(tot["s"] * x_first + tot["o"] + 1e-9, 4).alias("ewma"),
+    )
 
 
 def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially weighted moving average of each user's value
     stream (α=0.3) — the classic time-series smoother that plain
     window frames cannot express (every prior row contributes with a
-    different weight). Done as an ordered FOLD: collect the user's
-    (ts, event_id, value) stream, array_sort (lexicographic on the
-    struct = time order), and left-fold acc = α·x + (1−α)·acc seeded
-    with the first value — exactly DuckDB's
-    ``list_reduce(list(value ORDER BY ...))``, so the oracle is
-    bit-comparable after rounding.
+    different weight). The recurrence acc = α·x + (1−α)·acc seeded
+    with the first value matches DuckDB's
+    ``list_reduce(list(value ORDER BY ...))`` oracle term for term
+    (affine composition is exact in ℝ; the 4dp round absorbs the
+    float-association difference).
 
-    Scale: one shuffle on user_id; per-user state is the user's own
-    event list — bounded by per-key cardinality like any
-    sessionization; for unbounded keys the same fold runs windowed
-    (per day) or as the streaming stateful rollup."""
+    Scale: computed by :func:`ewma_segmented` — per-segment affine
+    (scale, offset) partials + carry composition, so peak per-task
+    state is O(segment), not one whole-history array per user, even
+    for a user owning tens of millions of events (property-tested
+    with a 100k-event user in tests/test_properties.py)."""
     ev = table(spark, sf_dir, "events")
-    arr = F.array_sort(F.collect_list(F.struct("ts", "event_id", "value")))
-    vals = F.transform(arr, lambda s: s["value"])
-    ewma = F.aggregate(
-        F.slice(vals, 2, F.size(vals)),
-        F.element_at(vals, 1),
-        lambda acc, x: EWMA_ALPHA * x + (1 - EWMA_ALPHA) * acc,
-    )
-    return ev.groupBy("user_id").agg(
-        F.count("*").alias("n_events"),
-        F.round(ewma + 1e-9, 4).alias("ewma"),
-    )
+    return ewma_segmented(ev)
 
 
 PSI_SPLIT = "2024-01-15"
@@ -647,28 +700,101 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     list_reduce requires acc and element types to match, so the oracle
     lifts each value into a {l, b} struct and folds struct→struct —
     arithmetic identical term for term, sequential order identical.
-    Seed: l₀ = x₁, b₀ = x₂ − x₁ (b₀ = 0 for single-event users)."""
+    Seed: l₀ = x₁, b₀ = x₂ − x₁ (b₀ = 0 for single-event users).
+
+    Scale: computed by :func:`holt_segmented` — each element's update
+    is an affine map on the (l, b) vector (2×2 matrix + offset), maps
+    compose per ≤FOLD_SEGMENT-row segment, so peak per-task state is
+    O(segment) instead of one whole-history array per user (the
+    round-3 watch item; property-tested with a 100k-event user)."""
     ev = table(spark, sf_dir, "events")
-    arr = F.array_sort(F.collect_list(F.struct("ts", "event_id", "value")))
-    vals = F.transform(arr, lambda s: s["value"])
-    x1 = F.element_at(vals, 1)
-    init = F.when(
-        F.size(vals) == 1, F.struct(x1.alias("l"), F.lit(0.0).alias("b"))
-    ).otherwise(
-        F.struct(x1.alias("l"), (F.element_at(vals, 2) - x1).alias("b"))
+    return holt_segmented(ev)
+
+
+def _mat_struct(m11, m12, m21, m22, v1, v2):
+    return F.struct(
+        m11.alias("m11"), m12.alias("m12"),
+        m21.alias("m21"), m22.alias("m22"),
+        v1.alias("v1"), v2.alias("v2"),
     )
 
-    def step(acc, x):
-        new_l = HOLT_A * x + (1 - HOLT_A) * (acc["l"] + acc["b"])
-        new_b = HOLT_B * (new_l - acc["l"]) + (1 - HOLT_B) * acc["b"]
-        return F.struct(new_l.alias("l"), new_b.alias("b"))
 
-    folded = F.aggregate(F.slice(vals, 3, F.size(vals)), init, step)
-    return ev.groupBy("user_id").agg(
+def holt_segmented(ev: DataFrame, seg_size: int = FOLD_SEGMENT) -> DataFrame:
+    """Bounded-memory Holt smoothing: one element's update of the
+    (l, b) state is affine —
+
+        [l', b'] = E·[l, b] + x·c,
+        E = [[1−α, 1−α], [−αβ, 1−αβ]],  c = [α, αβ]
+
+    — so a segment of elements folds to ONE (2×2 matrix, 2-vector)
+    partial, and segments compose as (M₂·M₁, M₂·v₁ + v₂). The seed
+    (l₀ = x₁, b₀ = x₂−x₁) consumes the first two elements; elements
+    rn ≥ 3 enter the maps. Per-user state is O(n/seg_size) partials;
+    no task ever holds a whole user history."""
+    A, B = HOLT_A, HOLT_B
+    base = _with_rn_segments(ev, seg_size)
+    seeds = base.groupBy("user_id").agg(
         F.count("*").alias("n_events"),
-        F.round(folded["l"] + 1e-9, 4).alias("level"),
-        F.round(folded["b"] + 1e-9, 4).alias("trend"),
-        F.round(folded["l"] + folded["b"] + 1e-9, 4).alias("forecast_1"),
+        F.max(F.when(F.col("rn") == 1, F.col("value"))).alias("x1"),
+        F.max(F.when(F.col("rn") == 2, F.col("value"))).alias("x2"),
+    )
+    tail = base.where(F.col("rn") >= 3)
+    per_seg = tail.groupBy("user_id", "seg").agg(
+        F.array_sort(F.collect_list(F.struct("rn", "value"))).alias("arr")
+    )
+    vals = F.transform(F.col("arr"), lambda s: s["value"])
+    identity = _mat_struct(
+        F.lit(1.0), F.lit(0.0), F.lit(0.0), F.lit(1.0), F.lit(0.0), F.lit(0.0)
+    )
+
+    def elem_step(acc, x):
+        # (E·M, E·v + x·c) — element map applied after the accumulated map
+        return _mat_struct(
+            (1 - A) * (acc["m11"] + acc["m21"]),
+            (1 - A) * (acc["m12"] + acc["m22"]),
+            -A * B * acc["m11"] + (1 - A * B) * acc["m21"],
+            -A * B * acc["m12"] + (1 - A * B) * acc["m22"],
+            (1 - A) * (acc["v1"] + acc["v2"]) + A * x,
+            -A * B * acc["v1"] + (1 - A * B) * acc["v2"] + A * B * x,
+        )
+
+    seg_map = F.aggregate(vals, identity, elem_step)
+    per_user = (
+        per_seg.select("user_id", "seg", seg_map.alias("m"))
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list(F.struct("seg", "m"))).alias("ms"))
+    )
+
+    def compose(acc, s):
+        m = s["m"]
+        return _mat_struct(
+            m["m11"] * acc["m11"] + m["m12"] * acc["m21"],
+            m["m11"] * acc["m12"] + m["m12"] * acc["m22"],
+            m["m21"] * acc["m11"] + m["m22"] * acc["m21"],
+            m["m21"] * acc["m12"] + m["m22"] * acc["m22"],
+            m["m11"] * acc["v1"] + m["m12"] * acc["v2"] + m["v1"],
+            m["m21"] * acc["v1"] + m["m22"] * acc["v2"] + m["v2"],
+        )
+
+    joined = seeds.join(
+        per_user.select("user_id", F.aggregate("ms", identity, compose).alias("t")),
+        "user_id",
+        "left",
+    )
+    # users with ≤2 events have no rn≥3 segments → identity map
+    t = F.coalesce(F.col("t"), identity)
+    l0 = F.col("x1")
+    b0 = F.when(F.col("n_events") >= 2, F.col("x2") - F.col("x1")).otherwise(
+        F.lit(0.0)
+    )
+    lvl = t["m11"] * l0 + t["m12"] * b0 + t["v1"]
+    trd = t["m21"] * l0 + t["m22"] * b0 + t["v2"]
+    return joined.select(
+        "user_id",
+        "n_events",
+        F.round(lvl + 1e-9, 4).alias("level"),
+        F.round(trd + 1e-9, 4).alias("trend"),
+        F.round(lvl + trd + 1e-9, 4).alias("forecast_1"),
     )
 
 

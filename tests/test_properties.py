@@ -592,3 +592,59 @@ def test_bigrams_empty_and_short_text_yield_empty_array(spark):
     }
     assert rows[1] == [] and rows[2] == [] and rows[3] == [] and rows[5] == []
     assert rows[4] == ["two tokens"]
+
+
+def test_segmented_folds_match_sequential_on_pathological_user(spark):
+    """One user owning 100k events — the round-3 watch-item scenario.
+    The segmented EWMA/Holt folds (per-segment affine partials, carry
+    composition) must agree with the plain sequential recurrence
+    computed driver-side, while never holding more than `seg_size`
+    rows in any one array (guaranteed by construction: collect_list
+    groups on (user, segment)). Running at seg_size=512 vs one giant
+    segment also pins composition-order invariance."""
+    import numpy as np
+
+    from block_data_fetcher_spark.operators.analytics import (
+        EWMA_ALPHA,
+        HOLT_A,
+        HOLT_B,
+        ewma_segmented,
+        holt_segmented,
+    )
+
+    n = 100_000
+    rng = np.random.default_rng(7)
+    vals = rng.uniform(0.0, 1000.0, n).round(2)
+    rows = [
+        (1, int(i), float(v)) for i, v in enumerate(vals)
+    ]  # ts strictly increasing via event_id ordering
+    df = (
+        spark.createDataFrame(rows, ["user_id", "event_id", "value"])
+        .withColumn(
+            "ts",
+            F.timestamp_seconds(F.lit(1704067200) + F.col("event_id")).cast(
+                "timestamp_ntz"
+            ),
+        )
+    )
+
+    # sequential references
+    acc = vals[0]
+    for x in vals[1:]:
+        acc = EWMA_ALPHA * x + (1 - EWMA_ALPHA) * acc
+    l, b = vals[0], vals[1] - vals[0]
+    for x in vals[2:]:
+        nl = HOLT_A * x + (1 - HOLT_A) * (l + b)
+        b = HOLT_B * (nl - l) + (1 - HOLT_B) * b
+        l = nl
+    got_e = ewma_segmented(df, seg_size=512).collect()[0]
+    assert got_e["n_events"] == n
+    assert abs(got_e["ewma"] - round(acc + 1e-9, 4)) < 1e-6
+
+    got_h = holt_segmented(df, seg_size=512).collect()[0]
+    assert abs(got_h["level"] - round(l + 1e-9, 4)) < 1e-6
+    assert abs(got_h["trend"] - round(b + 1e-9, 4)) < 1e-6
+
+    # seg_size larger than the data = single segment; must agree
+    one_seg = ewma_segmented(df, seg_size=10**9).collect()[0]
+    assert one_seg["ewma"] == got_e["ewma"]
