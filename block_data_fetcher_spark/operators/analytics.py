@@ -867,8 +867,18 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Half-open [ts, ts+30m): at a shared boundary instant the closing
     −1 sorts before the opening +1, so back-to-back sessions never
-    double-count. One shuffle on event_type; the sweep is a single
-    ordered window per partition."""
+    double-count.
+
+    TWO-PHASE prefix sum (the round-3 watch item was a global window
+    per event_type — 5 keys → 5 sequential sorts at 100×): points are
+    bucketed by DAY, phase 1 computes each (type, day)'s local running
+    max and total delta in parallel across (type × day) partitions,
+    phase 2 prefixes ONLY the per-bucket totals (a #days-row summary
+    per type) to get each bucket's starting offset; the global running
+    max is max(bucket_offset + local_max). Identical to the single
+    sweep because a prefix sum splits additively at any cut point.
+    Parallelism is type × days (thousands at production scale), and
+    no task ever sorts more than one day of one type."""
     ev = table(spark, sf_dir, "events")
     starts = ev.select(
         "event_type", F.col("ts").alias("t"), F.lit(1).alias("delta")
@@ -878,16 +888,37 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ts") + F.expr("interval 30 minutes")).alias("t"),
         F.lit(-1).alias("delta"),
     )
-    points = starts.unionByName(ends)
-    w = (
-        Window.partitionBy("event_type")
+    points = starts.unionByName(ends).withColumn(
+        "b", F.date_trunc("day", F.col("t"))
+    )
+    w_local = (
+        Window.partitionBy("event_type", "b")
         .orderBy("t", "delta")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    per_bucket = (
+        points.withColumn("lp", F.sum("delta").over(w_local))
+        .groupBy("event_type", "b")
+        .agg(
+            F.max("lp").alias("local_max"),
+            F.sum("delta").alias("bucket_sum"),
+        )
+    )
+    w_buckets = (
+        Window.partitionBy("event_type")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     return (
-        points.withColumn("open", F.sum("delta").over(w))
+        per_bucket.withColumn(
+            "offset", F.coalesce(F.sum("bucket_sum").over(w_buckets), F.lit(0))
+        )
         .groupBy("event_type")
-        .agg(F.max("open").cast("long").alias("max_concurrent"))
+        .agg(
+            F.max(F.col("offset") + F.col("local_max"))
+            .cast("long")
+            .alias("max_concurrent")
+        )
     )
 
 

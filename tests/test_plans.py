@@ -393,3 +393,21 @@ def test_aqe_splits_skewed_join_partition_at_runtime(spark):
     assert n == 270100
     assert "skew=true" in plan, plan
     assert "skewed" in plan, plan
+
+
+def test_interval_overlap_sweep_partitions_finer_than_event_type(spark, sf_dir):
+    """The two-phase sweep-line: the big per-point window must sort
+    within (event_type, day-bucket) partitions, not one global sort
+    per event_type — 5 keys would mean 5 sequential tasks at scale."""
+    import re
+
+    df = _Q["q_interval_overlap"](spark, sf_dir)
+    plan = formatted_plan(df)
+    # phase 1: the per-point window exchanges on (event_type, b) —
+    # parallelism type × days, not one task per type
+    assert re.search(r"hashpartitioning\(event_type#\d+, b#\d+", plan), plan
+    # phase 2's event_type-only window exists but runs on the reduced
+    # per-bucket summary (post-aggregate), which is days-sized per type
+    assert re.search(
+        r"windowspecdefinition\(event_type#\d+, b#\d+", plan
+    ), plan
