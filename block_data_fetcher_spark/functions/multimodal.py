@@ -154,6 +154,126 @@ def frame_sample(media: DataFrame, every: int = 64) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# REAL codecs: BMP (BITMAPINFOHEADER, 24bpp) and PPM (P6) — numpy-only
+# formats with fixed headers and raw raster math, so decode is genuinely
+# executed here (no PIL/ffmpeg needed). JPEG/PNG/audio/video stay stubbed.
+# ---------------------------------------------------------------------------
+
+import struct
+
+
+def _pixels(doc_id: int, w: int, h: int) -> np.ndarray:
+    """Deterministic RGB test raster (h, w, 3) uint8 — the same
+    closed-form the DuckDB oracle recomputes arithmetically."""
+    x = np.arange(w, dtype=np.int64)[None, :, None]
+    y = np.arange(h, dtype=np.int64)[:, None, None]
+    c = np.arange(3, dtype=np.int64)[None, None, :]
+    return ((doc_id + 3 * x + 5 * y + 7 * c) % 256).astype(np.uint8)
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Windows BMP, 24-bit uncompressed: 14-byte file header +
+    40-byte BITMAPINFOHEADER + bottom-up BGR raster with each row
+    padded to a 4-byte boundary."""
+    h, w, _ = pixels.shape
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    raster = np.zeros((h, row_bytes + pad), dtype=np.uint8)
+    raster[:, :row_bytes] = pixels[::-1, :, ::-1].reshape(h, -1)  # flip+BGR
+    img = raster.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(img), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(img), 2835, 2835, 0, 0)
+    return header + info + img
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """Binary PPM (P6): ASCII header 'P6\\n<w> <h>\\n255\\n' + raw
+    top-down RGB raster."""
+    h, w, _ = pixels.shape
+    return f"P6\n{w} {h}\n255\n".encode() + pixels.tobytes()
+
+
+def decode_image(payload: bytes) -> tuple[int, int, float, float, float]:
+    """Decode a BMP or PPM payload to (width, height, mean_r, mean_g,
+    mean_b). This is a REAL decoder: header fields are parsed, BMP row
+    padding stripped and the bottom-up BGR raster unflipped, PPM's
+    ASCII header consumed — a byte-level mistake here shows up as an
+    oracle hash mismatch on the channel means."""
+    if payload[:2] == b"BM":
+        offset = struct.unpack_from("<I", payload, 10)[0]
+        w, h = struct.unpack_from("<ii", payload, 18)
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        if bpp != 24:
+            raise ValueError(f"unsupported BMP bpp={bpp}")
+        row = (3 * w + 3) & ~3
+        a = np.frombuffer(payload, np.uint8, count=h * row, offset=offset)
+        img = a.reshape(h, row)[:, : 3 * w].reshape(h, w, 3)[::-1, :, ::-1]
+    elif payload[:2] == b"P6":
+        parts = payload.split(maxsplit=4)  # P6, w, h, maxval, raster...
+        w, h = int(parts[1]), int(parts[2])
+        hdr_len = len(payload) - w * h * 3
+        img = np.frombuffer(payload, np.uint8, count=w * h * 3, offset=hdr_len)
+        img = img.reshape(h, w, 3)
+    else:
+        raise ValueError("unknown image magic")
+    means = img.reshape(-1, 3).mean(axis=0, dtype=np.float64)
+    return w, h, float(means[0]), float(means[1]), float(means[2])
+
+
+IMAGE_SCHEMA = "media_id bigint, fmt string, data binary"
+DECODED_SCHEMA = (
+    "media_id bigint, fmt string, width bigint, height bigint, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def synth_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic image corpus: one BMP or PPM payload per document
+    (format alternates by doc_id), dimensions 8+doc_id%9 × 8+doc_id%7,
+    pixels from the closed-form raster. Encoding runs Arrow-batched in
+    mapInPandas — the write-side twin of the decode path."""
+    docs = parallelize(table(spark, sf_dir, "documents"), spark).select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fmts, blobs = [], [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 8 + doc_id % 9, 8 + doc_id % 7
+                px = _pixels(doc_id, w, h)
+                fmt = "bmp" if doc_id % 2 == 0 else "ppm"
+                blobs.append(encode_bmp(px) if fmt == "bmp" else encode_ppm(px))
+                ids.append(doc_id)
+                fmts.append(fmt)
+            yield pd.DataFrame({"media_id": ids, "fmt": fmts, "data": blobs})
+
+    return docs.mapInPandas(run, IMAGE_SCHEMA)
+
+
+def decode_images(media: DataFrame) -> DataFrame:
+    """Arrow-batched real decode: binary payload in → typed
+    (width, height, channel means) out. Zero shuffle; memory bounded
+    by the Arrow batch size — the scale shape for petabyte decode."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [decode_image(b) for b in pdf["data"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "fmt": pdf["fmt"],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "mean_r": [d[2] for d in decoded],
+                    "mean_g": [d[3] for d in decoded],
+                    "mean_b": [d[4] for d in decoded],
+                }
+            )
+
+    return media.mapInPandas(run, DECODED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
 # Catalog queries
 # ---------------------------------------------------------------------------
 
@@ -171,17 +291,26 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas feature extraction (rows-only check — byte-level
-    arithmetic is not expressible in the DuckDB oracle; unit-tested
-    against plain-Python instead)."""
-    media = synth_media(spark, sf_dir)
-    feats = extract_features(media)
-    return feats.select(
+    """End-to-end REAL image decode (de-stubbed in round 4): encode a
+    deterministic BMP/PPM per document, then parse the actual bytes
+    back — header fields, BMP row padding and bottom-up flip, PPM
+    ASCII header — and report (width, height, per-channel means).
+    Both directions run Arrow-batched in mapInPandas with zero
+    shuffle. The DuckDB oracle recomputes the same quantities from
+    the closed-form raster arithmetic, so any byte-level decode bug
+    breaks the value hash. (JPEG/PNG/audio/video codecs remain
+    stubbed: their libraries aren't in this container — see
+    extract_features/resize/frame_sample for that plumbing.)"""
+    media = synth_images(spark, sf_dir)
+    dec = decode_images(media)
+    return dec.select(
         "media_id",
-        "kind",
-        "n_bytes",
-        "checksum",
-        F.round(F.element_at("feat", 4), 1).alias("f_sum"),
+        "fmt",
+        "width",
+        "height",
+        (F.round(F.col("mean_r") + 1e-9, 4) + 0.0).alias("mean_r"),
+        (F.round(F.col("mean_g") + 1e-9, 4) + 0.0).alias("mean_g"),
+        (F.round(F.col("mean_b") + 1e-9, 4) + 0.0).alias("mean_b"),
     )
 
 
@@ -225,6 +354,32 @@ def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE: dict[str, str] = {
+    "q_media_features": """
+        -- recompute (width, height, channel means) from the SAME
+        -- closed-form raster the engine encodes into real BMP/PPM
+        -- bytes and decodes back: pixel(c,x,y) = (doc_id+3x+5y+7c)%256
+        WITH dims AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt,
+                 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+          FROM documents
+        ), px AS (
+          SELECT d.doc_id, d.fmt, d.w, d.h, c.i AS c,
+                 avg((d.doc_id + 3 * x.i + 5 * y.i + 7 * c.i) % 256) AS m
+          FROM dims d
+          CROSS JOIN range(16) x(i)
+          CROSS JOIN range(14) y(i)
+          CROSS JOIN range(3) c(i)
+          WHERE x.i < d.w AND y.i < d.h
+          GROUP BY d.doc_id, d.fmt, d.w, d.h, c.i
+        )
+        SELECT doc_id AS media_id, fmt,
+               CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+               round(max(CASE WHEN c = 0 THEN m END) + 1e-9, 4) + 0.0 AS mean_r,
+               round(max(CASE WHEN c = 1 THEN m END) + 1e-9, 4) + 0.0 AS mean_g,
+               round(max(CASE WHEN c = 2 THEN m END) + 1e-9, 4) + 0.0 AS mean_b
+        FROM px GROUP BY doc_id, fmt, w, h
+    """,
     "q_media_dedup": """
         -- payload = utf-8 bytes of text, so grouping by text is
         -- byte-identical grouping (DuckDB's md5 takes no BLOB)
