@@ -799,10 +799,49 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# sf_dirs whose k-means assignment table has been materialized by THIS
+# process — q_kmeans/q_cluster_mix/q_semdedup share one Lloyd
+# trajectory per build instead of each re-deriving it (round-3 advice).
+_KMEANS_BUILT: set[str] = set()
+
+
+def _kmeans_assign_path(sf_dir: str) -> str:
+    import os
+    import re
+
+    tag = re.sub(r"\W+", "_", os.path.abspath(sf_dir)).strip("_")
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "spark-warehouse",
+        "storage",
+        f"kmeans_assign_{tag}",
+    )
+
+
 def _kmeans_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final k-means assignment frame (vec_id, x, cluster, d), shared
+    by q_kmeans, q_cluster_mix and q_semdedup.
+
+    MATERIALIZED once per build (the q_ann_ivf_indexed pattern): the
+    first caller runs the Lloyd trajectory and writes the assignment
+    to a warehouse parquet table; later callers in the same process
+    scan that table — their plans contain a FileScan, not the
+    iterative job. At 100 TB this is how the pipeline actually runs:
+    cluster once, join the assignment everywhere."""
+    import os
+
+    path = _kmeans_assign_path(sf_dir)
+    if path in _KMEANS_BUILT and os.path.isdir(path):
+        return spark.read.parquet(path)
+    final = _kmeans_lloyd(spark, sf_dir)
+    final.write.mode("overwrite").parquet(path)
+    _KMEANS_BUILT.add(path)
+    return spark.read.parquet(path)
+
+
+def _kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runs the Lloyd iterations and returns the final assignment
-    frame (vec_id, x, cluster, d) — shared by q_kmeans and
-    q_semdedup (which blocks near-dup removal on the clusters)."""
+    frame (vec_id, x, cluster, d)."""
     # persisted across the iteration jobs (each assignment+update is an
     # action) — the same input caching MLlib's KMeans does; released in
     # the caller's plan once the final assignment materializes

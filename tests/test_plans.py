@@ -411,3 +411,33 @@ def test_interval_overlap_sweep_partitions_finer_than_event_type(spark, sf_dir):
     assert re.search(
         r"windowspecdefinition\(event_type#\d+, b#\d+", plan
     ), plan
+
+
+def test_kmeans_assignment_materialized_once_and_reused(spark, sf_dir, tmp_path):
+    """q_kmeans/q_cluster_mix/q_semdedup share ONE materialized Lloyd
+    trajectory per build: the first call writes the warehouse
+    assignment table, later calls scan it (FileScan in the plan)
+    without rewriting — the recompute is gone from their runs."""
+    import os
+
+    from block_data_fetcher_spark.functions import similarity as sim
+
+    path = sim._kmeans_assign_path(sf_dir)
+    sim._KMEANS_BUILT.discard(path)  # force a fresh build
+    _Q["q_kmeans"](spark, sf_dir).collect()
+    assert os.path.isdir(path)
+    files = {
+        f: os.path.getmtime(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    }
+    mix = _Q["q_cluster_mix"](spark, sf_dir)
+    mix.collect()
+    after = {
+        f: os.path.getmtime(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    }
+    assert after == files  # reused, not rebuilt
+    # and the reader plan is a plain scan of the materialized table
+    assert "kmeans_assign" in formatted_plan(mix)
