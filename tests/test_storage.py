@@ -338,3 +338,67 @@ def test_gdpr_erasure_wholly_doomed_partition_is_deleted(spark, sf_dir, tmp_path
     assert back.where(F.col("event_date") == F.lit(partial)).count() == want_partial
     want_rest = ev.where(~F.col("event_date").isin([whole, partial])).count()
     assert back.where(~F.col("event_date").isin([whole, partial])).count() == want_rest
+
+
+def test_jdbc_upsert_statement_executes_against_duckdb(spark):
+    """The generated ON CONFLICT statement is EXECUTED, not just
+    string-asserted (round-3 advice): DuckDB speaks the same
+    INSERT ... ON CONFLICT (k) DO UPDATE SET c = EXCLUDED.c dialect,
+    so it stands in for Postgres. The round-trip must equal the
+    engine's own last_wins over existing ∪ batch — including an
+    intra-batch duplicate key, which would make a non-deduplicated
+    INSERT..SELECT fail outright (ON CONFLICT cannot update the same
+    row twice)."""
+    import duckdb
+
+    from block_data_fetcher_spark.etl.jdbc import jdbc_upsert
+    from block_data_fetcher_spark.operators.windows import last_wins
+
+    con = duckdb.connect()
+    con.execute(
+        'CREATE TABLE "transactions" '
+        '("id" BIGINT PRIMARY KEY, "label" VARCHAR, "version" BIGINT)'
+    )
+    existing = [(1, "old-a", 10), (3, "keep", 7)]
+    con.executemany('INSERT INTO "transactions" VALUES (?, ?, ?)', existing)
+
+    batch = spark.createDataFrame(
+        [
+            (1, "new-a", 20),     # conflict with existing → update
+            (2, "first-b", 5),    # intra-batch dup key...
+            (2, "second-b", 6),   # ...higher version wins in dedup
+        ],
+        "id long, label string, version long",
+    )
+
+    def write_staging(df, staging):
+        pdf = df.toPandas()
+        con.register("staging_view", pdf)
+        con.execute(
+            f'CREATE OR REPLACE TABLE "{staging}" AS SELECT * FROM staging_view'
+        )
+
+    stmt = jdbc_upsert(
+        batch,
+        "jdbc:postgresql://db/x",
+        "transactions",
+        ["id"],
+        ["version"],
+        write_staging=write_staging,
+        run_sql=lambda sql: con.execute(sql),
+    )
+    assert "ON CONFLICT" in stmt
+    got = sorted(
+        tuple(r)
+        for r in con.execute(
+            'SELECT "id", "label", "version" FROM "transactions"'
+        ).fetchall()
+    )
+    ex_df = spark.createDataFrame(existing, "id long, label string, version long")
+    want = sorted(
+        tuple(r)
+        for r in last_wins(
+            ex_df.unionByName(batch), ["id"], ["version"]
+        ).collect()
+    )
+    assert got == want == [(1, "new-a", 20), (2, "second-b", 6), (3, "keep", 7)]
