@@ -414,13 +414,18 @@ def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     null-emitted once the watermark proves no matching purchase can
     still arrive (c_ts + 30 min < watermark), so unmatched results
     trail matched ones by up to watermark delay + window. In a BOUNDED
-    run the final watermark stops at max(event_time) − 1 h: clicks in
-    the last ~1.5 h of event time stay in state and are dropped at
-    shutdown, never null-emitted. That tail-holdback is inherent to
-    the semantics (not a bug), so the query is rows-only for the
-    driver; tests pin (a) matched rows == the inner join, (b) every
-    null-extended click truly has no in-window purchase, (c) every
-    null-emitted click is older than final-watermark − 30 min."""
+    availableNow run the final no-data micro-batch advances the
+    watermark to its terminal value and flushes eligible state, so the
+    emission set IS deterministic (promoted to a full oracle in round
+    4): matched rows = the inner join; null-extended rows = clicks
+    with no in-window purchase whose c_ts + 30 min lies strictly
+    before the final watermark, where the final watermark is
+    min(max click ts, max purchase ts) FLOORED TO MILLISECONDS − 1 h
+    (Spark's EventTimeStatsAccum tracks event time in ms, so the
+    oracle floors epoch_us/1000 before subtracting the delay). Clicks
+    in the last watermark+window tail stay in state at shutdown and
+    are never null-emitted — inherent to the semantics, mirrored by
+    the oracle's watermark predicate."""
     clicks = (
         events_stream(spark, sf_dir)
         .where(F.col("event_type") == "click")
@@ -715,5 +720,38 @@ ORACLE: dict[str, str] = {
         FROM events WHERE event_type = 'purchase'
         GROUP BY user_id
         ORDER BY total_value DESC, user_id ASC LIMIT 3
+    """,
+    "q_stream_stream_left_join": """
+        WITH clicks AS (
+          SELECT user_id AS c_user, ts AS c_ts, event_id AS click_id
+          FROM events WHERE event_type = 'click'
+        ), buys AS (
+          SELECT user_id AS p_user, ts AS p_ts, event_id AS purchase_id,
+                 value
+          FROM events WHERE event_type = 'purchase'
+        ), wm AS (
+          -- Spark's final watermark: min over both inputs of
+          -- (max event time floored to MILLISECONDS) - 1 h delay
+          SELECT make_timestamp(
+                   (epoch_us(least((SELECT max(c_ts) FROM clicks),
+                                   (SELECT max(p_ts) FROM buys)))
+                    // 1000 - 3600000) * 1000) AS w
+        ), matched AS (
+          SELECT click_id, c_user, c_ts, purchase_id, value
+          FROM clicks JOIN buys
+            ON c_user = p_user AND p_ts >= c_ts
+           AND p_ts <= c_ts + INTERVAL 30 MINUTE
+        ), unmatched AS (
+          SELECT c.click_id, c.c_user, c.c_ts,
+                 CAST(NULL AS BIGINT) AS purchase_id,
+                 CAST(NULL AS DOUBLE) AS value
+          FROM clicks c, wm
+          WHERE c.c_ts + INTERVAL 30 MINUTE < wm.w
+            AND NOT EXISTS (
+              SELECT 1 FROM buys b
+              WHERE b.p_user = c.c_user AND b.p_ts >= c.c_ts
+                AND b.p_ts <= c.c_ts + INTERVAL 30 MINUTE)
+        )
+        SELECT * FROM matched UNION ALL SELECT * FROM unmatched
     """,
 }
