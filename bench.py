@@ -159,6 +159,8 @@ def main() -> None:
             else:
                 df.collect()
             timings[name] = round(time.perf_counter() - t0, 3)
+            sys.stderr.write(f"{name} {timings[name]:.3f}s\n")
+            sys.stderr.flush()
         except Exception as e:  # record failures as -1, keep benching
             sys.stderr.write(f"{name} FAILED: {e}\n")
             timings[name] = -1.0

@@ -22,6 +22,7 @@ from .operators import (
     analytics,
     classify,
     etl_queries,
+    graph,
     json_ops,
     relational,
     scalar_funcs,
@@ -32,7 +33,7 @@ from .streaming import jobs as streaming_jobs
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-_MODULES = [relational, json_ops, classify, windows, analytics, tpch, text, similarity, hashing, multimodal, streaming_jobs, pipelines, etl_queries, scalar_funcs, formats, storage]
+_MODULES = [relational, json_ops, classify, windows, analytics, graph, tpch, text, similarity, hashing, multimodal, streaming_jobs, pipelines, etl_queries, scalar_funcs, formats, storage]
 
 
 def _tuned(fn: QueryFn) -> QueryFn:

@@ -388,19 +388,27 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup clustering, label propagation, and diversity scoring (vs
     q_knn_topk's single-query lookup).
 
-    Scale: candidate generation is the salted triangle-block join
-    inside each coarse cell (never all-pairs across cells); the
-    undirected pair stream is mirrored into directed edges and ranked
-    per source with a WindowGroupLimit top-k. Recall is bounded by the
-    cell assignment (neighbors straddling a cell boundary are missed —
-    the standard IVF trade; probe>1 would widen it). Same gemm-based
-    cell assignment as q_ann_ivf, same cosine fold as every similarity
+    Scale: the cell count GROWS WITH THE CORPUS — k = max(8, ⌊√N⌋) —
+    so expected cell size is √N and total within-cell pair work is
+    N²/k = N^1.5, not N²/8 (the fixed-k round-3 version measured 29 s
+    at sf1: with k pinned, cells grow linearly and the quadratic
+    returns). √N is the standard IVF sizing rule (FAISS's
+    `sqrt(N)`-lists guidance); the centroid collect grows as √N too
+    (~31k rows for 1e9 vectors — still a bounded dim collect).
+    Candidate generation is the salted triangle-block join inside
+    each coarse cell (never all-pairs across cells); the undirected
+    pair stream is mirrored into directed edges and ranked per source
+    with a WindowGroupLimit top-k. Recall is bounded by the cell
+    assignment (neighbors straddling a cell boundary are missed — the
+    standard IVF trade; probe>1 would widen it). Same gemm-based cell
+    assignment as q_ann_ivf, same cosine fold as every similarity
     op."""
     from pyspark.sql import types as T
 
     em = table(spark, sf_dir, "embeddings")
+    k_cells = max(N_CENTROIDS, int(math.floor(math.sqrt(em.count()))))
     cent_rows = sorted(
-        em.where(F.col("vec_id") < N_CENTROIDS)
+        em.where(F.col("vec_id") < k_cells)
         .select("vec_id", "embedding")
         .collect(),
         key=lambda r: r["vec_id"],
@@ -444,8 +452,29 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# kNN-join twin of _IVF_ASSIGN_CTES with the cell count scaled to the
+# corpus — k = max(8, floor(sqrt(N))) — mirroring q_knn_join's sizing
+# (both engines evaluate the same IEEE sqrt+floor, so k is identical).
+_KNN_ASSIGN_CTES = f"""emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), kk AS (
+  SELECT greatest({N_CENTROIDS}, CAST(floor(sqrt(count(*))) AS BIGINT)) AS k
+  FROM emb
+), cent AS (
+  SELECT vec_id AS cid, e AS ce FROM emb, kk WHERE vec_id < kk.k
+), sims AS (
+  SELECT vec_id, cid, {_COS.format(a="e", b="ce")} AS sim
+  FROM emb CROSS JOIN cent
+), ranked AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+  FROM sims
+), assign AS (
+  SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1
+)"""
+
 _KNN_JOIN_SQL = f"""
-WITH {_IVF_ASSIGN_CTES}, uu AS (
+WITH {_KNN_ASSIGN_CTES}, uu AS (
   SELECT vec_id,
          list_transform(e, x -> x / sqrt(list_sum(
            list_transform(e, y -> y * y)))) AS u

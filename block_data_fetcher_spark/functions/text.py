@@ -684,52 +684,72 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FUZZY_PREFIX = 48  # chars of prefix compared
 FUZZY_MAX_DIST = 25  # emit pairs at or under this edit distance
+FUZZY_WINDOW = 8  # sorted-neighborhood width (pairs per doc)
 
 
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy duplicate pairs by edit distance: same-language document
-    pairs whose 48-char prefixes are within levenshtein distance 25 —
-    the verify stage of a blocked fuzzy-join (record linkage /
-    near-dup confirmation on short fields).
+    """Fuzzy duplicate pairs by edit distance via the Sorted
+    Neighborhood Method (Hernández & Stolfo, SIGMOD '95): sort each
+    language's documents by their 48-char prefix and compare every
+    document against its next `FUZZY_WINDOW` sort neighbors, emitting
+    pairs within levenshtein distance 25 — record linkage / near-dup
+    confirmation on short fields.
 
-    The blocking key — (``lang``, leading token) — bounds the
-    quadratic distance work to within-block pairs AND gives the join
-    enough distinct keys to parallelize (lang alone is 5 keys → 5
-    near-sequential tasks and ~500k pairs each; measured 130 s at
-    sf0.1, vs ~2 s blocked). Classic record-linkage tradeoff: a pair
-    whose prefixes differ in the first word is never compared (recall
-    loss by design, part of the stated contract). ``levenshtein``
-    runs JVM-side per pair. At 100 TB the block key would be an
-    LSH/SimHash bucket (see
-    q_minhash_lsh / q_simhash) so blocks stay O(1000) rows, and the
-    prefix cap keeps each distance O(48²) regardless of document
-    size. Emits (doc_a < doc_b, lang, dist)."""
+    The round-3 version blocked on (lang, first token); at 10× data
+    its within-block pair count grew 100× (measured 371 s at sf1 —
+    the quadratic survives inside any block whose size scales with
+    the corpus). SNM makes the candidate count N·W BY CONSTRUCTION,
+    independent of how similarity mass clusters: near-identical
+    prefixes are sort-adjacent, so a fixed window catches them while
+    total work stays linear. Candidate generation is a lead() window
+    — NO join at all: one sort shuffle, then map-side lead + filter;
+    ``levenshtein`` runs JVM-side on 48-char prefixes. Recall is
+    bounded by the window (the published multi-pass variant re-sorts
+    on a second key; the SimHash/MinHash entries are those other
+    passes here). The lang partitioning is 5 keys at this sf; at
+    100 TB you range-partition on the full (lang, p) sort key into
+    thousands of splits and carry only W rows of overlap per split
+    boundary (the parallel-SNM refinement).
+
+    Emits (doc_a < doc_b, lang, dist)."""
     docs = table(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id",
         "lang",
         F.substring("text", 1, FUZZY_PREFIX).alias("p"),
-        F.split_part(F.col("text"), F.lit(" "), F.lit(1)).alias("tok1"),
     )
-    a = d.select(
-        F.col("doc_id").alias("doc_a"), "lang", "tok1", F.col("p").alias("pa")
+    w = Window.partitionBy("lang").orderBy("p", "doc_id")
+    led = d.select(
+        "doc_id",
+        "lang",
+        "p",
+        *[
+            c
+            for k in range(1, FUZZY_WINDOW + 1)
+            for c in (
+                F.lead("doc_id", k).over(w).alias(f"nbr{k}"),
+                F.lead("p", k).over(w).alias(f"np{k}"),
+            )
+        ],
     )
-    b = d.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("lang").alias("lang_b"),
-        F.col("tok1").alias("tok1_b"),
-        F.col("p").alias("pb"),
+    neigh = F.array(
+        *[
+            F.struct(
+                F.col(f"nbr{k}").alias("nbr"), F.col(f"np{k}").alias("np")
+            )
+            for k in range(1, FUZZY_WINDOW + 1)
+        ]
     )
-    dist = F.levenshtein("pa", "pb")
+    dist = F.levenshtein("p", F.col("n.np"))
     return (
-        a.join(
-            b,
-            (F.col("lang") == F.col("lang_b"))
-            & (F.col("tok1") == F.col("tok1_b"))
-            & (F.col("doc_a") < F.col("doc_b")),
+        led.select("doc_id", "lang", "p", F.explode(neigh).alias("n"))
+        .where(F.col("n.nbr").isNotNull() & (dist <= FUZZY_MAX_DIST))
+        .select(
+            F.least("doc_id", F.col("n.nbr")).alias("doc_a"),
+            F.greatest("doc_id", F.col("n.nbr")).alias("doc_b"),
+            "lang",
+            dist.cast("long").alias("dist"),
         )
-        .where(dist <= FUZZY_MAX_DIST)
-        .select("doc_a", "doc_b", "lang", dist.cast("long").alias("dist"))
     )
 
 
@@ -980,14 +1000,26 @@ ORACLE: dict[str, str] = {
     """,
     "q_fuzzy_match": f"""
         WITH d AS (
-          SELECT doc_id, lang, substr(text, 1, {FUZZY_PREFIX}) AS p,
-                 split_part(text, ' ', 1) AS tok1
+          SELECT doc_id, lang, substr(text, 1, {FUZZY_PREFIX}) AS p
           FROM documents
+        ), led AS (
+          SELECT doc_id, lang, p,
+                 {", ".join(
+                     f"lead(doc_id, {k}) OVER w AS nbr{k}, "
+                     f"lead(p, {k}) OVER w AS np{k}"
+                     for k in range(1, FUZZY_WINDOW + 1))}
+          FROM d
+          WINDOW w AS (PARTITION BY lang ORDER BY p, doc_id)
+        ), pairs AS (
+          {" UNION ALL ".join(
+              f"SELECT doc_id, lang, p, nbr{k} AS nbr, np{k} AS np FROM led"
+              for k in range(1, FUZZY_WINDOW + 1))}
         )
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang,
-               CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist
-        FROM d a JOIN d b
-          ON a.lang = b.lang AND a.tok1 = b.tok1 AND a.doc_id < b.doc_id
-        WHERE levenshtein(a.p, b.p) <= {FUZZY_MAX_DIST}
+        SELECT least(doc_id, nbr) AS doc_a,
+               greatest(doc_id, nbr) AS doc_b,
+               lang,
+               CAST(levenshtein(p, np) AS BIGINT) AS dist
+        FROM pairs
+        WHERE nbr IS NOT NULL AND levenshtein(p, np) <= {FUZZY_MAX_DIST}
     """,
 }

@@ -347,7 +347,138 @@ def q_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPLIT_MOD = 1000
+SPLIT_TRAIN = 800  # [0, 800) → train
+SPLIT_VAL = 900  # [800, 900) → val, rest → test
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10) by a pure
+    multiplicative hash of ``doc_id``, reported as per-(split, lang)
+    counts and token totals — the reproducibility contract every
+    training pipeline needs: membership is a function of the row key
+    alone, so re-runs, task retries, and other engines (the oracle)
+    all deal identical splits, and a document can never leak between
+    train and eval across exports.
+
+    Scale: the split column is a map-side expression (no shuffle, no
+    randomness, no sampling pass); the report is one combinable
+    aggregate over ~15 keys. Contrast with `randomSplit`, which is
+    seed- AND partitioning-dependent, so a repartition or retry
+    re-deals the membership."""
+    docs = table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % SPLIT_MOD
+    split = (
+        F.when(bucket < SPLIT_TRAIN, "train")
+        .when(bucket < SPLIT_VAL, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "lang", token_count("text").alias("toks"))
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("toks").alias("n_tokens"))
+    )
+
+
+N_DEPTH_BINS = 10
+
+
+_DEPTH_BUCKET_W = 4096.0  # equi-width pre-bucket for the two-phase rank
+
+
+def q_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH binning of lineitem prices (exact ntile semantics):
+    10 buckets of equal row count with their value ranges — the
+    quantile-bucket feature transform (and the partition-range
+    planner's histogram), complementing q_histogram's equi-WIDTH
+    bins. Ties are broken by (orderkey, linenumber) so the tiling is
+    a total order and both engines deal identical buckets.
+
+    Scale: a naive `ntile() OVER (ORDER BY ...)` has an empty
+    PARTITION BY, which Spark executes as a SINGLE-TASK global sort
+    (measured 10 s at sf1, and it only degrades from there). Instead
+    the global rank is computed two-phase, the same shape as
+    q_interval_overlap's sweep-line: (1) equi-width pre-buckets on
+    price give a key that respects the sort order across buckets;
+    (2) row_number within each bucket (parallel, one shuffle);
+    (3) a cumulative offset over the ~30-row bucket SUMMARY (the only
+    global window, dimension-sized); (4) global rank = local rank +
+    bucket offset, then the exact ntile bucket formula
+    (first N mod B tiles get ⌈N/B⌉ rows). At 100 TB the pre-bucket
+    width comes from an approx_percentile sketch instead of a
+    constant; everything else is unchanged."""
+    li = table(spark, sf_dir, "lineitem")
+    pre = li.select(
+        F.col("l_extendedprice").alias("price"),
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(F.col("l_extendedprice") / _DEPTH_BUCKET_W).alias("bk"),
+    )
+    wloc = Window.partitionBy("bk").orderBy("price", "l_orderkey", "l_linenumber")
+    local = pre.withColumn("rn_loc", F.row_number().over(wloc))
+    summary = pre.groupBy("bk").agg(F.count("*").alias("cnt"))
+    wsum = Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = summary.select(
+        "bk",
+        F.coalesce(F.sum("cnt").over(wsum), F.lit(0)).alias("off"),
+        F.sum("cnt").over(
+            Window.orderBy("bk").rangeBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n_total"),
+    )
+    ranked = local.join(F.broadcast(offsets), "bk").withColumn(
+        "rn", F.col("rn_loc") + F.col("off")
+    )
+    q = (F.col("n_total") / N_DEPTH_BINS).cast("long")
+    r = F.col("n_total") % N_DEPTH_BINS
+    cut = r * (q + 1)
+    bin_col = F.when(
+        F.col("rn") <= cut, F.ceil(F.col("rn") / (q + 1))
+    ).otherwise(r + F.ceil((F.col("rn") - cut) / F.greatest(q, F.lit(1))))
+    return (
+        ranked.select(bin_col.cast("int").alias("bin"), "price")
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("price").alias("lo"),
+            F.max("price").alias("hi"),
+            (F.round(F.avg("price") + 1e-9, 4) + 0.0).alias("mean_price"),
+        )
+        .orderBy("bin")
+    )
+
+
 ORACLE: dict[str, str] = {
+    "q_hash_split": f"""
+        SELECT CASE
+                 WHEN (doc_id * 2654435761) % 4294967296 % {SPLIT_MOD}
+                      < {SPLIT_TRAIN} THEN 'train'
+                 WHEN (doc_id * 2654435761) % 4294967296 % {SPLIT_MOD}
+                      < {SPLIT_VAL} THEN 'val'
+                 ELSE 'test'
+               END AS split,
+               lang,
+               count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents
+        GROUP BY 1, 2
+    """,
+    "q_equidepth_bins": f"""
+        SELECT bin,
+               count(*) AS n_rows,
+               min(price) AS lo,
+               max(price) AS hi,
+               round(avg(price) + 1e-9, 4) + 0.0 AS mean_price
+        FROM (
+          SELECT ntile({N_DEPTH_BINS}) OVER (
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                 ) AS bin,
+                 l_extendedprice AS price
+          FROM lineitem
+        )
+        GROUP BY bin ORDER BY bin
+    """,
     "q_export_shards": f"""
         SELECT (doc_id * 2654435761) % 4294967296 % {EXPORT_SHARDS} AS shard,
                CAST(count(*) AS BIGINT) AS n_docs,
