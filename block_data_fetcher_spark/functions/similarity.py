@@ -101,7 +101,18 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     by vec_a < vec_b — so a hot cell of n vectors becomes S(S+1)/2
     independent tasks of ~(n/S)² work instead of one n² task. Pure
     physical change: the emitted pair set is identical (oracle-pinned
-    and property-tested against the unsalted plan)."""
+    and property-tested against the unsalted plan).
+
+    Cost posture: this is the EXACT within-label baseline, so total
+    work is Σ n_label² BY DEFINITION — salting bounds task size, not
+    the pair count (the sf1 proof run measured the expected ~N²/L
+    growth). There is no sound sub-quadratic blocking for exact
+    ε-similarity in high dimension (metric-cell probing was measured
+    on this corpus: concentration of measure replicates each vector
+    to ~60% of cells — worthless), which is exactly why the
+    approximate family exists; q_semdedup (√N-cluster blocking),
+    q_lsh_verified and q_ann_* are the 100 TB paths, and this
+    operator is their recall yardstick, run on samples at scale."""
     em = parallelize(table(spark, sf_dir, "embeddings"), spark).select(
         "vec_id", "label", unit(F.col("embedding")).alias("u")
     )
@@ -1046,20 +1057,103 @@ def q_cluster_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEMDEDUP_TAU = 0.95
 
 
+def _sem_k(n: int) -> int:
+    """SemDeDup cluster count: max(KM_K, ⌊√N⌋) — the cluster COUNT
+    scales with the corpus so expected cluster size is √N and the
+    within-cluster quadratic totals N^1.5 (the published SemDeDup
+    runs K ∝ corpus size for exactly this reason; the round-3 fixed
+    K=4 version measured 38.9 s at sf1, 35× its sf0.1 time, because
+    cluster sizes grew linearly)."""
+    return max(KM_K, int(math.floor(math.sqrt(n))))
+
+
+def _semdedup_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final fine-grained k-means assignment (vec_id, x, cluster) for
+    SemDeDup blocking, materialized per build like _kmeans_final.
+
+    Separate table from q_kmeans/q_cluster_mix's K=4 trajectory: those
+    report SEMANTIC composition (coarse K is the point); this one is a
+    BLOCKING structure whose granularity must grow with the corpus.
+    Assignment uses the same Arrow-batched gemm as q_knn_join's cell
+    assignment (a literal argmin expression over √N centroids would
+    blow past codegen limits); the Lloyd update stays the
+    (K·DIM)-row aggregate + bounded driver collect."""
+    import os
+
+    from pyspark.sql import types as T
+
+    path = _kmeans_assign_path(sf_dir) + "_sem"
+    if path in _KMEANS_BUILT and os.path.isdir(path):
+        return spark.read.parquet(path)
+
+    em = (
+        parallelize(table(spark, sf_dir, "embeddings"), spark)
+        .select(
+            "vec_id",
+            F.transform(F.col("embedding"), lambda e: e.cast("double")).alias("x"),
+        )
+        .persist()
+    )
+    k = _sem_k(em.count())
+    init = sorted(
+        em.where(F.col("vec_id") < k).select("vec_id", "x").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    cents: list[tuple[int, list[float]]] = [
+        (int(r["vec_id"]), [float(v) for v in r["x"]]) for r in init
+    ]
+
+    def _assign(cc: list[tuple[int, list[float]]]):
+        ids = np.array([c for c, _ in cc])
+        C = np.array([cx for _, cx in cc], dtype=np.float64)  # (k, DIM)
+        c_sq = (C * C).sum(axis=1)
+
+        @F.pandas_udf(T.IntegerType())
+        def cluster_of(xs: pd.Series) -> pd.Series:
+            X = np.stack(xs.to_numpy()).astype(np.float64)
+            # argmin ||x-c||² = argmin (-2x·c + ||c||²); ties → lowest
+            # centroid id (ids are sorted ascending, argmin picks first)
+            d = -2.0 * (X @ C.T) + c_sq[None, :]
+            return pd.Series(ids[np.argmin(d, axis=1)].astype(np.int32))
+
+        return em.select("vec_id", "x", cluster_of(F.col("x")).alias("cluster"))
+
+    for _ in range(KM_ITERS):
+        a = _assign(cents)
+        means = (
+            a.select("cluster", F.posexplode("x").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("m"))
+            .collect()
+        )
+        by_c: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_c.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
+        cents = [(c, [by_c[c][i] for i in range(DIM)]) for c in sorted(by_c)]
+    final = _assign(cents).localCheckpoint(eager=True)
+    em.unpersist()
+    final.write.mode("overwrite").parquet(path)
+    _KMEANS_BUILT.add(path)
+    return spark.read.parquet(path)
+
+
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup as published (Abbas et al. '23), composed from the
-    engine's own parts: k-means clusters the corpus semantically
-    (q_kmeans's exact trajectory), near-duplicate pairs are found ONLY
-    within each cluster (the salted triangle-block join — the
-    clusters are the blocking key, so the quadratic never crosses
-    cluster boundaries), and the keep-set drops the higher id of every
-    pair over cosine τ=0.95. Returns the kept (vec_id, cluster).
+    engine's own parts: k-means clusters the corpus semantically with
+    K = max(4, ⌊√N⌋) clusters (see _sem_k — K scales with the corpus,
+    so the within-cluster quadratic totals N^1.5), near-duplicate
+    pairs are found ONLY within each cluster (the salted
+    triangle-block join — the clusters are the blocking key, so the
+    quadratic never crosses cluster boundaries), and the keep-set
+    drops the higher id of every pair over cosine τ=0.95. Returns the
+    kept (vec_id, cluster).
 
-    Scale: cluster assignment is map-side; pairing cost is bounded per
-    salt-block; the drop list reduces before the anti-join. The oracle
-    replays the identical pipeline in SQL (unrolled k-means CTEs +
-    within-cluster pair join)."""
-    final = _kmeans_final(spark, sf_dir)
+    Scale: cluster assignment is an Arrow-batched map-side gemm;
+    pairing cost is bounded per salt-block AND per cluster (√N
+    expected size); the drop list reduces before the anti-join. The
+    oracle replays the identical pipeline in SQL (unrolled k-means
+    CTEs with the same dynamic K + within-cluster pair join)."""
+    final = _semdedup_final(spark, sf_dir)
     em = final.select(
         "vec_id", "cluster", unit(F.col("x")).alias("u")
     )
@@ -1068,14 +1162,16 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return em.join(drop, "vec_id", "left_anti").select("vec_id", "cluster")
 
 
-def _kmeans_ctes() -> str:
+def _kmeans_ctes(k_sql: str | None = None) -> str:
     """Unrolled Lloyd iterations as chained CTEs — the same rounded
-    centroid quantization at each step. Shared by the k-means and
-    SemDeDup oracles (a{KM_ITERS} holds the final assignment)."""
+    centroid quantization at each step. Shared by the k-means,
+    cluster-mix (fixed K) and SemDeDup (dynamic √N K) oracles
+    (a{KM_ITERS} holds the final assignment)."""
+    k = k_sql if k_sql is not None else str(KM_K)
     ctes = [
         "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings)",
         f"ms AS (SELECT unnest(range({DIM})) AS i)",
-        f"c0 AS (SELECT vec_id AS c, x AS cx FROM v WHERE vec_id < {KM_K})",
+        f"c0 AS (SELECT vec_id AS c, x AS cx FROM v WHERE vec_id < ({k}))",
     ]
     for t in range(KM_ITERS + 1):
         ctes.append(
@@ -1110,9 +1206,14 @@ _KMEANS_SQL = (
     FROM a{KM_ITERS}"""
 )
 
+_SEM_K_SQL = (
+    f"SELECT greatest({KM_K}, CAST(floor(sqrt(count(*))) AS BIGINT)) "
+    "FROM embeddings"
+)
+
 _SEMDEDUP_SQL = (
     "WITH "
-    + _kmeans_ctes()
+    + _kmeans_ctes(f"({_SEM_K_SQL})")
     + f""",
     uu AS (
       SELECT vec_id,
