@@ -441,3 +441,43 @@ def test_kmeans_assignment_materialized_once_and_reused(spark, sf_dir, tmp_path)
     assert after == files  # reused, not rebuilt
     # and the reader plan is a plain scan of the materialized table
     assert "kmeans_assign" in formatted_plan(mix)
+
+
+def test_fuzzy_match_snm_has_no_join(spark, sf_dir):
+    """q_fuzzy_match (sorted-neighborhood): candidate generation is a
+    lead() window + explode — the plan must contain NO join operator
+    at all (the r3 token-blocked version was a quadratic self-join
+    that measured 371 s at sf1)."""
+    plan = formatted_plan(_Q["q_fuzzy_match"](spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert "Window" in plan and "Generate" in plan, plan
+
+
+def test_equidepth_two_phase_not_single_task_sort(spark, sf_dir):
+    """q_equidepth_bins: the global rank must come from the two-phase
+    bucket-local window (hashpartitioning on the pre-bucket key), not
+    an empty-PARTITION-BY ntile window, which Spark executes as one
+    task."""
+    import re
+
+    plan = formatted_plan(_Q["q_equidepth_bins"](spark, sf_dir))
+    assert re.search(r"hashpartitioning\(bk#\d+", plan), plan
+    assert "ntile" not in plan, plan
+
+
+def test_triangle_count_no_cross_join(spark, sf_dir):
+    """q_triangle_count closes two-paths with equi-joins; a cross join
+    (neighborhood expansion) must never appear."""
+    plan = formatted_plan(_Q["q_triangle_count"](spark, sf_dir))
+    assert "Cartesian" not in plan and "CrossJoin" not in plan, plan
+
+
+def test_semdedup_cluster_count_scales_with_corpus():
+    """SemDeDup's blocking granularity grows as sqrt(N) so expected
+    cluster size is sqrt(N) and total pair work is N^1.5."""
+    from block_data_fetcher_spark.functions.similarity import KM_K, _sem_k
+
+    assert _sem_k(10) == KM_K
+    assert _sem_k(2_000) == 44
+    assert _sem_k(20_000) == 141
+    assert _sem_k(1_000_000_000) == 31_622
