@@ -753,9 +753,156 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_ROUNDS = 3
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (Sennrich et al. '16), the first
+    BPE_ROUNDS merge rules learned from the corpus — the missing
+    piece between q_token_count's BPE-ish *application* regex and an
+    actual learned subword vocabulary.
+
+    Trains on the REDUCED word-type/frequency table (the classic
+    distributed formulation: corpora have billions of tokens but only
+    millions of word types, so everything after the first groupBy is
+    dimension-scale). Each round is:
+      1. adjacent symbol pairs per word type (map-side array zip),
+         weighted by word frequency → one combinable aggregate;
+      2. argmax pair (count desc, then lexicographic — deterministic)
+         → a 1-row driver collect (bounded, like k-means centroids);
+      3. greedy left-to-right merge application as an `aggregate` HOF
+         fold carrying (output-array, skip-flag) — the skip flag
+         consumes the right symbol of a merged pair so overlapping
+         occurrences merge non-overlapping, exactly reference BPE.
+    Pair counting counts per-position (overlapping) occurrences, also
+    matching the reference implementation.
+
+    The oracle replays the identical rounds in DuckDB: same
+    char-split, same per-position pair counts, same tie-break, and
+    the same greedy fold via list_reduce with a string-encoded
+    (skip, output) accumulator (DuckDB lambdas fold scalars, not
+    structs — same spelling stance as the EWMA oracle).
+
+    Emits (round, lhs, rhs, pair_count)."""
+    docs = table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .persist()
+    )
+    syms = F.expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+    )
+    cur = words.select("word", "freq", syms.alias("syms"))
+
+    out_rows: list[tuple[int, str, str, int]] = []
+    for rnd in range(1, BPE_ROUNDS + 1):
+        pairs = cur.select(
+            "freq",
+            F.explode(
+                # sequence(1, 0) counts DOWN in Spark — guard 1-symbol
+                # words (q_bigram_logprob's r3 advice, same trap)
+                F.expr(
+                    "CASE WHEN size(syms) < 2 THEN"
+                    "  cast(array() as array<struct<l: string, r: string>>)"
+                    " ELSE transform(sequence(1, size(syms) - 1),"
+                    "   i -> struct(element_at(syms, i) AS l,"
+                    "               element_at(syms, i + 1) AS r)) END"
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc())
+            .head()
+        )
+        a, b, cnt = top["l"], top["r"], int(top["cnt"])
+        out_rows.append((rnd, a, b, cnt))
+        merged = F.expr(
+            f"""aggregate(
+              transform(sequence(1, size(syms)),
+                        i -> struct(element_at(syms, i) AS cur,
+                                    try_element_at(syms, i + 1) AS nxt)),
+              struct(cast(array() as array<string>) AS out, false AS skip),
+              (acc, p) -> CASE
+                WHEN acc.skip THEN struct(acc.out AS out, false AS skip)
+                WHEN p.cur = '{a}' AND p.nxt = '{b}'
+                  THEN struct(concat(acc.out, array(concat(p.cur, p.nxt)))
+                                AS out,
+                              true AS skip)
+                ELSE struct(concat(acc.out, array(p.cur)) AS out,
+                            false AS skip) END,
+              acc -> acc.out)"""
+        )
+        cur = cur.select("word", "freq", merged.alias("syms"))
+    words.unpersist()
+    return spark.createDataFrame(
+        out_rows, "round INT, lhs STRING, rhs STRING, pair_count BIGINT"
+    )
+
+
+def _bpe_oracle() -> str:
+    """Unrolled BPE rounds. s{r} holds (word, freq, syms) after r
+    merges; m{r} is the round-r winning pair (1 row)."""
+    ctes = [
+        """w AS (
+          SELECT word, count(*) AS freq FROM (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents
+          ) WHERE word <> '' GROUP BY word
+        )""",
+        """s0 AS (
+          SELECT word, freq,
+                 list_transform(range(1, length(word) + 1),
+                                i -> substr(word, i, 1)) AS syms
+          FROM w
+        )""",
+    ]
+    for r in range(1, BPE_ROUNDS + 1):
+        p = r - 1
+        ctes.append(
+            f"""m{r} AS (
+              SELECT l, rr, cnt FROM (
+                SELECT syms[i] AS l, syms[i + 1] AS rr,
+                       CAST(sum(freq) AS BIGINT) AS cnt
+                FROM s{p}, unnest(range(1, len(syms))) AS t(i)
+                GROUP BY 1, 2
+              ) ORDER BY cnt DESC, l ASC, rr ASC LIMIT 1
+            )"""
+        )
+        ctes.append(
+            f"""s{r} AS (
+              SELECT word, freq,
+                     list_filter(string_split(substr(list_reduce(
+                       ['INIT0'] || list_transform(range(1, len(syms) + 1),
+                         i -> syms[i] || chr(30) || coalesce(syms[i + 1], '')),
+                       (acc, x) -> CASE
+                         WHEN substr(acc, 5, 1) = '1'
+                           THEN substr(acc, 1, 4) || '0' || substr(acc, 6)
+                         WHEN split_part(x, chr(30), 1) = m{r}.l
+                              AND split_part(x, chr(30), 2) = m{r}.rr
+                           THEN substr(acc, 1, 4) || '1' || substr(acc, 6)
+                                || chr(31) || split_part(x, chr(30), 1)
+                                || split_part(x, chr(30), 2)
+                         ELSE substr(acc, 1, 4) || '0' || substr(acc, 6)
+                              || chr(31) || split_part(x, chr(30), 1)
+                       END), 6), chr(31)), s -> s <> '') AS syms
+              FROM s{p}, m{r}
+            )"""
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT {r} AS round, l AS lhs, rr AS rhs, cnt AS pair_count FROM m{r}"
+        for r in range(1, BPE_ROUNDS + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT * FROM ({sel}) ORDER BY round"
+
+
 _BM25_TERMS = ", ".join(f"'{t}'" for t in BM25_QUERY)
 
 ORACLE: dict[str, str] = {
+    "q_bpe_merges": _bpe_oracle(),
     "q_bm25": f"""
         WITH stats AS (
           SELECT count(*) AS n_docs,

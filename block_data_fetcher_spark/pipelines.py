@@ -380,6 +380,50 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DP_EPSILON = 0.5  # per-query privacy budget; count sensitivity = 1
+
+
+def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private release of per-event-type counts via the
+    Laplace mechanism: noisy = count + Lap(1/ε), the standard release
+    primitive when a training-data pipeline publishes corpus
+    composition stats without exposing individual contributions.
+
+    The Laplace draw uses inverse-CDF sampling
+    Lap(b) = −b·sign(u−½)·ln(1−2|u−½|) with u a uniform derived from
+    the GROUP KEY's md5 — a pure function of the key, so the release
+    is reproducible across engines/retries (same determinism stance
+    as every sampling op here; a production deployment would salt the
+    hash with a per-release secret instead). The true count rides
+    along for the oracle comparison — a real release would drop it.
+
+    Scale: one map-side-combined count per group; the noise term is
+    O(1) arithmetic on the reduced aggregate. ε-budget accounting
+    across releases is the caller's ledger."""
+    ev = table(spark, sf_dir, "events")
+    h = F.expr(
+        "conv(substring(md5(event_type), 1, 15), 16, 10)"
+    ).cast("double")
+    u = (h + F.lit(0.5)) / F.lit(_TWO60)
+    b = 1.0 / DP_EPSILON
+    noise = (
+        -F.lit(b)
+        * F.signum(u - 0.5)
+        * F.log(1.0 - 2.0 * F.abs(u - 0.5))
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("true_count"))
+        .select(
+            "event_type",
+            "true_count",
+            (F.round(F.col("true_count") + noise + 1e-9, 4) + 0.0).alias(
+                "noisy_count"
+            ),
+        )
+    )
+
+
 N_DEPTH_BINS = 10
 
 
@@ -450,6 +494,23 @@ def q_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE: dict[str, str] = {
+    "q_dp_counts": f"""
+        WITH g AS (
+          SELECT event_type, count(*) AS true_count FROM events
+          GROUP BY event_type
+        ), nz AS (
+          SELECT event_type, true_count,
+                 (CAST('0x' || substr(md5(event_type), 1, 15) AS BIGINT)
+                  + 0.5) / {_TWO60!r} AS u
+          FROM g
+        )
+        SELECT event_type, true_count,
+               round(true_count
+                     + (-{1.0 / DP_EPSILON!r} * sign(u - 0.5)
+                        * ln(1 - 2 * abs(u - 0.5))) + 1e-9, 4) + 0.0
+                 AS noisy_count
+        FROM nz
+    """,
     "q_hash_split": f"""
         SELECT CASE
                  WHEN (doc_id * 2654435761) % 4294967296 % {SPLIT_MOD}
