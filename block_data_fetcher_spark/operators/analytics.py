@@ -684,6 +684,69 @@ def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duration-weighted mean value per event type: each reading is
+    weighted by how long it stayed current in its user's stream
+    (seconds until the user's next event; the open-ended last reading
+    carries no weight) — the right average for irregularly-sampled
+    series, where the plain mean over-counts bursts (the
+    observability/metering standard, e.g. AWS/Prometheus TWA).
+
+    One user_id shuffle for the lead window, then a combinable
+    (Σ v·w, Σ w) aggregate per type — algebraic, two sums. Durations
+    are INTEGER microseconds in both engines (unix_micros /
+    epoch_us): the weight scale cancels in the ratio, so no float
+    time conversion exists to disagree on (unix_timestamp would
+    truncate to whole seconds and zero-weight sub-second gaps)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    steps = ev.select(
+        "event_type",
+        "value",
+        (F.lead(us).over(w) - us).alias("dur"),
+    ).where(F.col("dur").isNotNull())
+    return steps.groupBy("event_type").agg(
+        (F.round(F.sum(F.col("value") * F.col("dur")) / F.sum("dur") + 1e-9, 4) + 0.0).alias(
+            "twa_value"
+        ),
+        (F.round(F.avg("value") + 1e-9, 4) + 0.0).alias("plain_mean"),
+        F.count("*").alias("n_weighted"),
+    )
+
+
+PATHS_LEN = 3
+PATHS_TOP = 10
+
+
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most frequent ordered 3-step user journeys
+    (event_type → event_type → event_type) — the path-mining view
+    behind Sankey/flow diagrams, one order up from q_transitions'
+    first-order Markov matrix.
+
+    One user_id shuffle for the double-lead window, a map-side path
+    concat, then a combinable count over at most |types|³ keys and a
+    TakeOrdered top-10 — nothing grows with user count after the
+    window."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).where(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    return (
+        steps.select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("path").asc())
+        .limit(PATHS_TOP)
+    )
+
+
 HOLT_A = 0.5  # level smoothing
 HOLT_B = 0.3  # trend smoothing
 
@@ -1715,6 +1778,35 @@ def q_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE: dict[str, str] = {
+    "q_time_weighted_avg": """
+        WITH steps AS (
+          SELECT event_type, value,
+                 lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                   - epoch_us(ts) AS dur
+          FROM events
+        )
+        SELECT event_type,
+               round(sum(value * dur) / sum(dur) + 1e-9, 4) + 0.0
+                 AS twa_value,
+               round(avg(value) + 1e-9, 4) + 0.0 AS plain_mean,
+               count(*) AS n_weighted
+        FROM steps WHERE dur IS NOT NULL
+        GROUP BY event_type
+    """,
+    "q_event_paths": f"""
+        WITH steps AS (
+          SELECT event_type,
+                 lead(event_type, 1) OVER w AS e2,
+                 lead(event_type, 2) OVER w AS e3
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT event_type || '>' || e2 || '>' || e3 AS path,
+               count(*) AS n
+        FROM steps WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        GROUP BY 1 ORDER BY n DESC, path ASC LIMIT {PATHS_TOP}
+    """,
     "q_pagerank": _pagerank_oracle(),
     "q_recursive_cte": _RECURSIVE_SQL,
     "q_cogroup_asof": _COGROUP_ASOF_SQL,
