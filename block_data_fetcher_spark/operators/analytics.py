@@ -747,6 +747,85 @@ def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SKY_BUCKET_W = 8192.0  # price pre-bucket width for the two-phase skyline
+
+
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) of parts — minimize retail price,
+    maximize size: the multi-criteria shortlist operator (BNL/SFS
+    skyline literature; SQL's missing SKYLINE OF clause).
+
+    Exact-duplicate (price, size) cells reduce to one representative
+    first (lowest partkey), then the sort-filter-skyline rule: ordered
+    by (price asc, size desc), a point survives iff every preceding
+    point has strictly smaller size — i.e. size > max(size) over the
+    strict prefix. Computed TWO-PHASE like q_equidepth_bins: the
+    prefix-max inside price pre-buckets (parallel windows), a carry
+    max over the ~bucket-count summary (the only global window,
+    dimension-sized), and a point survives iff it beats both its
+    in-bucket prefix and the carry. Bucket boundaries guarantee every
+    earlier-bucket price is strictly lower, so the split is exact —
+    the oracle is the textbook NOT EXISTS dominance spec, not a
+    replay of the plan."""
+    part = table(spark, sf_dir, "part")
+    cells = (
+        part.groupBy("p_retailprice", "p_size")
+        .agg(F.min("p_partkey").alias("p_partkey"))
+        .select(
+            F.col("p_retailprice").alias("price"),
+            F.col("p_size").alias("size"),
+            "p_partkey",
+            F.floor(F.col("p_retailprice") / _SKY_BUCKET_W).alias("bk"),
+        )
+    )
+    wloc = (
+        Window.partitionBy("bk")
+        .orderBy(F.col("price").asc(), F.col("size").desc(), F.col("p_partkey"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = cells.withColumn("prev_max", F.max("size").over(wloc))
+    summary = cells.groupBy("bk").agg(F.max("size").alias("bk_max"))
+    wcar = Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)
+    carry = summary.select(
+        "bk", F.max("bk_max").over(wcar).alias("carry")
+    )
+    return (
+        local.join(F.broadcast(carry), "bk")
+        .where(
+            (F.col("prev_max").isNull() | (F.col("size") > F.col("prev_max")))
+            & (F.col("carry").isNull() | (F.col("size") > F.col("carry")))
+        )
+        .select("price", "size", "p_partkey")
+        .orderBy("price")
+    )
+
+
+def q_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group arg-max/arg-min: for each event type, which event
+    carried the highest / lowest value — the `max_by`/`arg_max`
+    aggregate surface, spelled as max-of-struct so ties resolve
+    deterministically (lexicographic struct compare: value first,
+    then event_id — `max_by` alone ties arbitrarily and would flap
+    between engines).
+
+    One combinable aggregate; the struct state is constant-size, so
+    it map-side combines like any min/max."""
+    ev = table(spark, sf_dir, "events")
+    hi = F.max(F.struct(F.col("value"), F.col("event_id"))).alias("hi")
+    lo = F.min(F.struct(F.col("value"), F.col("event_id"))).alias("lo")
+    return (
+        ev.groupBy("event_type")
+        .agg(hi, lo)
+        .select(
+            "event_type",
+            F.col("hi.value").alias("max_value"),
+            F.col("hi.event_id").alias("max_event_id"),
+            F.col("lo.value").alias("min_value"),
+            F.col("lo.event_id").alias("min_event_id"),
+        )
+    )
+
+
 HOLT_A = 0.5  # level smoothing
 HOLT_B = 0.3  # trend smoothing
 
@@ -1806,6 +1885,28 @@ ORACLE: dict[str, str] = {
                count(*) AS n
         FROM steps WHERE e2 IS NOT NULL AND e3 IS NOT NULL
         GROUP BY 1 ORDER BY n DESC, path ASC LIMIT {PATHS_TOP}
+    """,
+    "q_skyline": """
+        WITH cells AS (
+          SELECT p_retailprice AS price, p_size AS size,
+                 min(p_partkey) AS p_partkey
+          FROM part GROUP BY 1, 2
+        )
+        SELECT price, size, p_partkey FROM cells c
+        WHERE NOT EXISTS (
+          SELECT 1 FROM cells d
+          WHERE d.price <= c.price AND d.size >= c.size
+            AND (d.price < c.price OR d.size > c.size)
+        )
+        ORDER BY price
+    """,
+    "q_argmax": """
+        SELECT event_type,
+               (max({'v': value, 'e': event_id})).v AS max_value,
+               (max({'v': value, 'e': event_id})).e AS max_event_id,
+               (min({'v': value, 'e': event_id})).v AS min_value,
+               (min({'v': value, 'e': event_id})).e AS min_event_id
+        FROM events GROUP BY event_type
     """,
     "q_pagerank": _pagerank_oracle(),
     "q_recursive_cte": _RECURSIVE_SQL,
