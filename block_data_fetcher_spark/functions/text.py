@@ -819,6 +819,8 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc())
             .head()
         )
+        if top is None:  # corpus ran dry (all words fully merged)
+            break
         a, b, cnt = top["l"], top["r"], int(top["cnt"])
         out_rows.append((rnd, a, b, cnt))
         merged = F.expr(

@@ -201,6 +201,52 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGEABILITY — the property that makes sketches the
+    100 TB aggregation story: per-(event_type, day) Datasketches HLL
+    sketches are built once (`hll_sketch_agg`), then rolled up across
+    days by `hll_union_agg` WITHOUT touching the raw keys again —
+    exactly how a production warehouse maintains daily sketch
+    partitions and answers "distinct users this month" by unioning 30
+    fixed-size binary states instead of re-shuffling 10^11 rows
+    (q_approx_distinct is the one-shot sketch; this is the
+    incremental-rollup form, the sketch twin of
+    q_stream_incremental_agg's algebraic partial-merge).
+
+    Same within-bound oracle stance as q_approx_distinct: sketch
+    internals differ by engine, so the query emits the exact count
+    plus deterministic booleans — the union estimate must be within
+    2% of exact (lgConfigK=14 → σ≈0.65%) AND at least the max single
+    day's distinct count (union dominates every input, a pure
+    mergeability invariant)."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", "user_id", F.to_date("ts").alias("day")
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"),
+        F.countDistinct("user_id").alias("day_users"),
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+        F.count("*").alias("n_days"),
+        F.max("day_users").alias("max_day_users"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "exact_users",
+        "n_days",
+        (
+            F.abs(F.col("est").cast("double") - F.col("exact_users").cast("double"))
+            / F.col("exact_users").cast("double")
+            <= F.lit(0.02)
+        ).alias("within_bound"),
+        (F.col("est") >= F.col("max_day_users")).alias("dominates_days"),
+    )
+
+
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based quantiles per event type (approx_percentile /
     Greenwald-Khanna with relative error 0.01) — the quantile twin of
@@ -1885,6 +1931,14 @@ ORACLE: dict[str, str] = {
                count(*) AS n
         FROM steps WHERE e2 IS NOT NULL AND e3 IS NOT NULL
         GROUP BY 1 ORDER BY n DESC, path ASC LIMIT {PATHS_TOP}
+    """,
+    "q_hll_merge": """
+        SELECT event_type,
+               count(DISTINCT user_id) AS exact_users,
+               count(DISTINCT CAST(ts AS DATE)) AS n_days,
+               true AS within_bound,
+               true AS dominates_days
+        FROM events GROUP BY event_type
     """,
     "q_skyline": """
         WITH cells AS (

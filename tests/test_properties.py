@@ -648,3 +648,113 @@ def test_segmented_folds_match_sequential_on_pathological_user(spark):
     # seg_size larger than the data = single segment; must agree
     one_seg = ewma_segmented(df, seg_size=10**9).collect()[0]
     assert one_seg["ewma"] == got_e["ewma"]
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=6),
+        min_size=1,
+        max_size=40,
+    )
+)
+@_settings
+def test_bpe_merges_match_reference_implementation(spark, words):
+    """q_bpe_merges' distributed rounds (pair-count aggregate + greedy
+    HOF merge fold) must equal a direct single-process reference BPE
+    on the same corpus: same winning pairs, same counts, same
+    tie-break."""
+    import tempfile
+
+    from block_data_fetcher_spark.functions.text import BPE_ROUNDS, q_bpe_merges
+
+    # reference implementation: per-position pair counts over word
+    # frequencies; greedy left-to-right non-overlapping merge apply
+    def ref_bpe(freqs: dict[str, int], rounds: int):
+        syms = {w: [c for c in w] for w in freqs}
+        out = []
+        for _ in range(rounds):
+            counts: dict[tuple[str, str], int] = {}
+            for w, f in freqs.items():
+                s = syms[w]
+                for i in range(len(s) - 1):
+                    counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + f
+            if not counts:
+                break
+            best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            (a, b), cnt = best
+            out.append((a, b, cnt))
+            for w in syms:
+                s, ns, i = syms[w], [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        ns.append(a + b)
+                        i += 2
+                    else:
+                        ns.append(s[i])
+                        i += 1
+                syms[w] = ns
+        return out
+
+    freqs: dict[str, int] = {}
+    for w in words:
+        freqs[w] = freqs.get(w, 0) + 1
+    expected = ref_bpe(freqs, BPE_ROUNDS)
+    if len(expected) < BPE_ROUNDS:
+        return  # corpus ran dry (all 1-symbol words); engine asserts rounds
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(i, " ".join(words)) for i in range(1)], "doc_id long, text string"
+        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        got = [
+            (r.lhs, r.rhs, r.pair_count)
+            for r in q_bpe_merges(spark, d).orderBy("round").collect()
+        ]
+    assert got == expected, (got, expected)
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=20),
+        min_size=1,
+        max_size=25,
+    )
+)
+@_settings
+def test_fuzzy_snm_invariants(spark, texts):
+    """Sorted-neighborhood fuzzy join: every emitted pair is within
+    the distance threshold and same-language; identical-prefix docs
+    (sort-adjacent by construction) are always caught; candidate
+    count never exceeds N*W."""
+    import tempfile
+
+    from block_data_fetcher_spark.functions.text import (
+        FUZZY_MAX_DIST,
+        FUZZY_PREFIX,
+        FUZZY_WINDOW,
+        q_fuzzy_match,
+    )
+
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        pairs = q_fuzzy_match(spark, d).collect()
+
+    assert len(pairs) <= len(rows) * FUZZY_WINDOW
+    prefix = {i: t[:FUZZY_PREFIX] for i, t in enumerate(texts)}
+    for r in pairs:
+        assert r.doc_a < r.doc_b
+        assert r.dist <= FUZZY_MAX_DIST
+    # exact-prefix duplicates are sort-adjacent: every such pair with
+    # fewer than FUZZY_WINDOW same-prefix docs between them must appear
+    got = {(r.doc_a, r.doc_b) for r in pairs}
+    by_prefix: dict[str, list[int]] = {}
+    for i, t in enumerate(texts):
+        by_prefix.setdefault(prefix[i], []).append(i)
+    for ids in by_prefix.values():
+        ids.sort()
+        for a, b in zip(ids, ids[1:]):
+            if ids.index(b) - ids.index(a) <= FUZZY_WINDOW:
+                assert (a, b) in got, (a, b, pairs)
