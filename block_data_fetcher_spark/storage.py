@@ -440,7 +440,115 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TT_SPLIT = "2024-01-15"  # v1 = totals before this instant; v2 = full month
+TT_BUCKETS = 8
+
+
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-isolated versioned table with time travel — the
+    Delta/Iceberg mechanism built from primitives: a keyed per-user
+    totals table stored as TT_BUCKETS hash-bucket files plus one
+    MANIFEST per version listing exactly the live files. Version 2
+    commits a late correction batch (bucket-0 users re-stated with
+    their full-month activity) COPY-ON-WRITE: only buckets containing
+    changed users are rewritten; unchanged buckets' v1 files are
+    listed verbatim in the v2 manifest (file reuse is asserted in
+    tests/test_storage.py). Reading "as of v1" is just
+    `spark.read.parquet(*manifest(v1))` — no tombstones, no
+    read-time merge, old versions immutable until vacuumed.
+
+    At 100 TB this is precisely the table-format contract: writers
+    commit a new manifest atomically (the existing write-temp-swap
+    helper), readers pin a manifest and see a consistent snapshot,
+    and COW bounds each commit's write amplification to the touched
+    buckets. The query returns both versions' aggregates read
+    THROUGH their manifests; the oracle recomputes them straight
+    from events, proving both snapshots are exact."""
+    import json
+    import os
+
+    from .catalog import table
+
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "spark-warehouse",
+        "storage",
+        "user_totals_versioned",
+    )
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "value", "ts", (F.col("user_id") % TT_BUCKETS).alias("bucket")
+    )
+    split = F.lit(TT_SPLIT).cast("timestamp")
+
+    def totals(df: DataFrame) -> DataFrame:
+        return df.groupBy("bucket", "user_id").agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+
+    def write_buckets(df: DataFrame, version: int, buckets: list[int]) -> dict:
+        files = {}
+        for b in buckets:
+            f = os.path.join(base, f"b{b}_v{version}.parquet")
+            df.where(F.col("bucket") == b).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f)
+            files[b] = f
+        return files
+
+    v1 = totals(ev.where(F.col("ts") < split))
+    v1_files = write_buckets(v1, 1, list(range(TT_BUCKETS)))
+
+    # The v2 commit is a late correction batch re-stating bucket-0
+    # users with their full-month activity; every other bucket is
+    # untouched, so COW rewrites exactly one file and the v2 manifest
+    # reuses the other TT_BUCKETS-1 v1 files verbatim.
+    delta = ev.where((F.col("ts") >= split) & (F.col("bucket") == 0))
+    changed = sorted(
+        r["bucket"] for r in delta.select("bucket").distinct().collect()
+    )  # bounded: ≤ TT_BUCKETS rows; == [0] whenever the delta is non-empty
+    v2 = totals(ev.where((F.col("ts") < split) | (F.col("bucket") == 0)))
+    v2_files = dict(v1_files)
+    v2_files.update(write_buckets(v2, 2, changed))
+
+    manifests = {1: sorted(v1_files.values()), 2: sorted(v2_files.values())}
+    with open(os.path.join(base, "manifest.json"), "w") as f:
+        json.dump(manifests, f)
+
+    out = None
+    for version, files in manifests.items():
+        snap = (
+            spark.read.parquet(*files)
+            .agg(
+                F.count("*").alias("n_users"),
+                F.sum("n_events").alias("n_events"),
+                F.round(F.sum("total_value"), 2).alias("sum_total"),
+            )
+            .select(F.lit(version).alias("version"), "*")
+        )
+        out = snap if out is None else out.unionByName(snap)
+    return out.orderBy("version")
+
+
 ORACLE: dict[str, str] = {
+    "q_time_travel": f"""
+        WITH v1 AS (
+          SELECT user_id, count(*) AS n, round(sum(value), 2) AS t
+          FROM events WHERE ts < TIMESTAMP '{TT_SPLIT}' GROUP BY user_id
+        ), v2 AS (
+          SELECT user_id, count(*) AS n, round(sum(value), 2) AS t
+          FROM events
+          WHERE ts < TIMESTAMP '{TT_SPLIT}' OR user_id % {TT_BUCKETS} = 0
+          GROUP BY user_id
+        )
+        SELECT 1 AS version, count(*) AS n_users,
+               CAST(sum(n) AS BIGINT) AS n_events,
+               round(sum(t), 2) AS sum_total
+        FROM v1
+        UNION ALL
+        SELECT 2, count(*), CAST(sum(n) AS BIGINT), round(sum(t), 2) FROM v2
+        ORDER BY version
+    """,
     "q_gdpr_erasure": """
         SELECT event_type, count(*) AS n,
                count(DISTINCT user_id) AS n_users,

@@ -402,3 +402,28 @@ def test_jdbc_upsert_statement_executes_against_duckdb(spark):
         ).collect()
     )
     assert got == want == [(1, "new-a", 20), (2, "second-b", 6), (3, "keep", 7)]
+
+
+def test_time_travel_cow_reuses_unchanged_bucket_files(spark, sf_dir):
+    """q_time_travel's v2 commit must rewrite ONLY the changed bucket:
+    the v2 manifest lists the v1 files of every unchanged bucket
+    verbatim (copy-on-write), and both snapshots read back exactly."""
+    import json
+    import os
+
+    from block_data_fetcher_spark import storage
+
+    storage.q_time_travel(spark, sf_dir).collect()
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(storage.__file__))),
+        "spark-warehouse",
+        "storage",
+        "user_totals_versioned",
+    )
+    with open(os.path.join(base, "manifest.json")) as f:
+        manifests = json.load(f)
+    v1, v2 = set(manifests["1"]), set(manifests["2"])
+    assert len(v1) == storage.TT_BUCKETS == len(v2)
+    # exactly one rewritten file (bucket 0); the rest reused from v1
+    assert len(v2 - v1) == 1 and "b0_v2" in next(iter(v2 - v1))
+    assert len(v1 & v2) == storage.TT_BUCKETS - 1
