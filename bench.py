@@ -46,6 +46,10 @@ LARGE_RESULT = {
     "q_lang_id",
     "q_quality_score",
     "q_embed_near_dup",
+    "q_fuzzy_match",
+    "q_knn_join",
+    "q_semdedup",
+    "q_lsh_verified",
     "q_dedup_exact",
     "q_stream_dedup",
     "q_media_features",

@@ -554,6 +554,89 @@ def q_stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sketch maintenance: each micro-batch reduces to one
+    Datasketches HLL state per event type, `foreachBatch` unions it
+    into the stored sketch table — the SKETCH twin of
+    q_stream_incremental_agg's algebraic (count, sum) merge, and the
+    streaming form of q_hll_merge's daily-rollup: a distinct-users
+    view maintained at O(keys × sketch-size) per batch regardless of
+    stream volume, with no raw-key shuffle ever.
+
+    Replay safety comes FREE here: HLL register state is the max of
+    item hashes, so re-unioning a replayed batch's sketch is a no-op
+    (set-union idempotence) — no batch_id ledger needed, unlike the
+    additive merge. The swap reuses the crash-safe rename-aside
+    helper. Final answer = estimates from the stored sketches vs the
+    exact distincts, emitted under the deterministic within-bound
+    contract (HLL state is order- and partitioning-independent, so
+    the booleans are stable)."""
+    import shutil
+
+    from ..etl.load import _atomic_swap
+
+    ev = events_stream(spark, sf_dir).select("event_type", "user_id")
+    root = tempfile.mkdtemp(prefix="stream_hll_")
+    path = root + "/hll_by_type"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        sk = batch_df.groupBy("event_type").agg(
+            F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")
+        )
+        if os.path.isdir(path):
+            sk = (
+                sp.read.parquet(path)
+                .select("event_type", "sk")
+                .unionByName(sk)
+                .groupBy("event_type")
+                .agg(F.hll_union_agg("sk").alias("sk"))
+            )
+        tmp = path + ".tmp"
+        sk.coalesce(1).write.mode("overwrite").parquet(tmp)
+        _atomic_swap(path, tmp)
+
+    try:
+        q = (
+            ev.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_hll_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    from ..catalog import table as _table
+
+    exact = (
+        _table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    est = spark.read.parquet(path).select(
+        "event_type", F.hll_sketch_estimate("sk").alias("est")
+    )
+    out = (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("est").cast("double") - F.col("exact_users").cast("double"))
+                / F.col("exact_users").cast("double")
+                <= F.lit(0.02)
+            ).alias("within_bound"),
+        )
+        .cache()
+    )
+    out.count()
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 _DOCS_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -636,6 +719,12 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ..operators import windows as _batch_windows  # noqa: E402
 
 ORACLE: dict[str, str] = {
+    "q_stream_hll": """
+        SELECT event_type,
+               count(DISTINCT user_id) AS exact_users,
+               true AS within_bound
+        FROM events GROUP BY event_type
+    """,
     "q_stream_tumbling": _batch_windows.ORACLE["q_tumbling_window"],
     "q_stream_upsert": _batch_windows.ORACLE["q_last_wins_window"],
     # event_id is unique in the fixture, so within-watermark dedup of a
