@@ -94,3 +94,58 @@ def test_bmp_ppm_roundtrip_exact():
         raise AssertionError("decode_image accepted garbage")
     except ValueError:
         pass
+
+
+def test_wav_roundtrip_exact():
+    """The real audio codec: arbitrary int16 sequences must round-trip
+    byte-exactly through the RIFF/PCM16 container, including an extra
+    chunk before 'data' (the chunk WALK is real, not fixed offsets)
+    and odd-sized chunks (RIFF word alignment)."""
+    import struct
+
+    import numpy as np
+
+    from block_data_fetcher_spark.functions.audio import (
+        _synth_samples,
+        decode_wav,
+        encode_wav,
+    )
+
+    for doc_id in [0, 1, 5, 63, 64, 101, 9999]:
+        rate, s = _synth_samples(doc_id)
+        r2, s2 = decode_wav(encode_wav(s, rate))
+        assert r2 == rate
+        assert np.array_equal(s, s2)
+
+    # inject a LIST chunk (odd size → padding byte) between fmt and data
+    rate, s = _synth_samples(7)
+    payload = encode_wav(s, rate)
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    hacked = payload[:fmt_end] + extra + payload[fmt_end:]
+    hacked = (
+        b"RIFF" + struct.pack("<I", len(hacked) - 8) + hacked[8:]
+    )
+    r3, s3 = decode_wav(hacked)
+    assert r3 == rate and np.array_equal(s, s3)
+
+    # stereo / non-PCM rejected loudly
+    bad_fmt = struct.pack("<HHIIHH", 1, 2, rate, rate * 4, 4, 16)
+    bad = (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(bad_fmt))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(bad_fmt))
+        + bad_fmt
+    )
+    try:
+        decode_wav(bad)
+        raise AssertionError("decode_wav accepted stereo")
+    except ValueError:
+        pass
+    try:
+        decode_wav(b"JUNK0000JUNK")
+        raise AssertionError("decode_wav accepted garbage")
+    except ValueError:
+        pass
