@@ -273,6 +273,164 @@ def decode_images(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, DECODED_SCHEMA)
 
 
+def decode_raster(payload: bytes) -> np.ndarray:
+    """Decode a BMP or PPM payload to the full (h, w, 3) uint8 raster
+    (shared parser with :func:`decode_image`)."""
+    if payload[:2] == b"BM":
+        offset = struct.unpack_from("<I", payload, 10)[0]
+        w, h = struct.unpack_from("<ii", payload, 18)
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        if bpp != 24:
+            raise ValueError(f"unsupported BMP bpp={bpp}")
+        row = (3 * w + 3) & ~3
+        a = np.frombuffer(payload, np.uint8, count=h * row, offset=offset)
+        return a.reshape(h, row)[:, : 3 * w].reshape(h, w, 3)[::-1, :, ::-1]
+    if payload[:2] == b"P6":
+        parts = payload.split(maxsplit=4)
+        w, h = int(parts[1]), int(parts[2])
+        hdr_len = len(payload) - w * h * 3
+        img = np.frombuffer(payload, np.uint8, count=w * h * 3, offset=hdr_len)
+        return img.reshape(h, w, 3)
+    raise ValueError("unknown image magic")
+
+
+# perceptual-hash grid: 8 columns x 4 rows -> 32-bit average hash
+_AH_GX, _AH_GY = 8, 4
+
+
+def ahash32(pixels: np.ndarray) -> int:
+    """32-bit average hash over an 8x4 block grid, integer-exact: the
+    per-pixel signal is the CHANNEL SUM r+g+b (no float gray), and the
+    bit test compares cross-multiplied integer sums
+    (block_sum * n_total > grand_sum * n_block) so there is no
+    floating-point mean anywhere — the DuckDB oracle reproduces the
+    hash bit-for-bit with the same arithmetic."""
+    h, w, _ = pixels.shape
+    gray = pixels.astype(np.int64).sum(axis=2)  # (h, w) channel sums
+    gx = (np.arange(w) * _AH_GX) // w  # pixel -> grid column
+    gy = (np.arange(h) * _AH_GY) // h  # pixel -> grid row
+    bsum = np.zeros((_AH_GY, _AH_GX), dtype=np.int64)
+    bcnt = np.zeros((_AH_GY, _AH_GX), dtype=np.int64)
+    np.add.at(bsum, (gy[:, None], gx[None, :]), gray)
+    np.add.at(bcnt, (gy[:, None], gx[None, :]), 1)
+    gsum, gcnt = int(gray.sum()), w * h
+    bits = (bsum * gcnt) > (gsum * bcnt)
+    idx = np.arange(_AH_GY * _AH_GX).reshape(_AH_GY, _AH_GX)
+    return int((bits.astype(np.int64) << idx).sum())
+
+
+_NEAR_CLASSES = 37  # images with the same doc_id % 37 share a base raster
+_NEAR_HAMMING = 3  # must stay < number of bands (pigeonhole exactness)
+_NEAR_BANDS = 4  # 4 bands x 8 bits over the 32-bit hash
+
+
+def synth_near_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image corpus WITH planted near-duplicates: the base raster and
+    dimensions depend only on doc_id % 37, and each document adds a
+    small deterministic brightness perturbation (+delta on a sparse
+    (3x+5y) % 13 == 0 lattice) — so same-class images are near-dups
+    whose hashes differ in a few bits, not exact copies. Encoded
+    through the real BMP/PPM writers so the hash path exercises the
+    actual codec bytes."""
+    docs = parallelize(table(spark, sf_dir, "documents"), spark).select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fmts, blobs = [], [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                b = doc_id % _NEAR_CLASSES
+                delta = (doc_id // _NEAR_CLASSES) % 4
+                w, h = 8 + b % 9, 8 + b % 7
+                px = _pixels(b, w, h).astype(np.int64)
+                x = np.arange(w)[None, :, None]
+                y = np.arange(h)[:, None, None]
+                mask = (3 * x + 5 * y) % 13 == 0
+                px = ((px + delta * mask) % 256).astype(np.uint8)
+                fmt = "bmp" if doc_id % 2 == 0 else "ppm"
+                blobs.append(encode_bmp(px) if fmt == "bmp" else encode_ppm(px))
+                ids.append(doc_id)
+                fmts.append(fmt)
+            yield pd.DataFrame({"media_id": ids, "fmt": fmts, "data": blobs})
+
+    return docs.mapInPandas(run, IMAGE_SCHEMA)
+
+
+def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-duplicate join — the visual twin of
+    MinHash/SimHash text near-dup: decode real BMP/PPM bytes, compute
+    a 32-bit integer-exact average hash, and find all image pairs with
+    hamming distance <= 3 via a BANDED join (4 bands x 8 bits; a
+    candidate pair must agree exactly on at least one band).
+
+    Exactness: with 4 bands and threshold 3, the pigeonhole principle
+    guarantees every qualifying pair shares an untouched band, so the
+    banded plan returns EXACTLY the brute-force result — the DuckDB
+    oracle does the O(n^2) all-pairs join and must match bit-for-bit.
+
+    Scale: only (media_id, 32-bit hash) shuffles — payload bytes stay
+    at the scan; the self-join runs per (band_id, band_value) bucket,
+    so cost is sum of bucket^2, not corpus^2. A pathological bucket
+    (e.g. a monochrome-web of near-identical images) is the same
+    giant-bucket hazard as text LSH — the mitigation (cap + sort-merge
+    fallback, `hashing.py`) applies unchanged; here bucket size is
+    bounded by the planted class size."""
+    media = synth_near_images(spark, sf_dir)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "hash": [
+                        ahash32(decode_raster(bytes(b))) for b in pdf["data"]
+                    ],
+                }
+            )
+
+    hashes = media.mapInPandas(run, "media_id bigint, hash bigint")
+    bands = hashes.select(
+        "media_id",
+        "hash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        F.shiftright("hash", 8 * i)
+                        .bitwiseAND(F.lit(255))
+                        .alias("band_val"),
+                    )
+                    for i in range(_NEAR_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("media_id", "hash", "band.band_id", "band.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.col("a.hash").alias("ha"),
+            F.col("b.hash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.withColumn(
+            "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long")
+        )
+        .where(F.col("hamming") <= _NEAR_HAMMING)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog queries
 # ---------------------------------------------------------------------------
@@ -354,6 +512,48 @@ def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE: dict[str, str] = {
+    "q_phash_neardup": """
+        -- brute-force O(n^2) reference for the banded perceptual-hash
+        -- join: recompute the 32-bit integer-exact average hash from
+        -- the closed-form raster (base class = doc_id % 37, sparse
+        -- +delta perturbation), then all-pairs hamming <= 3. The
+        -- pigeonhole guarantee (4 bands, threshold 3) makes the
+        -- engine's banded plan return exactly this set.
+        WITH dims AS (
+          SELECT doc_id, doc_id % 37 AS b, (doc_id // 37) % 4 AS delta,
+                 8 + (doc_id % 37) % 9 AS w, 8 + (doc_id % 37) % 7 AS h
+          FROM documents
+        ), px AS (
+          SELECT doc_id, w, h,
+                 (x.i * 8) // w AS gx, (y.i * 4) // h AS gy,
+                 ((b + 3*x.i + 5*y.i
+                   + CASE WHEN (3*x.i + 5*y.i) % 13 = 0 THEN delta ELSE 0 END) % 256)
+               + ((b + 3*x.i + 5*y.i + 7
+                   + CASE WHEN (3*x.i + 5*y.i) % 13 = 0 THEN delta ELSE 0 END) % 256)
+               + ((b + 3*x.i + 5*y.i + 14
+                   + CASE WHEN (3*x.i + 5*y.i) % 13 = 0 THEN delta ELSE 0 END) % 256)
+                 AS gray
+          FROM dims CROSS JOIN range(16) x(i) CROSS JOIN range(14) y(i)
+          WHERE x.i < w AND y.i < h
+        ), blocks AS (
+          SELECT doc_id, gx, gy, sum(gray) AS bsum, count(*) AS bcnt
+          FROM px GROUP BY doc_id, gx, gy
+        ), tot AS (
+          SELECT doc_id, sum(gray) AS gsum, count(*) AS gcnt
+          FROM px GROUP BY doc_id
+        ), h AS (
+          SELECT blocks.doc_id,
+                 CAST(sum(CASE WHEN blocks.bsum * tot.gcnt > tot.gsum * blocks.bcnt
+                               THEN (CAST(1 AS BIGINT) << (blocks.gy * 8 + blocks.gx))
+                               ELSE 0 END) AS BIGINT) AS hash
+          FROM blocks JOIN tot ON blocks.doc_id = tot.doc_id
+          GROUP BY blocks.doc_id
+        )
+        SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+               CAST(bit_count(xor(a.hash, b2.hash)) AS BIGINT) AS hamming
+        FROM h a JOIN h b2 ON a.doc_id < b2.doc_id
+        WHERE bit_count(xor(a.hash, b2.hash)) <= 3
+    """,
     "q_media_features": """
         -- recompute (width, height, channel means) from the SAME
         -- closed-form raster the engine encodes into real BMP/PPM

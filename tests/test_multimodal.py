@@ -149,3 +149,41 @@ def test_wav_roundtrip_exact():
         raise AssertionError("decode_wav accepted garbage")
     except ValueError:
         pass
+
+
+def test_ahash_planted_neardups(spark):
+    """The planted near-dup corpus must actually produce pairs (the
+    oracle match would be vacuous on an empty result): same-class
+    images hash within hamming<=3 of each other for at least some
+    classes, and the banded engine result equals a brute-force
+    all-pairs check computed locally."""
+    import itertools
+
+    import numpy as np
+
+    from block_data_fetcher_spark.functions.multimodal import (
+        ahash32,
+        decode_raster,
+        q_phash_neardup,
+        synth_near_images,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = synth_near_images(spark, sf_dir).collect()
+    hashes = {r.media_id: ahash32(decode_raster(bytes(r.data))) for r in rows}
+    brute = {
+        (a, b, bin(hashes[a] ^ hashes[b]).count("1"))
+        for a, b in itertools.combinations(sorted(hashes), 2)
+        if bin(hashes[a] ^ hashes[b]).count("1") <= 3
+    }
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in q_phash_neardup(spark, sf_dir).collect()
+    }
+    assert got == brute
+    assert len(brute) > 0  # the planted structure is non-trivial
+    # and not everything is one blob: some pairs are far apart
+    all_h = list(hashes.values())
+    assert any(
+        bin(x ^ y).count("1") > 3 for x, y in itertools.combinations(all_h, 2)
+    )
