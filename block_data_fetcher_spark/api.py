@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 import functools
 
 from . import pipelines, storage
-from .functions import audio, hashing, multimodal, similarity, text
+from .functions import audio, hashing, multimodal, similarity, text, web
 from .session import tune
 from .sources import formats
 from .operators import (
@@ -33,7 +33,7 @@ from .streaming import jobs as streaming_jobs
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-_MODULES = [relational, json_ops, classify, windows, analytics, graph, tpch, text, similarity, hashing, multimodal, audio, streaming_jobs, pipelines, etl_queries, scalar_funcs, formats, storage]
+_MODULES = [relational, json_ops, classify, windows, analytics, graph, tpch, text, similarity, hashing, multimodal, audio, web, streaming_jobs, pipelines, etl_queries, scalar_funcs, formats, storage]
 
 
 def _tuned(fn: QueryFn) -> QueryFn:

@@ -1,0 +1,138 @@
+"""Web-corpus curation: URL canonicalization + dedup.
+
+Every large crawl pipeline dedups by CANONICAL url before any content
+hashing (the same page is fetched as `HTTP://WWW.Site.COM:443/a/?b=2&a=1`
+and `https://site.com/a?a=1&b=2`). Canonicalization here is pure
+built-in column expressions — regexp parsing, array filter/sort,
+concat — entirely JVM-side/codegen, zero Python, zero shuffle until
+the final groupBy on the canonical key. The DuckDB oracle replicates
+the same normalization with its own string/list functions, so the two
+independent implementations must agree value-for-value.
+
+Rules (the common subset of RFC 3986 normalization + tracker
+stripping): lowercase scheme and host, drop a leading ``www.``, drop
+default ports ``:80``/``:443``, drop trailing slashes from the path,
+drop the fragment, drop ``utm_*``/``fbclid``/``gclid`` query params,
+sort the surviving params.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import parallelize, table
+
+_TRACKER_RE = "^(utm_|fbclid|gclid)"
+
+
+def synth_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic messy-URL corpus from ``documents``: casing, a
+    www. prefix, an explicit :443, a trailing slash, shuffled query
+    param order, tracker params and fragments all vary with doc_id —
+    77 canonical targets (host x path classes) survive."""
+    docs = parallelize(table(spark, sf_dir, "documents"), spark).select("doc_id")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 5 == 0, F.lit("HTTPS://")).otherwise(F.lit("https://")),
+        F.when(d % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("site"),
+        (d % 7).cast("string"),
+        F.when(d % 3 == 0, F.lit(".COM")).otherwise(F.lit(".com")),
+        F.when(d % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/p/"),
+        (d % 11).cast("string"),
+        F.when(d % 6 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 2 == 0, F.lit("?b=2&a=1")).otherwise(F.lit("?a=1&b=2")),
+        F.when(d % 8 == 0, F.lit("&utm_source=u")).otherwise(F.lit("")),
+        F.when(d % 9 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", url.alias("url"))
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonicalize a URL column with built-in expressions only."""
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z]+)://", 1))
+    host = F.lower(F.regexp_extract(url, r"^[A-Za-z]+://([^/?#]+)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.regexp_replace(host, r":(443|80)$", "")
+    path = F.regexp_extract(url, r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    path = F.regexp_replace(path, r"/+$", "")
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(_TRACKER_RE),
+        )
+    )
+    qs = F.when(
+        F.size(params) > 0, F.concat(F.lit("?"), F.concat_ws("&", params))
+    ).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, path, qs)
+
+
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL dedup by canonical form: normalize every messy variant,
+    group on the canonical key, keep the lowest doc_id per group and
+    report the variant count and distinct RAW spellings collapsed.
+    One shuffle on the canonical string; everything before it is
+    whole-stage-codegen string work at the scan."""
+    urls = synth_urls(spark, sf_dir)
+    return (
+        urls.select(
+            "doc_id", "url", canonical_url(F.col("url")).alias("canon")
+        )
+        .groupBy("canon")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count("*").alias("n_variants"),
+            F.count_distinct("url").alias("n_spellings"),
+        )
+    )
+
+
+ORACLE: dict[str, str] = {
+    "q_url_canonical": """
+        -- independent canonicalizer: DuckDB string/list functions
+        -- reproduce the same RFC-3986-subset normalization over the
+        -- same deterministic messy-URL corpus
+        WITH raw AS (
+          SELECT doc_id,
+                 (CASE WHEN doc_id % 5 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+              || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END)
+              || 'site' || CAST(doc_id % 7 AS VARCHAR)
+              || (CASE WHEN doc_id % 3 = 0 THEN '.COM' ELSE '.com' END)
+              || (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END)
+              || '/p/' || CAST(doc_id % 11 AS VARCHAR)
+              || (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END)
+              || (CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=1' ELSE '?a=1&b=2' END)
+              || (CASE WHEN doc_id % 8 = 0 THEN '&utm_source=u' ELSE '' END)
+              || (CASE WHEN doc_id % 9 = 0 THEN '#sec' ELSE '' END) AS url
+          FROM documents
+        ), parts AS (
+          SELECT doc_id, url,
+                 lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+                 regexp_replace(regexp_replace(
+                   lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
+                   '^www\\.', ''), ':(443|80)$', '') AS host,
+                 regexp_replace(
+                   regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+                   '/+$', '') AS path,
+                 list_sort(list_filter(
+                   string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                   p -> p <> '' AND NOT regexp_matches(p, '^(utm_|fbclid|gclid)')
+                 )) AS params
+          FROM raw
+        ), canon AS (
+          SELECT doc_id, url,
+                 scheme || '://' || host || path
+              || (CASE WHEN len(params) > 0
+                       THEN '?' || array_to_string(params, '&')
+                       ELSE '' END) AS canon
+          FROM parts
+        )
+        SELECT canon, min(doc_id) AS keep_id, count(*) AS n_variants,
+               count(DISTINCT url) AS n_spellings
+        FROM canon GROUP BY canon
+    """,
+}

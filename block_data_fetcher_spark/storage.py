@@ -530,7 +530,85 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("version")
 
 
+def list_data_files(path: str) -> list[tuple[str, int]]:
+    """(file, size) pairs for the parquet data files under ``path`` —
+    driver-side METADATA listing (what a table format's manifest or a
+    metastore gives for free), never data."""
+    import os
+
+    out = []
+    for root, _, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                out.append((p, os.path.getsize(p)))
+    return sorted(out)
+
+
+def compact_table(
+    spark: SparkSession, src: str, dst: str, target_bytes: int
+) -> tuple[int, int]:
+    """Bin-pack a fragmented parquet table into ~``target_bytes``
+    output files (the OPTIMIZE/compaction maintenance job every
+    streaming ingest needs: micro-batches leave thousands of tiny
+    files whose per-file open/footer cost eventually dominates scans).
+
+    The output file count is sized from the REAL on-disk byte total
+    (manifest-style metadata listing), and the rewrite uses
+    ``coalesce`` — a shuffle-FREE merge of input splits into fewer
+    tasks — so compaction cost is one read + one write, no exchange.
+    At 100 TB this runs per partition (each day compacts
+    independently, preserving partition pruning); here the single-dir
+    case keeps the plan inspectable. Returns (files_before,
+    files_after)."""
+    files = list_data_files(src)
+    total = sum(sz for _, sz in files)
+    n_out = max(1, -(-total // target_bytes))  # ceil div
+    df = spark.read.parquet(src)
+    df.coalesce(int(n_out)).write.mode("overwrite").parquet(dst)
+    return len(files), len(list_data_files(dst))
+
+
+def q_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction end to end: land events as 64 deliberately
+    tiny files (a stand-in for micro-batch ingest fragmentation),
+    bin-pack them into size-targeted files via the shuffle-free
+    ``coalesce`` rewrite, and prove losslessness by aggregating the
+    compacted table against the oracle's direct aggregate. The
+    before/after file counts are asserted in tests/test_storage.py
+    (compacted count must match the byte-budget math, and the rewrite
+    plan must contain no Exchange)."""
+    import os
+
+    from .catalog import table
+
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "spark-warehouse",
+        "storage",
+    )
+    frag, packed = os.path.join(base, "events_frag"), os.path.join(
+        base, "events_compacted"
+    )
+    ev = table(spark, sf_dir, "events")
+    ev.repartition(64).write.mode("overwrite").parquet(frag)
+    compact_table(spark, frag, packed, target_bytes=8 << 20)
+    back = spark.read.parquet(packed)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.round(F.sum("value") + F.lit(1e-9), 2).alias("sum_value"),
+    )
+
+
 ORACLE: dict[str, str] = {
+    "q_compaction": """
+        SELECT event_type, count(*) AS n,
+               count(DISTINCT user_id) AS n_users,
+               round(sum(value) + 1e-9, 2) AS sum_value
+        FROM events
+        GROUP BY event_type
+    """,
     "q_time_travel": f"""
         WITH v1 AS (
           SELECT user_id, count(*) AS n, round(sum(value), 2) AS t

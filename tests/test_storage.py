@@ -427,3 +427,39 @@ def test_time_travel_cow_reuses_unchanged_bucket_files(spark, sf_dir):
     # exactly one rewritten file (bucket 0); the rest reused from v1
     assert len(v2 - v1) == 1 and "b0_v2" in next(iter(v2 - v1))
     assert len(v1 & v2) == storage.TT_BUCKETS - 1
+
+
+def test_compaction_file_counts_and_plan(spark, sf_dir):
+    """Compaction must actually reduce the file count to the
+    byte-budget math, and the rewrite must be shuffle-free."""
+    import os
+
+    from block_data_fetcher_spark.catalog import table
+    from block_data_fetcher_spark.storage import compact_table, list_data_files
+
+    base = os.path.join(os.path.dirname(__file__), "..", "spark-warehouse", "storage")
+    frag = os.path.join(base, "t_frag")
+    packed = os.path.join(base, "t_packed")
+    ev = table(spark, sf_dir, "events")
+    ev.repartition(32).write.mode("overwrite").parquet(frag)
+    before, after = compact_table(spark, frag, packed, target_bytes=1 << 30)
+    assert before == 32
+    assert after == 1  # everything fits one 1 GiB target file
+    assert spark.read.parquet(packed).count() == ev.count()
+
+    # a small byte target yields the ceil(total/target) count
+    files = list_data_files(frag)
+    total = sum(sz for _, sz in files)
+    target = max(1, total // 4)
+    _, after4 = compact_table(spark, frag, packed + "4", target_bytes=target)
+    assert after4 == -(-total // target)
+
+    # shuffle-free: the coalesce plan shows no Exchange
+    plan = (
+        spark.read.parquet(frag)
+        .coalesce(2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
