@@ -91,7 +91,111 @@ def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LD_CHUNK = 4  # tokens per pseudo-line
+_LD_DF_DENOM = 20  # boilerplate threshold: line in > N/20 docs
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate line removal (the CCNet/RefinedWeb
+    step: a LINE appearing in many documents is chrome — nav bars,
+    cookie banners — not content, and is dropped from every document
+    while unique lines stay). The corpus plants a per-class 4-token
+    header ("subscribe to siteK now", K = doc_id % 5) in front of each
+    document's text; detection is purely corpus-driven: documents are
+    chunked into aligned 4-token pseudo-lines, a line's document
+    frequency is counted corpus-wide, lines with DF > N/20 are removed
+    everywhere, and each document is reassembled in order.
+
+    Scale: the DF count shuffles (line-hash, doc_id) pairs once; the
+    boilerplate set (lines above a 5% DF threshold) is tiny by
+    construction — Zipf guarantees few lines are in >5% of a crawl —
+    so the removal join broadcasts. Reassembly groups by doc_id with
+    an order-preserving sorted collect, bounded by document length."""
+    docs = parallelize(table(spark, sf_dir, "documents"), spark).select(
+        "doc_id", "text"
+    )
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("subscribe to site"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(" now "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    toks = aug.select("doc_id", F.split("text", " ").alias("t"))
+    chunks = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size("t") / F.lit(_LD_CHUNK)).cast("int") - 1,
+                ),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("t"), i * _LD_CHUNK + 1, _LD_CHUNK)
+                ),
+            )
+        ).alias("idx", "line"),
+    )
+    n_docs = docs.count()  # scalar corpus size (metadata-sized)
+    dfreq = chunks.groupBy("line").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    boiler = dfreq.where(F.col("df") * _LD_DF_DENOM > F.lit(n_docs)).select(
+        "line"
+    )
+    flagged = chunks.join(
+        F.broadcast(boiler.withColumn("is_b", F.lit(True))), "line", "left"
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.count_if(F.col("is_b").isNotNull()).alias("n_removed"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("is_b").isNull(), F.struct("idx", "line"))
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+        ).alias("cleaned"),
+    )
+
+
 ORACLE: dict[str, str] = {
+    "q_line_dedup": """
+        WITH aug AS (
+          SELECT doc_id,
+                 'subscribe to site' || CAST(doc_id % 5 AS VARCHAR)
+                 || ' now ' || text AS text
+          FROM documents
+        ), toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM aug
+        ), chunks AS (
+          SELECT doc_id, i.i AS idx,
+                 array_to_string(t[i.i * 4 + 1 : i.i * 4 + 4], ' ') AS line
+          FROM toks CROSS JOIN range(256) i(i)
+          WHERE i.i < CAST(ceil(len(t) / 4.0) AS INTEGER)
+        ), dfreq AS (
+          SELECT line, count(DISTINCT doc_id) AS df FROM chunks GROUP BY line
+        ), n AS (SELECT count(*) AS n_docs FROM documents),
+        boiler AS (
+          SELECT line FROM dfreq, n WHERE df * 20 > n_docs
+        ), flagged AS (
+          SELECT c.*, c.line IN (SELECT line FROM boiler) AS is_b
+          FROM chunks c
+        )
+        SELECT doc_id,
+               count(*) AS n_lines,
+               count(*) FILTER (WHERE is_b) AS n_removed,
+               coalesce(string_agg(line, ' ' ORDER BY idx)
+                          FILTER (WHERE NOT is_b), '') AS cleaned
+        FROM flagged
+        GROUP BY doc_id
+    """,
     "q_url_canonical": """
         -- independent canonicalizer: DuckDB string/list functions
         -- reproduce the same RFC-3986-subset normalization over the

@@ -276,6 +276,98 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QM_BINS = 64  # mergeable-histogram quantile sketch width
+QM_RANGE = 1000.0  # events.value domain upper bound
+
+
+def _qm_bin(value):
+    """Shared bin expression — written with the IDENTICAL arithmetic
+    the oracle SQL uses (value * 64.0 / 1000.0, floor, clamp) so both
+    engines hit the same IEEE-754 doubles and the same integers."""
+    raw = F.floor(value * F.lit(float(QM_BINS)) / F.lit(QM_RANGE))
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(QM_BINS - 1)).cast("int")
+
+
+def q_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE sketch rollup — the quantile twin of
+    q_hll_merge's union-of-states story: per-(event_type, day) 64-bin
+    equi-width histograms are built once from the raw rows, then
+    merged across days by ELEMENT-WISE ARRAY ADDITION (zip_with inside
+    one F.aggregate fold) without re-touching raw values; p50/p90 come
+    from a cumulative walk over the 64 merged counters. This is how a
+    warehouse answers "monthly p99 latency" from daily histogram
+    partitions: 30 fixed-size states merge in microseconds where a
+    percentile over 10^11 raw rows would re-shuffle everything.
+
+    Unlike GK/t-digest, the fixed-bin histogram is DETERMINISTIC, so
+    the oracle is a full value-hash match, not a within-bound check:
+    DuckDB recomputes the same binning in one shot — merge associativity
+    means the two-phase engine result must equal the one-shot oracle
+    result exactly, which IS the mergeability contract.
+
+    Scale: the per-day state is 64 longs regardless of row count; the
+    second phase shuffles n_days fixed-size arrays per type. Bin count
+    trades accuracy for state (production: 2^12 bins or log-spaced
+    HDR buckets — same algebra)."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        _qm_bin(F.col("value")).alias("bin"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.array(
+            *[
+                F.count_if(F.col("bin") == i).alias(f"b{i}")
+                for i in range(QM_BINS)
+            ]
+        ).alias("hist")
+    )
+    zero = F.array(*[F.lit(0).cast("long")] * QM_BINS)
+    merged = daily.groupBy("event_type").agg(
+        F.aggregate(
+            F.collect_list("hist"),
+            zero,
+            lambda acc, h: F.zip_with(acc, h, lambda a, b: a + b),
+        ).alias("hist"),
+        F.count("*").alias("n_days"),
+    )
+    cells = merged.select(
+        "event_type",
+        "n_days",
+        F.posexplode("hist").alias("bin", "cnt"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cells.select(
+        "event_type",
+        "n_days",
+        "bin",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    pick = cum.groupBy("event_type", "n_days", "n").agg(
+        F.min(
+            F.when(F.col("cum") >= F.ceil(F.col("n") * 0.5), F.col("bin"))
+        ).alias("p50_bin"),
+        F.min(
+            F.when(F.col("cum") >= F.ceil(F.col("n") * 0.9), F.col("bin"))
+        ).alias("p90_bin"),
+    )
+    width = QM_RANGE / QM_BINS
+    return pick.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        "n_days",
+        "p50_bin",
+        "p90_bin",
+        F.round((F.col("p50_bin") + 0.5) * width + 1e-9, 4).alias("p50_est"),
+        F.round((F.col("p90_bin") + 0.5) * width + 1e-9, 4).alias("p90_est"),
+    )
+
+
 EWMA_ALPHA = 0.3
 FOLD_SEGMENT = 4096  # rows per segment partial in the chunked folds
 
@@ -1931,6 +2023,39 @@ ORACLE: dict[str, str] = {
                count(*) AS n
         FROM steps WHERE e2 IS NOT NULL AND e3 IS NOT NULL
         GROUP BY 1 ORDER BY n DESC, path ASC LIMIT {PATHS_TOP}
+    """,
+    "q_quantile_merge": """
+        -- one-shot recomputation of the deterministic 64-bin
+        -- histogram quantile; merge associativity makes the engine's
+        -- two-phase (daily partials -> array-add) result identical
+        WITH b AS (
+          SELECT event_type, CAST(ts AS DATE) AS day,
+                 CAST(least(greatest(floor(value * 64.0 / 1000.0), 0), 63)
+                      AS INTEGER) AS bin
+          FROM events
+        ), cnt AS (
+          SELECT event_type, bin, count(*) AS c
+          FROM b GROUP BY event_type, bin
+        ), days AS (
+          SELECT event_type, count(DISTINCT day) AS n_days
+          FROM b GROUP BY event_type
+        ), cum AS (
+          SELECT event_type, bin,
+                 sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+                 sum(c) OVER (PARTITION BY event_type) AS n
+          FROM cnt
+        ), pick AS (
+          SELECT event_type, n,
+                 min(CASE WHEN cum >= ceil(n * 0.5) THEN bin END) AS p50_bin,
+                 min(CASE WHEN cum >= ceil(n * 0.9) THEN bin END) AS p90_bin
+          FROM cum GROUP BY event_type, n
+        )
+        SELECT p.event_type, CAST(p.n AS BIGINT) AS n_events,
+               d.n_days,
+               p.p50_bin, p.p90_bin,
+               round((p.p50_bin + 0.5) * 15.625 + 1e-9, 4) AS p50_est,
+               round((p.p90_bin + 0.5) * 15.625 + 1e-9, 4) AS p90_est
+        FROM pick p JOIN days d ON p.event_type = d.event_type
     """,
     "q_hll_merge": """
         SELECT event_type,

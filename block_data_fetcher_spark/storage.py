@@ -601,7 +601,124 @@ def q_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on a landed table: generation 1 writes a
+    3-column projection; generation 2 appends the same shape PLUS a
+    new ``channel`` column (the additive-column migration every
+    long-lived table goes through). ``mergeSchema=true`` reconciles
+    the footers at read time — generation-1 rows surface NULL for the
+    new column, no rewrite of old files. The aggregate groups by
+    ``coalesce(channel, 'legacy')`` proving both generations coexist.
+
+    Scale: schema merge is FOOTER metadata work (one schema per file,
+    reconciled on the driver) — no data files are touched, which is
+    the point: at 100 TB an additive migration costs zero bytes of
+    rewrite. (Production hardening: pin mergeSchema per-table, since
+    footer-sampling every query has listing cost.)"""
+    import os
+
+    from .catalog import table
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "spark-warehouse",
+        "storage",
+        "events_evolving",
+    )
+    ev = table(spark, sf_dir, "events")
+    gen1 = ev.where(F.col("event_id") % 2 == 0).select(
+        "event_id", "user_id", "value"
+    )
+    gen2 = ev.where(F.col("event_id") % 2 == 1).select(
+        "event_id", "user_id", "value", F.col("event_type").alias("channel")
+    )
+    gen1.write.mode("overwrite").parquet(path)
+    gen2.write.mode("append").parquet(path)
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    return merged.groupBy(
+        F.coalesce(F.col("channel"), F.lit("legacy")).alias("channel")
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value") + F.lit(1e-9), 2).alias("sum_value"),
+    )
+
+
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture apply: materialize the current snapshot
+    from an ordered I/U/D op log (the Debezium/DMS feed shape every
+    lakehouse ingests). Ops are keyed by user_id, ordered by (ts,
+    event_id); a deterministic rule marks every 11th event a DELETE.
+    Snapshot semantics: the LAST op per key wins — a trailing delete
+    removes the key entirely; otherwise the key carries the last
+    value, plus audit counts of how many ops/deletes were folded.
+
+    Scale: one shuffle on the key (the same exchange the upsert sink
+    S6 uses); the rank-then-filter is WindowGroupLimit-able, and at
+    100 TB the op log is applied per partition-of-key — this is
+    MERGE INTO semantics expressed as window algebra."""
+    from .catalog import table
+
+    ev = table(spark, sf_dir, "events")
+    log = ev.select(
+        F.col("user_id").alias("key"),
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_id") % 11 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("key").orderBy(F.desc("ts"), F.desc("event_id"))
+    ranked = log.select(
+        "key",
+        "op",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("key")).alias("n_ops"),
+        F.count_if(F.col("op") == "D")
+        .over(Window.partitionBy("key"))
+        .alias("n_deletes"),
+    )
+    return (
+        ranked.where((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "key",
+            F.round(F.col("value") + F.lit(1e-9), 2).alias("current_value"),
+            "n_ops",
+            "n_deletes",
+        )
+    )
+
+
 ORACLE: dict[str, str] = {
+    "q_schema_evolution": """
+        SELECT CASE WHEN event_id % 2 = 1 THEN event_type
+                    ELSE 'legacy' END AS channel,
+               count(*) AS n,
+               round(sum(value) + 1e-9, 2) AS sum_value
+        FROM events
+        GROUP BY 1
+    """,
+    "q_cdc_apply": """
+        WITH log AS (
+          SELECT user_id AS key, ts, event_id, value,
+                 CASE WHEN event_id % 11 = 0 THEN 'D' ELSE 'U' END AS op
+          FROM events
+        ), ranked AS (
+          SELECT key, op, value,
+                 row_number() OVER (PARTITION BY key
+                                    ORDER BY ts DESC, event_id DESC) AS rn,
+                 count(*) OVER (PARTITION BY key) AS n_ops,
+                 count(*) FILTER (WHERE op = 'D')
+                   OVER (PARTITION BY key) AS n_deletes
+          FROM log
+        )
+        SELECT key, round(value + 1e-9, 2) AS current_value,
+               n_ops, n_deletes
+        FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
     "q_compaction": """
         SELECT event_type, count(*) AS n,
                count(DISTINCT user_id) AS n_users,
