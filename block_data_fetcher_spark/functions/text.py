@@ -784,6 +784,16 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     structs — same spelling stance as the EWMA oracle).
 
     Emits (round, lhs, rhs, pair_count)."""
+    out_rows, _ = _train_bpe(spark, sf_dir)
+    return spark.createDataFrame(
+        out_rows, "round INT, lhs STRING, rhs STRING, pair_count BIGINT"
+    )
+
+
+def _train_bpe(spark: SparkSession, sf_dir: str):
+    """Shared BPE trainer: returns (merge rows, the word-type frame
+    with post-merge symbol arrays) — q_bpe_merges reports the rules,
+    q_bpe_encode applies the final segmentation back to documents."""
     docs = table(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
@@ -841,14 +851,93 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cur = cur.select("word", "freq", merged.alias("syms"))
     words.unpersist()
-    return spark.createDataFrame(
-        out_rows, "round INT, lhs STRING, rhs STRING, pair_count BIGINT"
+    return out_rows, cur
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION — the other half of q_bpe_merges:
+    train the same 3 merge rules, then encode every document with the
+    resulting segmentation and report per-document token accounting
+    (words, characters, BPE pieces, chars-per-piece compression).
+
+    The distributed shape is the important part: the trained
+    segmentation lives on the WORD-TYPE table (dimension-scale — a
+    corpus has billions of tokens but only millions of types), so
+    encoding a document is explode-words → BROADCAST join against the
+    type→piece-count map → per-doc re-aggregate. No UDF tokenizer, no
+    per-row Python; at 100 TB the only data-scale work is the word
+    explode, and the join side that moves is the small one. The
+    oracle replays the identical merges in DuckDB (the q_bpe_merges
+    unrolled CTEs) and re-derives every document's piece counts."""
+    _, typed = _train_bpe(spark, sf_dir)
+    pieces = typed.select("word", F.size("syms").alias("n_pieces_word"))
+    docs = table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).where(F.col("word") != "")
+    return (
+        words.join(F.broadcast(pieces), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.length("word")).alias("n_chars"),
+            F.sum("n_pieces_word").alias("n_pieces"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_chars",
+            "n_pieces",
+            F.round(
+                F.col("n_chars") / F.col("n_pieces") + F.lit(1e-9), 4
+            ).alias("chars_per_piece"),
+        )
     )
 
 
 def _bpe_oracle() -> str:
     """Unrolled BPE rounds. s{r} holds (word, freq, syms) after r
     merges; m{r} is the round-r winning pair (1 row)."""
+    ctes = _bpe_ctes()
+    sel = " UNION ALL ".join(
+        f"SELECT {r} AS round, l AS lhs, rr AS rhs, cnt AS pair_count FROM m{r}"
+        for r in range(1, BPE_ROUNDS + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT * FROM ({sel}) ORDER BY round"
+
+
+def _bpe_encode_oracle() -> str:
+    """Re-derive every document's BPE piece counts from the final
+    word-type segmentation s{BPE_ROUNDS} of the unrolled trainer."""
+    ctes = _bpe_ctes()
+    r = BPE_ROUNDS
+    ctes.append(
+        f"wp AS (SELECT word, len(syms) AS n_pieces_word FROM s{r})"
+    )
+    ctes.append(
+        """dw AS (
+          SELECT doc_id, word FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents
+          ) WHERE word <> ''
+        )"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+        SELECT dw.doc_id,
+               count(*) AS n_words,
+               CAST(sum(length(dw.word)) AS BIGINT) AS n_chars,
+               CAST(sum(wp.n_pieces_word) AS BIGINT) AS n_pieces,
+               round(CAST(sum(length(dw.word)) AS DOUBLE)
+                     / sum(wp.n_pieces_word) + 1e-9, 4) AS chars_per_piece
+        FROM dw JOIN wp ON dw.word = wp.word
+        GROUP BY dw.doc_id"""
+    )
+
+
+def _bpe_ctes() -> list[str]:
     ctes = [
         """w AS (
           SELECT word, count(*) AS freq FROM (
@@ -894,17 +983,14 @@ def _bpe_oracle() -> str:
               FROM s{p}, m{r}
             )"""
         )
-    sel = " UNION ALL ".join(
-        f"SELECT {r} AS round, l AS lhs, rr AS rhs, cnt AS pair_count FROM m{r}"
-        for r in range(1, BPE_ROUNDS + 1)
-    )
-    return "WITH " + ",\n".join(ctes) + f"\nSELECT * FROM ({sel}) ORDER BY round"
+    return ctes
 
 
 _BM25_TERMS = ", ".join(f"'{t}'" for t in BM25_QUERY)
 
 ORACLE: dict[str, str] = {
     "q_bpe_merges": _bpe_oracle(),
+    "q_bpe_encode": _bpe_encode_oracle(),
     "q_bm25": f"""
         WITH stats AS (
           SELECT count(*) AS n_docs,

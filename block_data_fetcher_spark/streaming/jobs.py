@@ -554,6 +554,59 @@ def q_stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply — the streaming twin of q_cdc_apply: an
+    I/U/D op log (every 11th event_id is a DELETE) streams through
+    ``foreachBatch`` into the keyed last-wins upsert sink WITH the op
+    column kept as a TOMBSTONE. Deletes must ride through the merge as
+    rows, not be dropped per batch: if a batch filtered its deletes
+    out, a replayed earlier batch could resurrect a deleted key —
+    keeping the tombstone makes every merge idempotent and ordered by
+    (ts, event_id), so replay converges (ST6). The snapshot read at
+    the end filters tombstones out — exactly MERGE INTO ... WHEN
+    MATCHED AND op='D' THEN DELETE semantics, expressed as last-wins +
+    filter.
+
+    Scale: per batch the shuffle carries the batch's keys only; the
+    stored table is O(live keys + tombstones), and tombstones compact
+    away whenever a retention boundary passes (the same GC contract
+    Delta/Iceberg MERGE tables have)."""
+    import shutil
+
+    from ..etl.load import stream_upsert
+
+    ev = events_stream(spark, sf_dir).select(
+        F.col("user_id").alias("key"),
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_id") % 11 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    path = tempfile.mkdtemp(prefix="stream_cdc_") + "/cdc_snapshot"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = stream_upsert(ev, path, keys=["key"], order=["ts", "event_id"])
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    out = (
+        spark.read.parquet(path)
+        .where(F.col("op") != "D")
+        .select(
+            "key",
+            F.col("event_id").alias("last_event_id"),
+            F.round(F.col("value") + F.lit(1e-9), 2).alias("current_value"),
+        )
+    )
+    out = out.cache()
+    out.count()
+    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+    return out
+
+
 def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sketch maintenance: each micro-batch reduces to one
     Datasketches HLL state per event type, `foreachBatch` unions it
@@ -719,6 +772,18 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ..operators import windows as _batch_windows  # noqa: E402
 
 ORACLE: dict[str, str] = {
+    "q_stream_cdc": """
+        WITH ranked AS (
+          SELECT user_id AS key, event_id, value,
+                 CASE WHEN event_id % 11 = 0 THEN 'D' ELSE 'U' END AS op,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events
+        )
+        SELECT key, event_id AS last_event_id,
+               round(value + 1e-9, 2) AS current_value
+        FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
     "q_stream_hll": """
         SELECT event_type,
                count(DISTINCT user_id) AS exact_users,

@@ -423,3 +423,33 @@ def test_incremental_agg_restart_does_not_double_count(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_cdc_tombstone_survives_out_of_order_replay(spark, sf_dir, tmp_path):
+    """A delete tombstone must not be resurrected when an EARLIER
+    batch is replayed after the delete was applied: the tombstone rides
+    through the keyed last-wins merge as a row, so replaying batch 1
+    after batch 2's delete converges to the same deleted state."""
+    from block_data_fetcher_spark.etl.load import upsert_parquet
+
+    path = str(tmp_path / "cdc")
+    b1 = spark.createDataFrame(
+        [(1, 10, 100.0, "U"), (2, 11, 200.0, "U")],
+        "key long, event_id long, value double, op string",
+    )
+    b2 = spark.createDataFrame(
+        [(1, 22, 0.0, "D")],  # later delete of key 1
+        "key long, event_id long, value double, op string",
+    )
+    upsert_parquet(spark, b1, path, keys=["key"], order=["event_id"])
+    upsert_parquet(spark, b2, path, keys=["key"], order=["event_id"])
+    # crash + replay of the OLDER batch
+    upsert_parquet(spark, b1, path, keys=["key"], order=["event_id"])
+    live = {
+        r.key: r.event_id
+        for r in spark.read.parquet(path).where("op <> 'D'").collect()
+    }
+    assert live == {2: 11}  # key 1 stays deleted; replay was a no-op
+    # and the tombstone itself is still present for future merges
+    ops = {r.key: r.op for r in spark.read.parquet(path).collect()}
+    assert ops[1] == "D"
