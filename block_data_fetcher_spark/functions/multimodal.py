@@ -369,12 +369,17 @@ def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle does the O(n^2) all-pairs join and must match bit-for-bit.
 
     Scale: only (media_id, 32-bit hash) shuffles — payload bytes stay
-    at the scan; the self-join runs per (band_id, band_value) bucket,
-    so cost is sum of bucket^2, not corpus^2. A pathological bucket
-    (e.g. a monochrome-web of near-identical images) is the same
-    giant-bucket hazard as text LSH — the mitigation (cap + sort-merge
-    fallback, `hashing.py`) applies unchanged; here bucket size is
-    bounded by the planted class size."""
+    at the scan — and the quadratic runs over DISTINCT hashes, not
+    documents: duplicate-heavy corpora (the whole point of dedup)
+    collapse to their unique hash set first, the banded join pairs
+    unique hashes, and doc pairs come back by expanding each
+    qualifying hash pair through two id joins. Without the collapse,
+    a corpus of D docs over H distinct hashes pays band-bucket
+    pairs ~ (D/H · share)^2 per bucket — measured 99 s at sf0.1;
+    with it, the join is H^2-bounded and the only D-scale work is
+    the final output expansion, which is output-bound by
+    definition. (This is the same pre-collapse exact-dup trick the
+    text LSH path uses.)"""
     media = synth_near_images(spark, sf_dir)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -389,8 +394,8 @@ def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     hashes = media.mapInPandas(run, "media_id bigint, hash bigint")
-    bands = hashes.select(
-        "media_id",
+    uniq = hashes.select("hash").distinct()
+    bands = uniq.select(
         "hash",
         F.explode(
             F.array(
@@ -405,29 +410,41 @@ def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("band"),
-    ).select("media_id", "hash", "band.band_id", "band.band_val")
+    ).select("hash", "band.band_id", "band.band_val")
     a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
+    hash_pairs = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.media_id") < F.col("b.media_id")),
+            & (F.col("a.hash") <= F.col("b.hash")),
         )
-        .select(
-            F.col("a.media_id").alias("id_a"),
-            F.col("b.media_id").alias("id_b"),
-            F.col("a.hash").alias("ha"),
-            F.col("b.hash").alias("hb"),
-        )
+        .select(F.col("a.hash").alias("ha"), F.col("b.hash").alias("hb"))
         .distinct()
-    )
-    return (
-        pairs.withColumn(
-            "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long")
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long"),
         )
         .where(F.col("hamming") <= _NEAR_HAMMING)
-        .select("id_a", "id_b", "hamming")
+    )
+    # expansion: broadcast the H^2-bounded hash-pair table, stream the
+    # D-scale (id, hash) map through it twice — no doc-side broadcast
+    x, y = hashes.alias("x"), hashes.alias("y")
+    return (
+        x.join(F.broadcast(hash_pairs), F.col("x.hash") == F.col("ha"))
+        .join(
+            y,
+            (F.col("y.hash") == F.col("hb"))
+            & (
+                (F.col("ha") != F.col("hb"))
+                | (F.col("x.media_id") < F.col("y.media_id"))
+            ),
+        )
+        .select(
+            F.least("x.media_id", "y.media_id").alias("id_a"),
+            F.greatest("x.media_id", "y.media_id").alias("id_b"),
+            "hamming",
+        )
     )
 
 

@@ -276,6 +276,94 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch conversion attribution: every ``purchase`` event is
+    a conversion; FIRST-touch credits the user's first-ever event
+    type, LAST-touch credits the latest non-purchase event strictly
+    before the conversion ('direct' when none exists). Emits
+    (model, touch_type, n_conversions, revenue) for both models — the
+    standard marketing-attribution rollup expressed as two window
+    passes over one user-partitioned sort.
+
+    Scale: both windows share the SAME (user_id; ts, event_id)
+    partitioning and ordering, so Catalyst plans one Exchange + one
+    Sort for the pair — attribution at 100 TB costs a single shuffle
+    of the event stream, then dimension-sized aggregation."""
+    ev = table(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_prior = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    touched = ev.select(
+        "event_type",
+        "value",
+        F.first("event_type").over(w_ord).alias("first_touch"),
+        F.coalesce(
+            F.last(
+                F.when(F.col("event_type") != "purchase", F.col("event_type")),
+                ignorenulls=True,
+            ).over(w_prior),
+            F.lit("direct"),
+        ).alias("last_touch"),
+    ).where(F.col("event_type") == "purchase")
+    first = touched.groupBy(
+        F.lit("first").alias("model"), F.col("first_touch").alias("touch_type")
+    ).agg(
+        F.count("*").alias("n_conversions"),
+        F.round(F.sum("value") + F.lit(1e-9), 2).alias("revenue"),
+    )
+    last = touched.groupBy(
+        F.lit("last").alias("model"), F.col("last_touch").alias("touch_type")
+    ).agg(
+        F.count("*").alias("n_conversions"),
+        F.round(F.sum("value") + F.lit(1e-9), 2).alias("revenue"),
+    )
+    return first.unionByName(last)
+
+
+AQP_MOD = 10  # 1-in-10 deterministic user sample
+
+
+def q_aqp_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing by deterministic hash sampling:
+    aggregate only users with ``user_id % 10 == 0`` (a 10% universe
+    sample — sampling USERS, not rows, keeps per-user correlation
+    intact, the textbook congressional-sampling caveat) and scale
+    counts/sums by 10. Emits estimate next to exact with the relative
+    error, demonstrating the interactive-latency path over 100 TB:
+    the sampled scan prunes 90% of rows BEFORE the shuffle, and with
+    the table bucketed by user hash it prunes at file level.
+
+    Everything is deterministic (modulus, not rand()), so the oracle
+    reproduces the estimates exactly — the correctness check covers
+    the sampling arithmetic, while the statistical quality shows in
+    the rel_err column itself."""
+    ev = table(spark, sf_dir, "events")
+    exact = ev.groupBy("event_type").agg(
+        F.count("*").alias("exact_n"),
+        F.round(F.sum("value") + F.lit(1e-9), 2).alias("exact_sum"),
+    )
+    est = (
+        ev.where(F.col("user_id") % AQP_MOD == 0)
+        .groupBy("event_type")
+        .agg(
+            (F.count("*") * AQP_MOD).alias("est_n"),
+            F.round(F.sum("value") * AQP_MOD + F.lit(1e-9), 2).alias("est_sum"),
+        )
+    )
+    return exact.join(est, "event_type", "left").select(
+        "event_type",
+        "exact_n",
+        F.coalesce("est_n", F.lit(0)).alias("est_n"),
+        "exact_sum",
+        F.coalesce("est_sum", F.lit(0.0)).alias("est_sum"),
+        F.round(
+            F.abs(F.coalesce("est_n", F.lit(0)) - F.col("exact_n"))
+            / F.col("exact_n")
+            + F.lit(1e-9),
+            4,
+        ).alias("rel_err_n"),
+    )
+
+
 QM_BINS = 64  # mergeable-histogram quantile sketch width
 QM_RANGE = 1000.0  # events.value domain upper bound
 
