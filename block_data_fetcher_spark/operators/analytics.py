@@ -2112,6 +2112,49 @@ ORACLE: dict[str, str] = {
         FROM steps WHERE e2 IS NOT NULL AND e3 IS NOT NULL
         GROUP BY 1 ORDER BY n DESC, path ASC LIMIT {PATHS_TOP}
     """,
+    "q_attribution": """
+        WITH touched AS (
+          SELECT event_type, value,
+                 first_value(event_type) OVER w AS first_touch,
+                 coalesce(last_value(CASE WHEN event_type <> 'purchase'
+                                          THEN event_type END IGNORE NULLS)
+                            OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING),
+                          'direct') AS last_touch
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), conv AS (
+          SELECT * FROM touched WHERE event_type = 'purchase'
+        )
+        SELECT 'first' AS model, first_touch AS touch_type,
+               count(*) AS n_conversions,
+               round(sum(value) + 1e-9, 2) AS revenue
+        FROM conv GROUP BY first_touch
+        UNION ALL
+        SELECT 'last', last_touch, count(*),
+               round(sum(value) + 1e-9, 2)
+        FROM conv GROUP BY last_touch
+    """,
+    "q_aqp_sample": """
+        WITH exact AS (
+          SELECT event_type, count(*) AS exact_n,
+                 round(sum(value) + 1e-9, 2) AS exact_sum
+          FROM events GROUP BY event_type
+        ), est AS (
+          SELECT event_type, count(*) * 10 AS est_n,
+                 round(sum(value) * 10 + 1e-9, 2) AS est_sum
+          FROM events WHERE user_id % 10 = 0 GROUP BY event_type
+        )
+        SELECT e.event_type, e.exact_n,
+               coalesce(s.est_n, 0) AS est_n,
+               e.exact_sum,
+               coalesce(s.est_sum, 0.0) AS est_sum,
+               round(abs(coalesce(s.est_n, 0) - e.exact_n)
+                     / CAST(e.exact_n AS DOUBLE) + 1e-9, 4) AS rel_err_n
+        FROM exact e LEFT JOIN est s ON e.event_type = s.event_type
+    """,
     "q_quantile_merge": """
         -- one-shot recomputation of the deterministic 64-bin
         -- histogram quantile; merge associativity makes the engine's
