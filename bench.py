@@ -53,6 +53,12 @@ LARGE_RESULT = {
     "q_dedup_exact",
     "q_stream_dedup",
     "q_media_features",
+    "q_phash_neardup",
+    "q_line_dedup",
+    "q_cdc_apply",
+    "q_stream_cdc",
+    "q_bpe_encode",
+    "q_audio_features",
     "q_minhash_lsh",
     "q_simhash",
     "q_ngram_jaccard",
