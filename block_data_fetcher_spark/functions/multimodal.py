@@ -342,11 +342,22 @@ def synth_near_images(spark: SparkSession, sf_dir: str) -> DataFrame:
                 b = doc_id % _NEAR_CLASSES
                 delta = (doc_id // _NEAR_CLASSES) % 4
                 w, h = 8 + b % 9, 8 + b % 7
-                px = _pixels(b, w, h).astype(np.int64)
+                # class-specific multiplicative TEXTURE (x+b)(y+2b+1):
+                # average hash is brightness-invariant, so classes that
+                # differ only by an offset (or a smooth low-frequency
+                # gradient) collapse to near-identical hashes and the
+                # "near-dup" set degenerates to the whole corpus —
+                # measured: constant-offset classes produced 6195
+                # qualifying hash pairs vs 374 with this texture. The
+                # per-doc delta perturbation on a sparse lattice makes
+                # same-class images near- rather than exact-duplicates.
                 x = np.arange(w)[None, :, None]
                 y = np.arange(h)[:, None, None]
+                c = np.arange(3)[None, None, :]
                 mask = (3 * x + 5 * y) % 13 == 0
-                px = ((px + delta * mask) % 256).astype(np.uint8)
+                px = (
+                    ((x + b) * (y + 2 * b + 1) + 7 * c + delta * mask) % 256
+                ).astype(np.uint8)
                 fmt = "bmp" if doc_id % 2 == 0 else "ppm"
                 blobs.append(encode_bmp(px) if fmt == "bmp" else encode_ppm(px))
                 ids.append(doc_id)
@@ -543,11 +554,11 @@ ORACLE: dict[str, str] = {
         ), px AS (
           SELECT doc_id, w, h,
                  (x.i * 8) // w AS gx, (y.i * 4) // h AS gy,
-                 ((b + 3*x.i + 5*y.i
+                 (((x.i + b) * (y.i + 2*b + 1)
                    + CASE WHEN (3*x.i + 5*y.i) % 13 = 0 THEN delta ELSE 0 END) % 256)
-               + ((b + 3*x.i + 5*y.i + 7
+               + (((x.i + b) * (y.i + 2*b + 1) + 7
                    + CASE WHEN (3*x.i + 5*y.i) % 13 = 0 THEN delta ELSE 0 END) % 256)
-               + ((b + 3*x.i + 5*y.i + 14
+               + (((x.i + b) * (y.i + 2*b + 1) + 14
                    + CASE WHEN (3*x.i + 5*y.i) % 13 = 0 THEN delta ELSE 0 END) % 256)
                  AS gray
           FROM dims CROSS JOIN range(16) x(i) CROSS JOIN range(14) y(i)
