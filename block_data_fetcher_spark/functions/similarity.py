@@ -1256,7 +1256,107 @@ _QUANT_SQL = """
     FROM q
 """
 
+MATRYOSHKA_DIM = 8  # truncated-prefix representation width
+MATRYOSHKA_Q = 5  # evaluation query vectors (vec_id < Q)
+
+
+def q_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-representation retrieval evaluation: for each of 5
+    query vectors, rank the corpus by full 64-dim cosine AND by the
+    8-dim PREFIX cosine (the Matryoshka/MRL trick — nested prefixes of
+    one embedding trade accuracy for 8× less compute and memory), then
+    report the top-10 overlap between the two rankings. This is the
+    measurement every embedding-serving stack runs before switching
+    its first-stage retrieval to truncated vectors.
+
+    Both rankings come out of ONE pass: the corpus cross-joins the
+    broadcast 5-row query side, each pair computes both cosines, and
+    two row_number windows over the same (qid) partitioning rank them
+    — overlap@10 is then a count_if(rank_full<=10 AND rank_trunc<=10)
+    per query, no set intersection materialized. Scale: |Q| replicas
+    of the scan (batched queries at 100 TB), shuffle carries only
+    (qid, vec_id, 2 cosines); ties broken by rounded-cosine then
+    vec_id so the oracle ranks identically."""
+    em = table(spark, sf_dir, "embeddings")
+    q = em.where(F.col("vec_id") < MATRYOSHKA_Q).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    d = MATRYOSHKA_DIM
+    pairs = em.crossJoin(F.broadcast(q)).select(
+        "qid",
+        "vec_id",
+        (F.round(cosine(F.col("embedding"), F.col("qe")), 4) + 0.0).alias("cf"),
+        (
+            F.round(
+                cosine(
+                    F.slice(F.col("embedding"), 1, d),
+                    F.slice(F.col("qe"), 1, d),
+                ),
+                4,
+            )
+            + 0.0
+        ).alias("ct"),
+    )
+    wf = Window.partitionBy("qid").orderBy(F.desc("cf"), F.asc("vec_id"))
+    wt = Window.partitionBy("qid").orderBy(F.desc("ct"), F.asc("vec_id"))
+    ranked = pairs.select(
+        "qid",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wt).alias("rt"),
+    )
+    return ranked.groupBy("qid").agg(
+        F.count_if((F.col("rf") <= 10) & (F.col("rt") <= 10)).alias(
+            "overlap_at_10"
+        ),
+        F.round(
+            F.count_if((F.col("rf") <= 10) & (F.col("rt") <= 10)) / 10.0
+            + F.lit(1e-9),
+            2,
+        ).alias("recall_at_10"),
+    )
+
+
 ORACLE: dict[str, str] = {
+    "q_matryoshka": """
+        WITH q AS (
+          SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+          FROM embeddings WHERE vec_id < 5
+        ), pairs AS (
+          SELECT q.qid, e.vec_id,
+                 round(
+                   list_sum(list_transform(
+                     list_zip(CAST(e.embedding AS DOUBLE[]), q.qe),
+                     p -> p[1] * p[2]))
+                   / (sqrt(list_sum(list_transform(
+                        CAST(e.embedding AS DOUBLE[]), x -> x * x)))
+                      * sqrt(list_sum(list_transform(q.qe, x -> x * x)))),
+                   4) + 0.0 AS cf,
+                 round(
+                   list_sum(list_transform(
+                     list_zip(CAST(e.embedding[1:8] AS DOUBLE[]),
+                              q.qe[1:8]),
+                     p -> p[1] * p[2]))
+                   / (sqrt(list_sum(list_transform(
+                        CAST(e.embedding[1:8] AS DOUBLE[]), x -> x * x)))
+                      * sqrt(list_sum(list_transform(q.qe[1:8],
+                                                     x -> x * x)))),
+                   4) + 0.0 AS ct
+          FROM embeddings e CROSS JOIN q
+        ), ranked AS (
+          SELECT qid,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY cf DESC, vec_id ASC) AS rf,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY ct DESC, vec_id ASC) AS rt
+          FROM pairs
+        )
+        SELECT qid,
+               count(*) FILTER (WHERE rf <= 10 AND rt <= 10)
+                 AS overlap_at_10,
+               round(count(*) FILTER (WHERE rf <= 10 AND rt <= 10) / 10.0
+                     + 1e-9, 2) AS recall_at_10
+        FROM ranked GROUP BY qid
+    """,
     "q_embed_pq": _PQ_SQL,
     "q_ann_pq": _ANN_PQ_SQL,
     "q_kmeans": _KMEANS_SQL,

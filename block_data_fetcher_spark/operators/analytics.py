@@ -247,6 +247,67 @@ def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-algebra INTERSECTION: HLL unions compose natively but
+    intersections don't — the standard workaround is inclusion-
+    exclusion, |A∩B| ≈ est(A) + est(B) − est(A∪B), computed entirely
+    from the per-type sketches q_hll_merge already maintains. Answers
+    "users who did BOTH click and purchase" for every type pair
+    without ever re-shuffling raw user ids: 10 type pairs × 3
+    fixed-size sketch reads.
+
+    Within-bound oracle stance (sketch internals differ by engine):
+    emit the EXACT overlap per pair plus a deterministic boolean that
+    the inclusion-exclusion estimate lands within 5% of the exact
+    union-scaled error budget — inclusion-exclusion compounds three
+    estimates, so its error is bounded by 3σ·|A∪B|, not σ·|A∩B|
+    (the known weakness vs theta sketches, stated in the column
+    name `within_union_bound`)."""
+    ev = table(spark, sf_dir, "events").select("event_type", "user_id")
+    sk = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    a, b = sk.alias("a"), sk.alias("b")
+    pairs = a.join(
+        b, F.col("a.event_type") < F.col("b.event_type")
+    ).select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        F.hll_sketch_estimate(F.col("a.sk")).alias("est_a"),
+        F.hll_sketch_estimate(F.col("b.sk")).alias("est_b"),
+        F.hll_sketch_estimate(
+            F.hll_union(F.col("a.sk"), F.col("b.sk"))
+        ).alias("est_u"),
+    )
+    exact = (
+        ev.distinct()
+        .alias("x")
+        .join(
+            ev.distinct().alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("exact_both"))
+    )
+    return exact.join(pairs, ["type_a", "type_b"]).select(
+        "type_a",
+        "type_b",
+        "exact_both",
+        (
+            F.abs(
+                (F.col("est_a") + F.col("est_b") - F.col("est_u"))
+                - F.col("exact_both")
+            )
+            <= 0.05 * F.col("est_u")
+        ).alias("within_union_bound"),
+    )
+
+
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based quantiles per event type (approx_percentile /
     Greenwald-Khanna with relative error 0.01) — the quantile twin of
@@ -1330,6 +1391,69 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup against an SCD2 dimension — the
+    correctness-critical half of slowly-changing dimensions that
+    q_scd2 (the build) doesn't exercise: each purchase event joins the
+    user's value-TIER interval (tier = floor(value/250), runs
+    SCD2-compressed into [valid_from, valid_to) with half-open bounds)
+    that was valid AT the purchase timestamp, then revenue rolls up by
+    the tier the user was in when they bought. Joining facts to the
+    CURRENT dim row instead — the classic SCD2 bug — would silently
+    misattribute history; the interval-containment join is the fix,
+    and the DuckDB oracle recomputes it independently.
+
+    Scale: the dim build and the lookup share one user_id Exchange
+    (the interval join is an equi-join on user_id with a containment
+    post-filter — no BroadcastNestedLoop); per-user interval counts
+    are bounded by that user's change count, the SCD2 invariant."""
+    ev = table(spark, sf_dir, "events")
+    tiered = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.least(F.floor(F.col("value") / 250), F.lit(3))
+        .cast("int")
+        .alias("tier"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    is_change = F.when(
+        F.lag("tier").over(w).isNull()
+        | (F.lag("tier").over(w) != F.col("tier")),
+        1,
+    ).otherwise(0)
+    runs = tiered.withColumn(
+        "version",
+        F.sum(is_change).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    dim = runs.groupBy("user_id", "version", "tier").agg(
+        F.min(F.struct("ts", "event_id")).alias("_start")
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    dim = dim.select(
+        "user_id",
+        "tier",
+        F.col("_start.ts").alias("valid_from"),
+        F.lead("_start.ts").over(wv).alias("valid_to"),
+    )
+    facts = tiered.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    hit = facts.join(dim, "user_id").where(
+        (F.col("valid_from") <= F.col("ts"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")))
+    )
+    return hit.groupBy("tier").agg(
+        F.count("*").alias("n_purchases"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.round(F.sum("value") + F.lit(1e-9), 2).alias("revenue"),
+    )
+
+
 def q_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters via the Karp-Schenker-Papadimitriou single-pass
     sketch (``df.stat.freqItems``) with the within-bound oracle
@@ -2111,6 +2235,47 @@ ORACLE: dict[str, str] = {
                count(*) AS n
         FROM steps WHERE e2 IS NOT NULL AND e3 IS NOT NULL
         GROUP BY 1 ORDER BY n DESC, path ASC LIMIT {PATHS_TOP}
+    """,
+    "q_scd2_lookup": """
+        WITH tiered AS (
+          SELECT user_id, ts, event_id, event_type, value,
+                 CAST(least(floor(value / 250), 3) AS INTEGER) AS tier
+          FROM events
+        ), runs AS (
+          SELECT *, sum(CASE WHEN prev_tier IS NULL
+                               OR prev_tier <> tier THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS version
+          FROM (SELECT *, lag(tier) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS prev_tier
+                FROM tiered)
+        ), dim0 AS (
+          SELECT user_id, version, tier, min(ts) AS valid_from
+          FROM runs GROUP BY user_id, version, tier
+        ), dim AS (
+          SELECT user_id, tier, valid_from,
+                 lead(valid_from) OVER (PARTITION BY user_id
+                                        ORDER BY version) AS valid_to
+          FROM dim0
+        ), facts AS (
+          SELECT user_id, ts, value FROM tiered
+          WHERE event_type = 'purchase'
+        )
+        SELECT d.tier, count(*) AS n_purchases,
+               count(DISTINCT f.user_id) AS n_users,
+               round(sum(f.value) + 1e-9, 2) AS revenue
+        FROM facts f JOIN dim d ON f.user_id = d.user_id
+         AND d.valid_from <= f.ts
+         AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+        GROUP BY d.tier
+    """,
+    "q_hll_intersect": """
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(*) AS exact_both, true AS within_union_bound
+        FROM (SELECT DISTINCT event_type, user_id FROM events) a
+        JOIN (SELECT DISTINCT event_type, user_id FROM events) b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
     """,
     "q_attribution": """
         WITH touched AS (
