@@ -607,6 +607,93 @@ def q_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_stream_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming QUANTILE maintenance — the streaming twin of
+    q_quantile_merge and the third member of the incremental-sink
+    family (rows → q_stream_upsert, algebraic aggregates →
+    q_stream_incremental_agg, sketches → q_stream_hll, quantiles →
+    here): each micro-batch reduces to (event_type, bin) counts over
+    the deterministic 64-bin equi-width histogram, `foreachBatch`
+    merges them into the stored histogram by keyed addition
+    (``merge_aggregate`` — bin counts are sum-mergeable, so the
+    batch_id replay ledger gives exactly-once), and p50/p90 come from
+    a cumulative walk over the final 64×|types| table. Per batch the
+    shuffle carries ≤ 64·|types| partial rows regardless of stream
+    volume. Deterministic end to end ⇒ full hash oracle (the one-shot
+    DuckDB recomputation — merge associativity is the contract)."""
+    import shutil
+
+    from ..etl.load import merge_aggregate
+    from ..operators.analytics import QM_BINS, QM_RANGE, _qm_bin
+
+    ev = events_stream(spark, sf_dir).select(
+        "event_type", _qm_bin(F.col("value")).alias("bin")
+    )
+    path = tempfile.mkdtemp(prefix="stream_quantile_") + "/hist_by_type"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        partials = batch_df.groupBy("event_type", "bin").agg(
+            F.count("*").alias("cnt")
+        )
+        merge_aggregate(
+            batch_df.sparkSession,
+            partials,
+            path,
+            ["event_type", "bin"],
+            batch_id=batch_id,
+        )
+
+    try:
+        q = (
+            ev.writeStream.foreachBatch(write_batch)
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="ckpt_squant_")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    from pyspark.sql import Window
+
+    hist = spark.read.parquet(path)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "event_type",
+        "bin",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    width = QM_RANGE / QM_BINS
+    out = cum.groupBy("event_type", "n").agg(
+        F.min(
+            F.when(F.col("cum") >= F.ceil(F.col("n") * 0.5), F.col("bin"))
+        ).alias("p50_bin"),
+        F.min(
+            F.when(F.col("cum") >= F.ceil(F.col("n") * 0.9), F.col("bin"))
+        ).alias("p90_bin"),
+    ).select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        "p50_bin",
+        "p90_bin",
+        F.round((F.col("p50_bin") + 0.5) * width + 1e-9, 4).alias("p50_est"),
+        F.round((F.col("p90_bin") + 0.5) * width + 1e-9, 4).alias("p90_est"),
+    )
+    out = out.cache()
+    out.count()
+    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+    return out
+
+
 def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sketch maintenance: each micro-batch reduces to one
     Datasketches HLL state per event type, `foreachBatch` unions it
@@ -772,6 +859,30 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ..operators import windows as _batch_windows  # noqa: E402
 
 ORACLE: dict[str, str] = {
+    "q_stream_quantile": """
+        WITH b AS (
+          SELECT event_type,
+                 CAST(least(greatest(floor(value * 64.0 / 1000.0), 0), 63)
+                      AS INTEGER) AS bin
+          FROM events
+        ), cnt AS (
+          SELECT event_type, bin, count(*) AS c
+          FROM b GROUP BY event_type, bin
+        ), cum AS (
+          SELECT event_type, bin,
+                 sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+                 sum(c) OVER (PARTITION BY event_type) AS n
+          FROM cnt
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n_events,
+               min(CASE WHEN cum >= ceil(n * 0.5) THEN bin END) AS p50_bin,
+               min(CASE WHEN cum >= ceil(n * 0.9) THEN bin END) AS p90_bin,
+               round((min(CASE WHEN cum >= ceil(n * 0.5) THEN bin END) + 0.5)
+                     * 15.625 + 1e-9, 4) AS p50_est,
+               round((min(CASE WHEN cum >= ceil(n * 0.9) THEN bin END) + 0.5)
+                     * 15.625 + 1e-9, 4) AS p90_est
+        FROM cum GROUP BY event_type, n
+    """,
     "q_stream_cdc": """
         WITH ranked AS (
           SELECT user_id AS key, event_id, value,
