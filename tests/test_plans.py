@@ -481,3 +481,75 @@ def test_semdedup_cluster_count_scales_with_corpus():
     assert _sem_k(2_000) == 44
     assert _sem_k(20_000) == 141
     assert _sem_k(1_000_000_000) == 31_622
+
+
+def test_url_canonical_is_codegen_string_work(spark, sf_dir):
+    """Canonicalization must be pure built-in expressions: no Python
+    evaluation node anywhere in the plan, and exactly one Exchange
+    (the canonical-key groupBy)."""
+    df = _Q["q_url_canonical"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # exchanges: the input-parallelize round-robin + the 2-phase
+    # distinct aggregation on the canonical key; no join shuffles
+    assert count_exchanges(df) <= 3, plan
+    assert has_partial_aggregate(df), plan
+
+
+def test_attribution_single_sort_exchange(spark, sf_dir):
+    """Both attribution windows share one (user_id; ts, event_id)
+    partitioning — the plan must contain exactly ONE user-keyed
+    Exchange before the final dimension-sized aggregations."""
+    df = _Q["q_attribution"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("hashpartitioning(user_id") <= 2, plan  # union of 2 branches re-reads one shuffle
+
+
+def test_phash_broadcasts_hash_pairs_no_cartesian(spark, sf_dir):
+    """The doc-pair expansion must broadcast the H^2-bounded hash-pair
+    table (never the doc-side id map) and contain no CartesianProduct."""
+    df = _Q["q_phash_neardup"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert uses_broadcast_join(df), plan
+
+
+def test_quantile_merge_map_side_partials(spark, sf_dir):
+    """The daily-histogram build must have map-side partial
+    aggregation (64 count_ifs combine before the shuffle)."""
+    df = _Q["q_quantile_merge"](spark, sf_dir)
+    assert has_partial_aggregate(df), formatted_plan(df)
+
+
+def test_scd2_lookup_no_nested_loop(spark, sf_dir):
+    """The interval-containment join must stay an equi-join on
+    user_id with a post-filter — BroadcastNestedLoop would be the
+    O(F x D) trap."""
+    df = _Q["q_scd2_lookup"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoop" not in plan, plan
+
+
+def test_line_dedup_boilerplate_broadcast(spark, sf_dir):
+    """The boilerplate-removal join must broadcast the tiny
+    high-DF line set, not shuffle the corpus against it."""
+    df = _Q["q_line_dedup"](spark, sf_dir)
+    assert uses_broadcast_join(df), formatted_plan(df)
+
+
+def test_bpe_encode_broadcasts_type_map(spark, sf_dir):
+    """Encoding joins exploded words against the word-TYPE piece map;
+    the type map is the broadcast side."""
+    df = _Q["q_bpe_encode"](spark, sf_dir)
+    assert uses_broadcast_join(df), formatted_plan(df)
+
+
+def test_audio_decode_shuffle_free_after_parallelize(spark, sf_dir):
+    """The audio decode+feature plan is scan -> mapInPandas chain: the
+    ONLY Exchange is the input-parallelize round-robin (fixture tables
+    are one parquet file; production media tables arrive pre-split),
+    and nothing re-shuffles after the codec stages."""
+    df = _Q["q_audio_features"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert count_exchanges(df) <= 1, plan
+    assert "hashpartitioning" not in plan.lower(), plan
