@@ -20,6 +20,7 @@ from .session import tune
 from .sources import formats
 from .operators import (
     analytics,
+    spatial,
     classify,
     etl_queries,
     graph,
@@ -33,7 +34,7 @@ from .streaming import jobs as streaming_jobs
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-_MODULES = [relational, json_ops, classify, windows, analytics, graph, tpch, text, similarity, hashing, multimodal, audio, web, streaming_jobs, pipelines, etl_queries, scalar_funcs, formats, storage]
+_MODULES = [relational, json_ops, classify, windows, analytics, graph, tpch, text, similarity, hashing, multimodal, audio, web, streaming_jobs, pipelines, etl_queries, scalar_funcs, spatial, formats, storage]
 
 
 def _tuned(fn: QueryFn) -> QueryFn:
