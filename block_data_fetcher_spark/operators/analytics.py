@@ -247,6 +247,110 @@ def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AFFINITY_MIN_PAIRS = 3  # co-occurrence support threshold
+
+
+def q_item_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity ("bought X, also bought Y"): part pairs
+    co-occurring in the same order, with support count and LIFT
+    (P(A,B) / (P(A)·P(B)) over the order universe). Top-20 pairs by
+    lift among pairs with support ≥ 3.
+
+    Scale shape: the self-join is WITHIN-ORDER (equi-join on
+    l_orderkey), so candidate pairs are Σ basket_size² — bounded by
+    the max basket (TPC-H: 7 lines), never corpus². Item marginals
+    broadcast back. This is the textbook distributed co-occurrence
+    plan; at 100 TB the same join bucket-partitions by orderkey."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    n_orders = (
+        table(spark, sf_dir, "orders").select("o_orderkey").distinct().count()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_both"))
+        .where(F.col("n_both") >= AFFINITY_MIN_PAIRS)
+    )
+    marg = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.count("*").alias("n_orders_with")
+    )
+    out = (
+        pairs.join(
+            F.broadcast(marg.withColumnRenamed("part", "part_a")), "part_a"
+        )
+        .withColumnRenamed("n_orders_with", "n_a")
+        .join(
+            F.broadcast(marg.withColumnRenamed("part", "part_b")), "part_b"
+        )
+        .withColumnRenamed("n_orders_with", "n_b")
+    )
+    lift = (F.col("n_both") * F.lit(n_orders)) / (
+        F.col("n_a") * F.col("n_b")
+    )
+    return (
+        out.select(
+            "part_a",
+            "part_b",
+            "n_both",
+            (F.round(lift + F.lit(1e-9), 4) + 0.0).alias("lift"),
+        )
+        .orderBy(
+            F.desc("lift"), F.desc("n_both"), F.asc("part_a"), F.asc("part_b")
+        )
+        .limit(20)
+    )
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per user recency (days since last
+    event), frequency (event count), monetary (value sum), each cut
+    into quartiles by ntile, then segment sizes and averages per
+    (R, F, M) cell. The workhorse of lifecycle marketing, expressed as
+    one user rollup + three rank windows over the REDUCED per-user
+    table — the windows sort |users| rows, not |events| (the same
+    reduce-first stance as the drift statistics).
+
+    Determinism: every ntile orders by (metric, user_id) so quartile
+    boundaries are stable; the anchor 'now' is the corpus max ts (a
+    1-row aggregate), not wall-clock."""
+    ev = table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts")).head()[0]  # 1-row collect: time anchor
+    per_user = ev.groupBy("user_id").agg(
+        F.datediff(F.lit(anchor), F.max("ts")).alias("recency_days"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("value") + F.lit(1e-9), 2).alias("monetary"),
+    )
+    # recency: LOWER days = better = higher quartile label
+    r_w = Window.orderBy(F.desc("recency_days"), F.asc("user_id"))
+    f_w = Window.orderBy(F.asc("frequency"), F.asc("user_id"))
+    m_w = Window.orderBy(F.asc("monetary"), F.asc("user_id"))
+    scored = per_user.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(r_w).alias("r"),
+        F.ntile(4).over(f_w).alias("f"),
+        F.ntile(4).over(m_w).alias("m"),
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count("*").alias("n_users"),
+        (F.round(F.avg("monetary") + F.lit(1e-9), 2) + 0.0).alias(
+            "avg_monetary"
+        ),
+    )
+
+
 def q_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-algebra INTERSECTION: HLL unions compose natively but
     intersections don't — the standard workaround is inclusion-
@@ -2235,6 +2339,55 @@ ORACLE: dict[str, str] = {
                count(*) AS n
         FROM steps WHERE e2 IS NOT NULL AND e3 IS NOT NULL
         GROUP BY 1 ORDER BY n DESC, path ASC LIMIT {PATHS_TOP}
+    """,
+    "q_item_affinity": """
+        WITH li AS (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), n AS (
+          SELECT count(DISTINCT o_orderkey) AS n_orders FROM orders
+        ), pairs AS (
+          SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                 count(*) AS n_both
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey < b.l_partkey
+          GROUP BY a.l_partkey, b.l_partkey
+          HAVING count(*) >= 3
+        ), marg AS (
+          SELECT l_partkey AS part, count(*) AS n_orders_with
+          FROM li GROUP BY l_partkey
+        )
+        SELECT p.part_a, p.part_b, p.n_both,
+               round(p.n_both * n.n_orders
+                     / CAST(ma.n_orders_with * mb.n_orders_with AS DOUBLE)
+                     + 1e-9, 4) + 0.0 AS lift
+        FROM pairs p
+        JOIN marg ma ON ma.part = p.part_a
+        JOIN marg mb ON mb.part = p.part_b
+        CROSS JOIN n
+        ORDER BY lift DESC, n_both DESC, part_a ASC, part_b ASC
+        LIMIT 20
+    """,
+    "q_rfm_segments": """
+        WITH anchor AS (SELECT max(ts) AS now FROM events),
+        per_user AS (
+          SELECT user_id,
+                 date_diff('day', CAST(max(ts) AS DATE),
+                           CAST(anchor.now AS DATE)) AS recency_days,
+                 count(*) AS frequency,
+                 round(sum(value) + 1e-9, 2) AS monetary
+          FROM events, anchor
+          GROUP BY user_id, anchor.now
+        ), scored AS (
+          SELECT user_id, monetary,
+                 ntile(4) OVER (ORDER BY recency_days DESC, user_id ASC) AS r,
+                 ntile(4) OVER (ORDER BY frequency ASC, user_id ASC) AS f,
+                 ntile(4) OVER (ORDER BY monetary ASC, user_id ASC) AS m
+          FROM per_user
+        )
+        SELECT r, f, m, count(*) AS n_users,
+               round(avg(monetary) + 1e-9, 2) + 0.0 AS avg_monetary
+        FROM scored GROUP BY r, f, m
     """,
     "q_scd2_lookup": """
         WITH tiered AS (
