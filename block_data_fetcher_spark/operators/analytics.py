@@ -247,6 +247,114 @@ def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling report — the summarize/ANALYZE TABLE surface a
+    switching user expects: per column of ``events``, null count,
+    approx-free exact distinct count, min/max (as strings for the
+    uniform schema), and the most frequent value with its count
+    (deterministic tie-break on the value itself). ONE pass over the
+    table computes all numeric facets map-side (the per-column
+    aggregates fuse into a single HashAggregate); the mode per column
+    comes from per-column (value, count) rollups over the REDUCED
+    distinct tables. At 100 TB the same plan is how profilers
+    (Deequ-style) collect column statistics."""
+    ev = table(spark, sf_dir, "events")
+    cols = ["event_id", "user_id", "event_type", "value"]
+    facets = ev.agg(
+        F.count("*").alias("_n"),
+        *[
+            e
+            for c in cols
+            for e in (
+                F.count_if(F.col(c).isNull()).alias(f"{c}__nulls"),
+                F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+                F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+                F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+            )
+        ],
+    ).head()
+    modes = []
+    for c in cols:
+        m = (
+            ev.groupBy(F.col(c).cast("string").alias("v"))
+            .count()
+            .orderBy(F.desc("count"), F.asc("v"))
+            .select(
+                F.lit(c).alias("column"),
+                F.col("v").alias("top_value"),
+                F.col("count").alias("top_count"),
+            )
+            .limit(1)
+        )
+        modes.append(m)
+    from functools import reduce
+
+    mode_df = reduce(lambda a, b: a.unionByName(b), modes)
+    rows = [
+        (
+            c,
+            int(facets["_n"]),
+            int(facets[f"{c}__nulls"]),
+            int(facets[f"{c}__distinct"]),
+            str(facets[f"{c}__min"]),
+            str(facets[f"{c}__max"]),
+        )
+        for c in cols
+    ]
+    base = spark.createDataFrame(
+        rows,
+        "column string, n_rows bigint, n_nulls bigint, n_distinct bigint,"
+        " min_value string, max_value string",
+    )
+    return base.join(mode_df, "column")
+
+
+DEAD_LETTER_MOD = 13  # every 13th event's props is corrupted in transit
+
+
+def q_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter routing (ST5 made inspectable): the props JSON of
+    every 13th event is deterministically corrupted (simulating a
+    producer bug), rows are parsed with an explicit schema under
+    try-semantics, and the batch SPLITS — clean rows continue to the
+    aggregate, corrupt rows land in a quarantine rollup with a reason.
+    One pass, one filter each side, no exceptions thrown: at 100 TB
+    dead-lettering must be a column-level branch, not a task retry
+    (a single poison row must never kill a 2-hour batch).
+
+    Emits per event_type: clean count, quarantined count, and the
+    mean of the parsed k field over clean rows only."""
+    ev = table(spark, sf_dir, "events")
+    wire = ev.select(
+        "event_id",
+        "event_type",
+        F.when(
+            F.col("event_id") % DEAD_LETTER_MOD == 0,
+            # drop the closing brace: truncated-in-transit payload
+            # (appending garbage is NOT enough — lenient parsers stop
+            # at the first complete JSON value and would accept it)
+            F.expr("substring(props, 1, length(props) - 1)"),
+        )
+        .otherwise(F.col("props"))
+        .alias("props"),
+    )
+    parsed = wire.withColumn(
+        "k", F.try_variant_get(F.try_parse_json("props"), "$.k", "int")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count_if(F.col("k").isNotNull()).alias("n_clean"),
+        F.count_if(F.col("k").isNull()).alias("n_quarantined"),
+        (
+            F.round(
+                F.avg(F.when(F.col("k").isNotNull(), F.col("k")))
+                + F.lit(1e-9),
+                4,
+            )
+            + 0.0
+        ).alias("mean_k_clean"),
+    )
+
+
 AFFINITY_MIN_PAIRS = 3  # co-occurrence support threshold
 
 
@@ -2339,6 +2447,44 @@ ORACLE: dict[str, str] = {
                count(*) AS n
         FROM steps WHERE e2 IS NOT NULL AND e3 IS NOT NULL
         GROUP BY 1 ORDER BY n DESC, path ASC LIMIT {PATHS_TOP}
+    """,
+    "q_profile": " UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS column, count(*) AS n_rows,
+               count(*) FILTER (WHERE {c} IS NULL) AS n_nulls,
+               count(DISTINCT {c}) AS n_distinct,
+               CAST(min({c}) AS VARCHAR) AS min_value,
+               CAST(max({c}) AS VARCHAR) AS max_value,
+               m.top_value, m.top_count
+        FROM events CROSS JOIN (
+          SELECT CAST({c} AS VARCHAR) AS top_value, count(*) AS top_count
+          FROM events GROUP BY 1
+          ORDER BY top_count DESC, top_value ASC LIMIT 1
+        ) m
+        GROUP BY m.top_value, m.top_count
+        """
+        for c in ["event_id", "user_id", "event_type", "value"]
+    ),
+    "q_dead_letter": """
+        WITH wire AS (
+          SELECT event_id, event_type,
+                 CASE WHEN event_id % 13 = 0
+                      THEN substring(props, 1, length(props) - 1)
+                      ELSE props END AS props
+          FROM events
+        ), parsed AS (
+          SELECT event_type,
+                 CASE WHEN json_valid(props)
+                      THEN CAST(json_extract_string(props, '$.k') AS INTEGER)
+                 END AS k
+          FROM wire
+        )
+        SELECT event_type,
+               count(*) FILTER (WHERE k IS NOT NULL) AS n_clean,
+               count(*) FILTER (WHERE k IS NULL) AS n_quarantined,
+               round(avg(k) FILTER (WHERE k IS NOT NULL) + 1e-9, 4) + 0.0
+                 AS mean_k_clean
+        FROM parsed GROUP BY event_type
     """,
     "q_item_affinity": """
         WITH li AS (
