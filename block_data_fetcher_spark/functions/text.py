@@ -529,6 +529,38 @@ BM25_B = 0.75
 BM25_QUERY = ("data", "spark", "query")  # fixed retrieval query
 
 
+PHRASE = ("data", "spark")  # fixed 2-term phrase query
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search — the inverted-index operation BM25's
+    bag-of-words scoring can't express: find documents containing the
+    exact consecutive phrase "data spark" and count its occurrences
+    per document. The plan builds POSITIONAL postings (term, doc,
+    position) with posexplode, filters to the two phrase terms at scan
+    speed (same pushdown stance as q_bm25), and self-joins postings on
+    (doc, pos + 1 = pos) — adjacency as an equi-join, the classical
+    distributed phrase-query evaluation. Shuffle carries only the two
+    terms' postings, never the corpus."""
+    docs = table(spark, sf_dir, "documents")
+    posts = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "term"),
+    ).where(F.col("term").isin(*PHRASE))
+    a = posts.where(F.col("term") == PHRASE[0]).select(
+        "doc_id", F.col("pos").alias("p0")
+    )
+    b = posts.where(F.col("term") == PHRASE[1]).select(
+        "doc_id", F.col("pos").alias("p1")
+    )
+    return (
+        a.join(b, ["doc_id"])
+        .where(F.col("p1") == F.col("p0") + 1)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+
+
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 retrieval scoring of the corpus against a fixed 3-term
     query — the ranking function a curation pipeline uses to pull
@@ -989,6 +1021,20 @@ def _bpe_ctes() -> list[str]:
 _BM25_TERMS = ", ".join(f"'{t}'" for t in BM25_QUERY)
 
 ORACLE: dict[str, str] = {
+    "q_phrase_search": """
+        WITH posts AS (
+          SELECT doc_id, t.i - 1 AS pos, toks[t.i] AS term
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                FROM documents),
+               unnest(range(1, len(toks) + 1)) AS t(i)
+          WHERE toks[t.i] IN ('data', 'spark')
+        )
+        SELECT a.doc_id, count(*) AS n_occurrences
+        FROM posts a JOIN posts b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        WHERE a.term = 'data' AND b.term = 'spark'
+        GROUP BY a.doc_id
+    """,
     "q_bpe_merges": _bpe_oracle(),
     "q_bpe_encode": _bpe_encode_oracle(),
     "q_bm25": f"""

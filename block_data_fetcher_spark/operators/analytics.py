@@ -247,6 +247,59 @@ def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NULL_SEMANTICS_SQL = """
+    WITH sub AS (
+      SELECT o_custkey AS k FROM orders
+      UNION ALL SELECT CAST(NULL AS BIGINT)
+    )
+    SELECT
+      (SELECT count(*) FROM customer
+       WHERE c_custkey NOT IN (SELECT k FROM sub)) AS not_in_with_null,
+      (SELECT count(*) FROM customer c WHERE NOT EXISTS
+        (SELECT 1 FROM sub s WHERE s.k = c.c_custkey))
+        AS not_exists_without,
+      (SELECT count(k) FROM sub) AS count_col_skips_null,
+      (SELECT count(*) FROM sub) AS count_star_includes_null
+"""
+
+
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NULL-semantics traps every SQL migration hits, pinned as a
+    correctness query (IDENTICAL statement in both engines): NOT IN
+    against a subquery containing a NULL is three-valued logic — it
+    returns ZERO rows no matter what, while the NOT EXISTS spelling
+    returns the customers without orders; count(col) skips NULLs
+    while count(*) doesn't. An engine that 'optimizes' NOT IN into an
+    anti-join without the null check silently changes answers — this
+    query hash-locks the standard behavior (Spark plans it as a
+    NullAware anti join for exactly this reason)."""
+    from ..catalog import load
+
+    load(spark, sf_dir, register_views=True)
+    return spark.sql(_NULL_SEMANTICS_SQL)
+
+
+def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (percent_rank / cume_dist /
+    ntile) over each event's value within its type — the remaining
+    ANSI window surface next to the rank/lag/range families. Ties are
+    broken by event_id so both engines rank identically; one shuffle
+    on event_type."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        (F.round(F.percent_rank().over(w) + F.lit(1e-9), 6) + 0.0).alias(
+            "pct_rank"
+        ),
+        (F.round(F.cume_dist().over(w) + F.lit(1e-9), 6) + 0.0).alias(
+            "cume"
+        ),
+        F.ntile(10).over(w).alias("decile"),
+    )
+
+
 def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-profiling report — the summarize/ANALYZE TABLE surface a
     switching user expects: per column of ``events``, null count,
@@ -2447,6 +2500,15 @@ ORACLE: dict[str, str] = {
                count(*) AS n
         FROM steps WHERE e2 IS NOT NULL AND e3 IS NOT NULL
         GROUP BY 1 ORDER BY n DESC, path ASC LIMIT {PATHS_TOP}
+    """,
+    "q_null_semantics": _NULL_SEMANTICS_SQL,
+    "q_window_dist": """
+        SELECT event_id, event_type,
+               round(percent_rank() OVER w + 1e-9, 6) + 0.0 AS pct_rank,
+               round(cume_dist() OVER w + 1e-9, 6) + 0.0 AS cume,
+               ntile(10) OVER w AS decile
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
     """,
     "q_profile": " UNION ALL ".join(
         f"""
