@@ -352,6 +352,18 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_pairs(parallelize(docs, spark)).where(
         F.col("est_sim") >= 0.5
     )
+    return min_label_components(spark, docs.select("doc_id"), pairs)
+
+
+def min_label_components(
+    spark: SparkSession, nodes: DataFrame, pairs: DataFrame
+) -> DataFrame:
+    """Reusable min-label-propagation connected components (the
+    q_dup_clusters loop, extracted so other match graphs — e.g. the
+    entity-resolution SNM edges — can cluster with the same machinery).
+    ``nodes``: (doc_id); ``pairs``: (doc_a, doc_b) undirected match
+    edges. Returns (doc_id, cluster_id = component min)."""
+    spark = _iter_session(spark)
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(
@@ -360,11 +372,11 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         # eager: materialized ONCE at full parallelism (the expensive
-        # minhash build), reused every round from checkpoint blocks
+        # candidate build), reused every round from checkpoint blocks
         .localCheckpoint(eager=True)
     )
     _size_rounds_to(spark, edges.count())
-    labels = docs.select(
+    labels = nodes.select(
         "doc_id", F.col("doc_id").alias("cluster_id")
     ).localCheckpoint(eager=False)
 

@@ -493,7 +493,66 @@ def q_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution — the full record-linkage chain
+    the individual operators only demonstrate in pieces: (1) BLOCK
+    with Sorted Neighborhood (q_fuzzy_match's lead-window candidates,
+    N·W by construction), (2) SCORE candidates by edit distance, (3)
+    take scoring pairs as MATCH edges, (4) CLUSTER them with min-label
+    connected components (the q_dup_clusters loop, reused via
+    min_label_components), (5) emit one GOLDEN RECORD per multi-member
+    entity: canonical id (= component min), member count, and how many
+    languages the duplicates span.
+
+    Scale: every stage is one of the already-plan-audited shapes —
+    sort-window candidates (no join), JVM levenshtein, checkpointed
+    O(diameter) label rounds, one dimension-sized rollup. The DuckDB
+    oracle replays the identical chain: the SNM SQL feeding a
+    recursive-CTE closure."""
+    from .functions.hashing import min_label_components
+    from .functions.text import q_fuzzy_match
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = q_fuzzy_match(spark, sf_dir).select("doc_a", "doc_b")
+    labels = min_label_components(spark, docs.select("doc_id"), pairs)
+    return (
+        labels.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.count_distinct("lang").alias("n_langs"),
+        )
+        .where(F.col("n_members") >= 2)
+    )
+
+
+def _entity_resolution_sql() -> str:
+    from .functions.text import ORACLE as _text_oracle
+
+    return f"""
+    WITH RECURSIVE fuzzy AS ({_text_oracle["q_fuzzy_match"]}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM fuzzy
+      UNION
+      SELECT doc_b, doc_a FROM fuzzy
+    ),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    lab AS (SELECT src AS doc_id, min(dst) AS cluster_id
+            FROM reach GROUP BY src)
+    SELECT l.cluster_id, count(*) AS n_members,
+           count(DISTINCT d.lang) AS n_langs
+    FROM lab l JOIN documents d ON l.doc_id = d.doc_id
+    GROUP BY l.cluster_id
+    HAVING count(*) >= 2
+    """
+
+
 ORACLE: dict[str, str] = {
+    "q_entity_resolution": _entity_resolution_sql(),
     "q_dp_counts": f"""
         WITH g AS (
           SELECT event_type, count(*) AS true_count FROM events
