@@ -53,6 +53,8 @@ LARGE_RESULT = {
     "q_dedup_exact",
     "q_stream_dedup",
     "q_media_features",
+    "q_window_dist",
+    "q_spatial_join",
     "q_phash_neardup",
     "q_line_dedup",
     "q_cdc_apply",
