@@ -601,6 +601,84 @@ def q_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudonymization with referential integrity — the GDPR
+    data-minimization twin of q_gdpr_erasure's deletion: user_id is
+    replaced by a keyed sha256 token (first 16 hex chars) in BOTH the
+    events fact and the derived per-user dimension, and the query
+    proves analytics still work on tokens alone: the fact⋈dim join on
+    the TOKEN reproduces the per-user rollup exactly (same count and
+    revenue per token as the raw join would give per user), with zero
+    raw ids in the output. Deterministic keyed hashing (a salt
+    literal, not random) is what keeps tokens stable across batches —
+    the same property the idempotent sinks rely on.
+
+    Scale: the hash is a scan-side projection (codegen sha2); the join
+    shuffles on the token exactly as it would on the raw key — same
+    plan, no information. Token truncation to 64 bits keeps shuffle
+    keys narrow; collision odds at 10^9 users are ~3e-2 per birthday
+    bound and a production system widens to the full digest."""
+    from .catalog import table
+
+    ev = table(spark, sf_dir, "events")
+    token = F.substring(
+        F.sha2(F.concat(F.lit("pepper-v1:"), F.col("user_id").cast("string")), 256),
+        1,
+        16,
+    )
+    fact = ev.select(
+        token.alias("token"), "event_type", "value"
+    )
+    dim = (
+        ev.select(token.alias("token"), "user_id")
+        .groupBy("token")
+        .agg(F.count("*").alias("n_events"))
+    )
+    return (
+        fact.join(dim, "token")
+        .groupBy("token", "n_events")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("value") + F.lit(1e-9), 2).alias("revenue"),
+        )
+        .select("token", "n_events", "n_rows", "revenue")
+    )
+
+
+def q_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period growth — the BI staple: weekly revenue per
+    event type with previous-week comparison and percent change
+    (NULL on the first week, try-division guards a zero prior). One
+    weekly rollup (map-side combinable) then a lag window over the
+    REDUCED (type, week) table — the window sorts dozens of rows, not
+    events."""
+    from .catalog import table
+
+    ev = table(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        "event_type", F.weekofyear("ts").alias("week")
+    ).agg(F.round(F.sum("value") + F.lit(1e-9), 2).alias("revenue"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("week")
+    return weekly.select(
+        "event_type",
+        "week",
+        "revenue",
+        F.lag("revenue").over(w).alias("prev_revenue"),
+        (
+            F.round(
+                (F.col("revenue") - F.lag("revenue").over(w))
+                / F.lag("revenue").over(w)
+                * 100
+                + F.lit(1e-9),
+                2,
+            )
+            + 0.0
+        ).alias("pct_change"),
+    )
+
+
 def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution on a landed table: generation 1 writes a
     3-column projection; generation 2 appends the same shape PLUS a
@@ -693,6 +771,34 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE: dict[str, str] = {
+    "q_pseudonymize": """
+        WITH tok AS (
+          SELECT substr(sha256('pepper-v1:' || CAST(user_id AS VARCHAR)),
+                        1, 16) AS token,
+                 event_type, value, user_id
+          FROM events
+        ), dim AS (
+          SELECT token, count(*) AS n_events FROM tok GROUP BY token
+        )
+        SELECT f.token, d.n_events, count(*) AS n_rows,
+               round(sum(f.value) + 1e-9, 2) AS revenue
+        FROM tok f JOIN dim d ON f.token = d.token
+        GROUP BY f.token, d.n_events
+    """,
+    "q_period_over_period": """
+        WITH weekly AS (
+          SELECT event_type, CAST(weekofyear(ts) AS INTEGER) AS week,
+                 round(sum(value) + 1e-9, 2) AS revenue
+          FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, week, revenue,
+               lag(revenue) OVER w AS prev_revenue,
+               round((revenue - lag(revenue) OVER w)
+                     / lag(revenue) OVER w * 100 + 1e-9, 2) + 0.0
+                 AS pct_change
+        FROM weekly
+        WINDOW w AS (PARTITION BY event_type ORDER BY week)
+    """,
     "q_schema_evolution": """
         SELECT CASE WHEN event_id % 2 = 1 THEN event_type
                     ELSE 'legacy' END AS channel,
