@@ -417,34 +417,44 @@ def q_item_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (P(A,B) / (P(A)·P(B)) over the order universe). Top-20 pairs by
     lift among pairs with support ≥ 3.
 
-    Scale shape: the self-join is WITHIN-ORDER (equi-join on
-    l_orderkey), so candidate pairs are Σ basket_size² — bounded by
+    Scale shape: baskets are MATERIALIZED (one groupBy on orderkey →
+    sorted distinct-part array) and pairs expand MAP-SIDE from the
+    array (nested sequence transform) — one shuffle for the baskets,
+    one for the pair counts, versus the naive within-order self-join's
+    extra exchange. Candidate pairs are Σ basket_size² — bounded by
     the max basket (TPC-H: 7 lines), never corpus². Item marginals
-    broadcast back. This is the textbook distributed co-occurrence
-    plan; at 100 TB the same join bucket-partitions by orderkey."""
-    li = table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    ).distinct()
-    n_orders = (
-        table(spark, sf_dir, "orders").select("o_orderkey").distinct().count()
+    broadcast back. At 100 TB the basket build bucket-partitions by
+    orderkey and the expansion cost is unchanged."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # o_orderkey is the orders PK: plain count == distinct count, and
+    # skips a 150k-row distinct exchange before the scalar collect
+    n_orders = table(spark, sf_dir, "orders").count()
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
     )
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    pair_expr = F.explode(
+        F.flatten(
+            F.expr(
+                "transform(sequence(1, size(parts) - 1), i ->"
+                " transform(sequence(i + 1, size(parts)), j ->"
+                " struct(element_at(parts, i) AS part_a,"
+                "        element_at(parts, j) AS part_b)))"
+            )
         )
+    )
+    pairs = (
+        baskets.where(F.size("parts") >= 2)
+        .select(pair_expr.alias("p"))
         .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
+            F.col("p.part_a").alias("part_a"),
+            F.col("p.part_b").alias("part_b"),
         )
         .agg(F.count("*").alias("n_both"))
         .where(F.col("n_both") >= AFFINITY_MIN_PAIRS)
     )
-    marg = li.groupBy(F.col("l_partkey").alias("part")).agg(
-        F.count("*").alias("n_orders_with")
-    )
+    marg = baskets.select(
+        F.explode("parts").alias("part")
+    ).groupBy("part").agg(F.count("*").alias("n_orders_with"))
     out = (
         pairs.join(
             F.broadcast(marg.withColumnRenamed("part", "part_a")), "part_a"
