@@ -239,7 +239,111 @@ def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom AGGREGATE in Python — the GROUPED_AGG pandas_udf leg of
+    the UDF taxonomy (scalar pandas_udf: similarity gemm; grouped map
+    + state: streaming rollups; cogroup: merge_asof; table function:
+    q_udtf_milestones): a weighted LOWER MEDIAN per event type,
+    weights w = event_id % 7 + 1, defined as the smallest value whose
+    cumulative weight reaches half the total — integer-exact, so the
+    DuckDB oracle reproduces it with a window cumsum. The UDF receives
+    each group's columns as Arrow-backed pandas Series (one vectorized
+    numpy pass per group, no per-row Python), and the aggregate is
+    evaluated group-at-a-time after the regular hash exchange.
+
+    Scale honesty: unlike algebraic aggregates this holds ONE GROUP's
+    rows in memory — the documented GROUPED_AGG contract. Use it for
+    group-bounded statistics (a type's events fit an executor); the
+    mergeable-histogram quantile (q_quantile_merge) is the unbounded
+    alternative."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # functionType passed explicitly: the module's `from __future__
+    # import annotations` turns hints into strings, which the
+    # hint-based GROUPED_AGG inference can't resolve
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def weighted_lower_median(v, w):
+        import numpy as np
+
+        order = np.lexsort((v.values,))
+        vv, ww = v.values[order], w.values[order]
+        cum = ww.cumsum()
+        total = cum[-1]
+        idx = int(np.searchsorted(cum * 2, total, side="left"))
+        return float(vv[min(idx, len(vv) - 1)])
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        ((F.col("event_id") % 7) + 1).cast("long").alias("w"),
+    )
+    # Spark forbids mixing a GROUPED_AGG pandas UDF with non-pandas
+    # aggregates in one agg (INVALID_PANDAS_UDF_PLACEMENT) — the
+    # builtin total rides a separate rollup joined on the 5-row key
+    med = ev.groupBy("event_type").agg(
+        weighted_lower_median("value", "w").alias("w_median")
+    )
+    tot = ev.groupBy("event_type").agg(F.sum("w").alias("total_w"))
+    return med.join(tot, "event_type")
+
+
+def q_udtf_milestones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 user-defined TABLE function) — the 1→N
+    row-generating leg of the UDF taxonomy: for each event type's
+    (count, total) summary row, emit three milestone rows (25/50/75%
+    of total). The UDTF runs over the 5-row AGGREGATED summary, never
+    raw data — per-row Python is only admissible at dimension scale
+    (§2.8 policy); the data-scale fan-outs use mapInPandas/explode."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="event_type string, milestone int, target double")
+    class Milestones:
+        def eval(self, event_type: str, total: float):
+            for pct in (25, 50, 75):
+                yield event_type, pct, round(total * pct / 100.0 + 1e-9, 2)
+
+    summary = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.round(F.sum("value") + F.lit(1e-9), 2).alias("total"))
+    )
+    spark.udtf.register("milestones_udtf", Milestones)
+    summary.createOrReplaceTempView("type_summary")
+    return spark.sql(
+        """
+        SELECT m.event_type, m.milestone, m.target
+        FROM type_summary t,
+             LATERAL milestones_udtf(t.event_type, t.total) m
+        """
+    )
+
+
 ORACLE: dict[str, str] = {
+    "q_grouped_agg_udf": """
+        WITH w AS (
+          SELECT event_type, value, event_id % 7 + 1 AS w FROM events
+        ), cum AS (
+          SELECT event_type, value,
+                 sum(w) OVER (PARTITION BY event_type ORDER BY value
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS cw,
+                 sum(w) OVER (PARTITION BY event_type) AS total
+          FROM w
+        )
+        SELECT event_type,
+               min(CASE WHEN cw * 2 >= total THEN value END) AS w_median,
+               CAST(max(total) AS BIGINT) AS total_w
+        FROM cum GROUP BY event_type
+    """,
+    "q_udtf_milestones": """
+        WITH s AS (
+          SELECT event_type, round(sum(value) + 1e-9, 2) AS total
+          FROM events GROUP BY event_type
+        )
+        SELECT s.event_type, m.milestone,
+               round(s.total * m.milestone / 100.0 + 1e-9, 2) AS target
+        FROM s CROSS JOIN (VALUES (25), (50), (75)) AS m(milestone)
+    """,
     "q_try_funcs": ORACLE_TRY,
     "q_string_agg": """
         SELECT r.r_name,
