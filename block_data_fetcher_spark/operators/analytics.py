@@ -247,6 +247,76 @@ def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KM_CHURN_GAP = 7  # no activity in the final week => churned
+
+
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimate of user lifetime with right
+    censoring — the survival-analysis entry every retention team
+    eventually needs beyond cohort tables: a user whose last event is
+    more than 7 days before corpus end CHURNED at duration
+    (last - first) days; still-active users are CENSORED at
+    (corpus_end - first). At each churn time t: d_t churn events,
+    n_t users still at risk (duration ≥ t), and
+    S(t) = Π_{s ≤ t} (1 − d_s/n_s), computed as exp(Σ ln factor) with
+    an explicit zero guard (Spark's ln(0) is NULL, DuckDB's is -inf —
+    the CASE keeps both engines off that divergence).
+
+    Scale: everything after the per-user rollup is at DISTINCT-
+    DURATION scale (≤ days-in-corpus rows) — at-risk counts come from
+    a reverse cumulative sum over the duration histogram, not a
+    per-user window; the KM product is a cumulative window over that
+    same tiny table."""
+    ev = table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts")).head()[0]  # 1-row time anchor
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+        .select(
+            "user_id",
+            (
+                F.datediff(F.lit(anchor), F.col("last_ts")) > KM_CHURN_GAP
+            ).alias("churned"),
+            F.when(
+                F.datediff(F.lit(anchor), F.col("last_ts")) > KM_CHURN_GAP,
+                F.datediff(F.col("last_ts"), F.col("first_ts")),
+            )
+            .otherwise(F.datediff(F.lit(anchor), F.col("first_ts")))
+            .alias("duration"),
+        )
+    )
+    hist = per_user.groupBy("duration").agg(
+        F.count("*").alias("m"),
+        F.count_if(F.col("churned")).alias("d"),
+    )
+    w_rev = (
+        Window.orderBy(F.desc("duration"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    at_risk = hist.select(
+        "duration", "d", F.sum("m").over(w_rev).alias("n")
+    ).where(F.col("d") > 0)
+    w_cum = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    factor = 1 - F.col("d") / F.col("n")
+    return at_risk.select(
+        F.col("duration").alias("t"),
+        F.col("n").alias("n_at_risk"),
+        F.col("d").alias("n_churned"),
+        (
+            F.round(
+                F.when(F.min(factor).over(w_cum) == 0, F.lit(0.0)).otherwise(
+                    F.exp(F.sum(F.log(factor)).over(w_cum))
+                )
+                + F.lit(1e-9),
+                6,
+            )
+            + 0.0
+        ).alias("survival"),
+    )
+
+
 _NULL_SEMANTICS_SQL = """
     WITH sub AS (
       SELECT o_custkey AS k FROM orders
@@ -2510,6 +2580,41 @@ ORACLE: dict[str, str] = {
                count(*) AS n
         FROM steps WHERE e2 IS NOT NULL AND e3 IS NOT NULL
         GROUP BY 1 ORDER BY n DESC, path ASC LIMIT {PATHS_TOP}
+    """,
+    "q_survival_km": """
+        WITH anchor AS (SELECT max(ts) AS a FROM events),
+        per_user AS (
+          SELECT user_id,
+                 date_diff('day', CAST(max(ts) AS DATE),
+                           CAST(anchor.a AS DATE)) > 7 AS churned,
+                 CASE WHEN date_diff('day', CAST(max(ts) AS DATE),
+                                     CAST(anchor.a AS DATE)) > 7
+                      THEN date_diff('day', CAST(min(ts) AS DATE),
+                                     CAST(max(ts) AS DATE))
+                      ELSE date_diff('day', CAST(min(ts) AS DATE),
+                                     CAST(anchor.a AS DATE)) END AS duration
+          FROM events, anchor GROUP BY user_id, anchor.a
+        ), hist AS (
+          SELECT duration, count(*) AS m,
+                 count(*) FILTER (WHERE churned) AS d
+          FROM per_user GROUP BY duration
+        ), at_risk AS (
+          SELECT duration, d,
+                 sum(m) OVER (ORDER BY duration DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS n
+          FROM hist
+        )
+        SELECT duration AS t, CAST(n AS BIGINT) AS n_at_risk,
+               CAST(d AS BIGINT) AS n_churned,
+               round(CASE WHEN min(1 - d / CAST(n AS DOUBLE)) OVER w = 0
+                          THEN 0.0
+                          ELSE exp(sum(ln(1 - d / CAST(n AS DOUBLE)))
+                                     OVER w) END + 1e-9, 6) + 0.0
+                 AS survival
+        FROM at_risk WHERE d > 0
+        WINDOW w AS (ORDER BY duration
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
     "q_null_semantics": _NULL_SEMANTICS_SQL,
     "q_window_dist": """

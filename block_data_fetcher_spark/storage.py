@@ -464,10 +464,7 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets. The query returns both versions' aggregates read
     THROUGH their manifests; the oracle recomputes them straight
     from events, proving both snapshots are exact."""
-    import json
     import os
-
-    from .catalog import table
 
     base = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -475,6 +472,33 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "storage",
         "user_totals_versioned",
     )
+    manifests = build_versioned_table(spark, sf_dir, base)
+    out = None
+    for version, files in manifests.items():
+        snap = (
+            spark.read.parquet(*files)
+            .agg(
+                F.count("*").alias("n_users"),
+                F.sum("n_events").alias("n_events"),
+                F.round(F.sum("total_value"), 2).alias("sum_total"),
+            )
+            .select(F.lit(version).alias("version"), "*")
+        )
+        out = snap if out is None else out.unionByName(snap)
+    return out.orderBy("version")
+
+
+def build_versioned_table(
+    spark: SparkSession, sf_dir: str, base: str
+) -> dict:
+    """The q_time_travel table build, extracted for reuse (q_vacuum
+    expires old versions of the same layout). Returns {version:
+    [live files]} and writes manifest.json under ``base``."""
+    import json
+    import os
+
+    from .catalog import table
+
     ev = table(spark, sf_dir, "events").select(
         "user_id", "value", "ts", (F.col("user_id") % TT_BUCKETS).alias("bucket")
     )
@@ -514,20 +538,58 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifests = {1: sorted(v1_files.values()), 2: sorted(v2_files.values())}
     with open(os.path.join(base, "manifest.json"), "w") as f:
         json.dump(manifests, f)
+    return manifests
 
-    out = None
-    for version, files in manifests.items():
-        snap = (
-            spark.read.parquet(*files)
-            .agg(
-                F.count("*").alias("n_users"),
-                F.sum("n_events").alias("n_events"),
-                F.round(F.sum("total_value"), 2).alias("sum_total"),
-            )
-            .select(F.lit(version).alias("version"), "*")
-        )
-        out = snap if out is None else out.unionByName(snap)
-    return out.orderBy("version")
+
+def vacuum_versions(base: str, manifests: dict, keep: int) -> int:
+    """Expire every version below ``keep``: delete data files not
+    referenced by any surviving manifest and rewrite manifest.json.
+    Pure METADATA + unlink work (the Delta VACUUM / Iceberg
+    expire_snapshots contract: time travel ends at the retention
+    horizon, storage is reclaimed, surviving snapshots untouched).
+    Returns the number of files deleted."""
+    import json
+    import os
+    import shutil
+
+    live = {f for v, fs in manifests.items() if v >= keep for f in fs}
+    dead = {
+        f for v, fs in manifests.items() if v < keep for f in fs
+    } - live
+    for f in sorted(dead):
+        shutil.rmtree(f, ignore_errors=True)
+    surviving = {v: fs for v, fs in manifests.items() if v >= keep}
+    with open(os.path.join(base, "manifest.json"), "w") as fh:
+        json.dump(surviving, fh)
+    return len(dead)
+
+
+def q_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention vacuum over the versioned table: build the two-version
+    COW layout, expire version 1, verify the CURRENT snapshot still
+    reads exactly (the oracle recomputes it from raw events), and
+    report how many files were reclaimed. Only files referenced
+    EXCLUSIVELY by expired manifests are deleted — the shared COW
+    buckets that v2 reuses from v1 must survive, which is the subtle
+    invariant real VACUUM implementations get wrong first."""
+    import os
+
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "spark-warehouse",
+        "storage",
+        "user_totals_vacuum",
+    )
+    manifests = build_versioned_table(spark, sf_dir, base)
+    n_expired = vacuum_versions(base, manifests, keep=2)
+    snap = spark.read.parquet(*manifests[2])
+    return snap.agg(
+        F.count("*").alias("n_users"),
+        F.sum("n_events").alias("n_events"),
+        F.round(F.sum("total_value"), 2).alias("sum_total"),
+    ).select(
+        "*", F.lit(n_expired).cast("long").alias("n_files_expired")
+    )
 
 
 def list_data_files(path: str) -> list[tuple[str, int]]:
@@ -771,6 +833,23 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE: dict[str, str] = {
+    "q_vacuum": f"""
+        -- the surviving (current) snapshot, recomputed from raw
+        -- events; exactly ONE file expires (v1's bucket-0, the only
+        -- file no surviving manifest references — COW reuse keeps
+        -- the other {TT_BUCKETS - 1} v1 buckets alive under v2)
+        WITH v2 AS (
+          SELECT user_id, count(*) AS n, round(sum(value), 2) AS t
+          FROM events
+          WHERE ts < TIMESTAMP '{TT_SPLIT}' OR user_id % {TT_BUCKETS} = 0
+          GROUP BY user_id
+        )
+        SELECT count(*) AS n_users,
+               CAST(sum(n) AS BIGINT) AS n_events,
+               round(sum(t), 2) AS sum_total,
+               CAST(1 AS BIGINT) AS n_files_expired
+        FROM v2
+    """,
     "q_pseudonymize": """
         WITH tok AS (
           SELECT substr(sha256('pepper-v1:' || CAST(user_id AS VARCHAR)),
