@@ -247,47 +247,43 @@ def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-KM_CHURN_GAP = 7  # no activity in the final week => churned
-
-
 def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kaplan-Meier survival estimate of user lifetime with right
-    censoring — the survival-analysis entry every retention team
-    eventually needs beyond cohort tables: a user whose last event is
-    more than 7 days before corpus end CHURNED at duration
-    (last - first) days; still-active users are CENSORED at
-    (corpus_end - first). At each churn time t: d_t churn events,
-    n_t users still at risk (duration ≥ t), and
-    S(t) = Π_{s ≤ t} (1 − d_s/n_s), computed as exp(Σ ln factor) with
-    an explicit zero guard (Spark's ln(0) is NULL, DuckDB's is -inf —
-    the CASE keeps both engines off that divergence).
+    """Kaplan-Meier survival estimate with right censoring, on
+    RECURRENT events — time between purchases: each inter-purchase
+    gap is a complete observation; each user's OPEN gap (last purchase
+    → corpus end) is censored, exactly how a retention team estimates
+    "P(next purchase takes > t days)" without the still-open gaps
+    biasing the curve downward. (A wall-clock churn rule labels
+    nobody in this uniformly-active fixture — gap-survival is the
+    non-vacuous, and frankly more common, production question.)
+    At each observed gap length t: d_t completed gaps, n_t gaps still
+    at risk (length ≥ t), S(t) = Π_{s ≤ t} (1 − d_s/n_s) computed as
+    exp(Σ ln factor) with an explicit zero guard (Spark's ln(0) is
+    NULL, DuckDB's is -inf — the CASE keeps both engines off that
+    divergence).
 
-    Scale: everything after the per-user rollup is at DISTINCT-
-    DURATION scale (≤ days-in-corpus rows) — at-risk counts come from
-    a reverse cumulative sum over the duration histogram, not a
-    per-user window; the KM product is a cumulative window over that
-    same tiny table."""
+    Scale: one user-partitioned lead window over purchases, then
+    everything is DISTINCT-GAP-LENGTH scale (≤ days-in-corpus rows) —
+    at-risk counts via a reverse cumulative sum over the gap
+    histogram, never a per-subject window."""
     ev = table(spark, sf_dir, "events")
     anchor = ev.agg(F.max("ts")).head()[0]  # 1-row time anchor
-    per_user = (
-        ev.groupBy("user_id")
-        .agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
-        .select(
-            "user_id",
-            (
-                F.datediff(F.lit(anchor), F.col("last_ts")) > KM_CHURN_GAP
-            ).alias("churned"),
-            F.when(
-                F.datediff(F.lit(anchor), F.col("last_ts")) > KM_CHURN_GAP,
-                F.datediff(F.col("last_ts"), F.col("first_ts")),
-            )
-            .otherwise(F.datediff(F.lit(anchor), F.col("first_ts")))
-            .alias("duration"),
-        )
+    pur = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
     )
-    hist = per_user.groupBy("duration").agg(
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = pur.select(
+        F.lead("ts").over(w).isNotNull().alias("observed"),
+        F.when(
+            F.lead("ts").over(w).isNotNull(),
+            F.datediff(F.lead("ts").over(w), F.col("ts")),
+        )
+        .otherwise(F.datediff(F.lit(anchor), F.col("ts")))
+        .alias("duration"),
+    )
+    hist = gaps.groupBy("duration").agg(
         F.count("*").alias("m"),
-        F.count_if(F.col("churned")).alias("d"),
+        F.count_if(F.col("observed")).alias("d"),
     )
     w_rev = (
         Window.orderBy(F.desc("duration"))
@@ -300,6 +296,10 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, Window.currentRow
     )
     factor = 1 - F.col("d") / F.col("n")
+    # ln argument guarded INSIDE the window term: the outer CASE does
+    # not stop either engine from evaluating the sum's every term, and
+    # ln(0) is NULL in Spark but a hard error in DuckDB
+    safe_log = F.log(F.when(factor > 0, factor).otherwise(F.lit(1.0)))
     return at_risk.select(
         F.col("duration").alias("t"),
         F.col("n").alias("n_at_risk"),
@@ -307,7 +307,7 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.round(
                 F.when(F.min(factor).over(w_cum) == 0, F.lit(0.0)).otherwise(
-                    F.exp(F.sum(F.log(factor)).over(w_cum))
+                    F.exp(F.sum(safe_log).over(w_cum))
                 )
                 + F.lit(1e-9),
                 6,
@@ -2583,21 +2583,23 @@ ORACLE: dict[str, str] = {
     """,
     "q_survival_km": """
         WITH anchor AS (SELECT max(ts) AS a FROM events),
-        per_user AS (
-          SELECT user_id,
-                 date_diff('day', CAST(max(ts) AS DATE),
-                           CAST(anchor.a AS DATE)) > 7 AS churned,
-                 CASE WHEN date_diff('day', CAST(max(ts) AS DATE),
-                                     CAST(anchor.a AS DATE)) > 7
-                      THEN date_diff('day', CAST(min(ts) AS DATE),
-                                     CAST(max(ts) AS DATE))
-                      ELSE date_diff('day', CAST(min(ts) AS DATE),
+        pur AS (
+          SELECT user_id, ts, event_id FROM events
+          WHERE event_type = 'purchase'
+        ), gaps AS (
+          SELECT lead(ts) OVER w IS NOT NULL AS observed,
+                 CASE WHEN lead(ts) OVER w IS NOT NULL
+                      THEN date_diff('day', CAST(ts AS DATE),
+                                     CAST(lead(ts) OVER w AS DATE))
+                      ELSE date_diff('day', CAST(ts AS DATE),
                                      CAST(anchor.a AS DATE)) END AS duration
-          FROM events, anchor GROUP BY user_id, anchor.a
+          FROM pur, anchor
+          WINDOW w AS (PARTITION BY user_id, anchor.a
+                       ORDER BY ts, event_id)
         ), hist AS (
           SELECT duration, count(*) AS m,
-                 count(*) FILTER (WHERE churned) AS d
-          FROM per_user GROUP BY duration
+                 count(*) FILTER (WHERE observed) AS d
+          FROM gaps GROUP BY duration
         ), at_risk AS (
           SELECT duration, d,
                  sum(m) OVER (ORDER BY duration DESC
@@ -2609,8 +2611,10 @@ ORACLE: dict[str, str] = {
                CAST(d AS BIGINT) AS n_churned,
                round(CASE WHEN min(1 - d / CAST(n AS DOUBLE)) OVER w = 0
                           THEN 0.0
-                          ELSE exp(sum(ln(1 - d / CAST(n AS DOUBLE)))
-                                     OVER w) END + 1e-9, 6) + 0.0
+                          ELSE exp(sum(ln(
+                            CASE WHEN 1 - d / CAST(n AS DOUBLE) > 0
+                                 THEN 1 - d / CAST(n AS DOUBLE)
+                                 ELSE 1 END)) OVER w) END + 1e-9, 6) + 0.0
                  AS survival
         FROM at_risk WHERE d > 0
         WINDOW w AS (ORDER BY duration
