@@ -506,6 +506,19 @@ def q_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_pairs(parallelize(docs, spark)).where(
         F.col("est_sim") >= 0.5
     )
+    return star_components(spark, docs.select("doc_id"), pairs)
+
+
+def star_components(
+    spark: SparkSession, nodes: DataFrame, pairs: DataFrame
+) -> DataFrame:
+    """Reusable alternating-star connected components (the q_cc_star
+    loop, extracted): O(log diameter) rounds, safe for the long
+    path-shaped match chains that stall O(diameter) label propagation
+    (the sf1 entity-resolution failure mode — SNM windows chain
+    near-duplicates hundreds deep). ``nodes``: (doc_id); ``pairs``:
+    (doc_a, doc_b). Returns (doc_id, cluster_id = component min)."""
+    spark = _iter_session(spark)
     edges = (
         pairs.select(
             F.least("doc_a", "doc_b").alias("a"),
@@ -571,7 +584,7 @@ def q_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least("mn", F.col("a")).alias("cluster_id"),
     )
     return (
-        docs.select("doc_id")
+        nodes.select("doc_id")
         .join(labels, "doc_id", "left")
         .select(
             "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")

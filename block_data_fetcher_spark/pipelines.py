@@ -498,23 +498,26 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     the individual operators only demonstrate in pieces: (1) BLOCK
     with Sorted Neighborhood (q_fuzzy_match's lead-window candidates,
     N·W by construction), (2) SCORE candidates by edit distance, (3)
-    take scoring pairs as MATCH edges, (4) CLUSTER them with min-label
-    connected components (the q_dup_clusters loop, reused via
-    min_label_components), (5) emit one GOLDEN RECORD per multi-member
-    entity: canonical id (= component min), member count, and how many
-    languages the duplicates span.
+    take scoring pairs as MATCH edges, (4) CLUSTER them with
+    alternating-star connected components (star_components — NOT the
+    min-label loop: SNM edges are sort-ADJACENCY, so match components
+    are long PATHS whose diameter grows with the corpus, and label
+    propagation's O(diameter) rounds hit its round cap at sf1 while
+    star rounds square paths away in O(log L)), (5) emit one GOLDEN
+    RECORD per multi-member entity: canonical id (= component min),
+    member count, and how many languages the duplicates span.
 
     Scale: every stage is one of the already-plan-audited shapes —
     sort-window candidates (no join), JVM levenshtein, checkpointed
-    O(diameter) label rounds, one dimension-sized rollup. The DuckDB
-    oracle replays the identical chain: the SNM SQL feeding a
+    O(log diameter) star rounds, one dimension-sized rollup. The
+    DuckDB oracle replays the identical chain: the SNM SQL feeding a
     recursive-CTE closure."""
-    from .functions.hashing import min_label_components
+    from .functions.hashing import star_components
     from .functions.text import q_fuzzy_match
 
     docs = table(spark, sf_dir, "documents")
     pairs = q_fuzzy_match(spark, sf_dir).select("doc_a", "doc_b")
-    labels = min_label_components(spark, docs.select("doc_id"), pairs)
+    labels = star_components(spark, docs.select("doc_id"), pairs)
     return (
         labels.join(docs.select("doc_id", "lang"), "doc_id")
         .groupBy("cluster_id")
