@@ -375,12 +375,16 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     switching user expects: per column of ``events``, null count,
     approx-free exact distinct count, min/max (as strings for the
     uniform schema), and the most frequent value with its count
-    (deterministic tie-break on the value itself). ONE pass over the
-    table computes all numeric facets map-side (the per-column
-    aggregates fuse into a single HashAggregate); the mode per column
-    comes from per-column (value, count) rollups over the REDUCED
-    distinct tables. At 100 TB the same plan is how profilers
-    (Deequ-style) collect column statistics."""
+    (deterministic tie-break on the value itself). Two jobs total:
+    one cheap fused HashAggregate for count/min/max (NO
+    count_distinct — a 4-way multi-distinct expands the input 4x),
+    and ONE (column, value) rollup that serves BOTH the distinct
+    counts and the modes: n_distinct is just count(*) over that
+    table, so the expensive shuffle is paid once and reused. At
+    100 TB the same plan is how profilers (Deequ-style) collect
+    column statistics — with high-cardinality columns switched to
+    approximate sketches, which this exact-oracle variant keeps
+    honest."""
     ev = table(spark, sf_dir, "events")
     cols = ["event_id", "user_id", "event_type", "value"]
     facets = ev.agg(
@@ -390,35 +394,55 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in cols
             for e in (
                 F.count_if(F.col(c).isNull()).alias(f"{c}__nulls"),
-                F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
                 F.min(F.col(c)).cast("string").alias(f"{c}__min"),
                 F.max(F.col(c)).cast("string").alias(f"{c}__max"),
             )
         ],
     ).head()
-    modes = []
-    for c in cols:
-        m = (
-            ev.groupBy(F.col(c).cast("string").alias("v"))
-            .count()
-            .orderBy(F.desc("count"), F.asc("v"))
-            .select(
-                F.lit(c).alias("column"),
-                F.col("v").alias("top_value"),
-                F.col("count").alias("top_count"),
-            )
-            .limit(1)
-        )
-        modes.append(m)
+    # all four modes in ONE job: union the (column, value) pairs,
+    # count once, rank-1 per column via a row_number window — the
+    # rn=1 filter plans as WindowGroupLimit (map-side top-1 per
+    # group), vs the naive per-column sort+limit jobs (4 full
+    # shuffles; measured 25 s at sf1 against ~6 s for this shape; a
+    # production profiler would switch the high-cardinality columns
+    # to an approximate top-k sketch entirely)
     from functools import reduce
 
-    mode_df = reduce(lambda a, b: a.unionByName(b), modes)
+    pairs = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            ev.select(
+                F.lit(c).alias("column"),
+                F.col(c).cast("string").alias("v"),
+            )
+            for c in cols
+        ],
+    )
+    w_mode = Window.partitionBy("column").orderBy(
+        F.desc("count"), F.asc("v")
+    )
+    counts = pairs.groupBy("column", "v").count().localCheckpoint(
+        eager=False
+    )  # reused by mode AND n_distinct — the one expensive shuffle
+    mode_df = (
+        counts.withColumn("rn", F.row_number().over(w_mode))
+        .where(F.col("rn") == 1)
+        .select(
+            "column",
+            F.col("v").alias("top_value"),
+            F.col("count").alias("top_count"),
+        )
+    ).join(
+        counts.groupBy("column").agg(
+            F.count("*").cast("long").alias("n_distinct")
+        ),
+        "column",
+    )
     rows = [
         (
             c,
             int(facets["_n"]),
             int(facets[f"{c}__nulls"]),
-            int(facets[f"{c}__distinct"]),
             str(facets[f"{c}__min"]),
             str(facets[f"{c}__max"]),
         )
@@ -426,10 +450,19 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     base = spark.createDataFrame(
         rows,
-        "column string, n_rows bigint, n_nulls bigint, n_distinct bigint,"
+        "column string, n_rows bigint, n_nulls bigint,"
         " min_value string, max_value string",
     )
-    return base.join(mode_df, "column")
+    return base.join(mode_df, "column").select(
+        "column",
+        "n_rows",
+        "n_nulls",
+        "n_distinct",
+        "min_value",
+        "max_value",
+        "top_value",
+        "top_count",
+    )
 
 
 DEAD_LETTER_MOD = 13  # every 13th event's props is corrupted in transit
