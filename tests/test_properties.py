@@ -758,3 +758,49 @@ def test_fuzzy_snm_invariants(spark, texts):
         for a, b in zip(ids, ids[1:]):
             if ids.index(b) - ids.index(a) <= FUZZY_WINDOW:
                 assert (a, b) in got, (a, b, pairs)
+
+
+def test_star_components_handles_long_paths(spark):
+    """The regression behind the sf1 entity-resolution failure: on a
+    PATH graph of length L, min-label propagation needs L rounds (and
+    raises at its cap) while alternating-star converges in O(log L)
+    — and both must agree with the ground truth on graphs where the
+    label loop still converges."""
+    import pytest
+
+    from block_data_fetcher_spark.functions.hashing import (
+        min_label_components,
+        star_components,
+    )
+
+    # path 0-1-2-...-39 plus isolated nodes 40..44
+    edges = [(i, i + 1) for i in range(39)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(45)], "doc_id long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in star_components(spark, nodes, pairs).collect()
+    }
+    want = {i: 0 for i in range(40)} | {i: i for i in range(40, 45)}
+    assert got == want
+
+    # the label loop's documented failure mode on the same input
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        min_label_components(spark, nodes, pairs)
+
+    # and agreement on a shallow graph (where both are valid)
+    shallow = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "doc_a long, doc_b long"
+    )
+    n2 = spark.createDataFrame([(i,) for i in range(13)], "doc_id long")
+    a = {
+        r["doc_id"]: r["cluster_id"]
+        for r in star_components(spark, n2, shallow).collect()
+    }
+    b = {
+        r["doc_id"]: r["cluster_id"]
+        for r in min_label_components(spark, n2, shallow).collect()
+    }
+    assert a == b

@@ -463,3 +463,36 @@ def test_compaction_file_counts_and_plan(spark, sf_dir):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_vacuum_preserves_cow_shared_files(spark, sf_dir, tmp_path):
+    """Expiring v1 must delete ONLY files no surviving manifest
+    references: the COW buckets v2 reuses from v1 stay on disk and
+    the v2 snapshot still reads identically."""
+    import os
+
+    from block_data_fetcher_spark.storage import (
+        build_versioned_table,
+        vacuum_versions,
+    )
+
+    base = str(tmp_path / "versioned")
+    manifests = build_versioned_table(spark, sf_dir, base)
+    before = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.read.parquet(*manifests[2]).collect()
+    }
+    shared = set(manifests[1]) & set(manifests[2])
+    dead = set(manifests[1]) - set(manifests[2])
+    assert shared and dead  # COW actually shared some files, expired one
+    n = vacuum_versions(base, manifests, keep=2)
+    assert n == len(dead)
+    for f in shared:
+        assert os.path.exists(f), f"shared file deleted: {f}"
+    for f in dead:
+        assert not os.path.exists(f), f"expired file survived: {f}"
+    after = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.read.parquet(*manifests[2]).collect()
+    }
+    assert after == before
