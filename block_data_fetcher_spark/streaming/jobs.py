@@ -607,6 +607,88 @@ def q_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data DROP accounting — the watermark behavior none of the
+    single-batch streams can exercise, pinned to Spark's ACTUAL state
+    lifecycle (measured here, not the folklore version): a late row is
+    NOT dropped merely because its event time is behind the watermark
+    — it still merges as long as its window's state row exists; it is
+    dropped only once that window was EVICTED in a prior batch. So
+    the corpus streams as THREE micro-batches (mtime-pinned order):
+    (0) 90% on-time rows; (1) half the stragglers — these land behind
+    the watermark but BEFORE eviction runs, so they merge (Spark
+    reported numRowsDroppedByWatermark=0 for this batch) and the
+    batch's end-of-batch eviction emits every window closed under
+    wm01 = ms-floored max(batch0∪batch1 ts) − 2 days; (2) the other
+    half — now their windows are gone and they are dropped
+    (numRowsDroppedByWatermark=27 in the probe), except rows whose
+    window is still open. The availableNow terminal flush then emits
+    anything closed by the final watermark.
+
+    Every quantity is deterministic, and the oracle reproduces the
+    exact lifecycle arithmetic (both watermarks, the merge-vs-drop
+    split, the emission horizon). At 100 TB this is the dashboard
+    that tells you what your watermark delay actually costs in
+    dropped events — and the semantics note ("late" ≠ dropped until
+    eviction) is the difference between a correct and a
+    plausible-but-wrong reconciliation job."""
+    import glob
+    import shutil
+
+    from ..catalog import table as _table
+
+    ev = _table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    root = tempfile.mkdtemp(prefix="stream_late_")
+    for name, part, mtime in (
+        ("a_ontime", F.col("event_id") % 10 != 0, 1_000_000_000),
+        (
+            "b_merge",
+            (F.col("event_id") % 10 == 0) & (F.col("event_id") % 20 == 0),
+            1_000_000_100,
+        ),
+        (
+            "c_dropped",
+            (F.col("event_id") % 10 == 0) & (F.col("event_id") % 20 != 0),
+            1_000_000_200,
+        ),
+    ):
+        d = os.path.join(root, "_" + name)
+        ev.where(part).coalesce(1).write.parquet(d)
+        src = glob.glob(os.path.join(d, "part-*.parquet"))[0]
+        dst = os.path.join(root, f"{name}_events.parquet")
+        shutil.move(src, dst)
+        os.utime(dst, (mtime, mtime))
+        shutil.rmtree(d)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp_ntz, user_id long,"
+            " event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .option("pathGlobFilter", "*_events.parquet")
+        .parquet(root)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "2 days")
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("value") + F.lit(1e-9), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("day"), "cnt", "sum_value")
+    )
+    out = _run_to_memory(agg, "stream_late", "append")
+    out = out.cache()
+    out.count()
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def q_stream_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming QUANTILE maintenance — the streaming twin of
     q_quantile_merge and the third member of the incremental-sink
@@ -859,6 +941,45 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ..operators import windows as _batch_windows  # noqa: E402
 
 ORACLE: dict[str, str] = {
+    "q_stream_late_data": """
+        -- Spark's measured state lifecycle: batch-1 stragglers MERGE
+        -- (state still live), eviction at end of batch 1 closes
+        -- windows under wm01 = ms-floored max(batch0 u batch1) - 2d,
+        -- batch-2 stragglers into those evicted windows DROP, and the
+        -- terminal flush emits windows closed under the final
+        -- watermark (ms-floored global max - 2d)
+        WITH a AS (
+          SELECT ts, value FROM events WHERE event_id % 10 <> 0
+        ), b AS (
+          SELECT ts, value FROM events
+          WHERE event_id % 20 = 0
+        ), c AS (
+          SELECT ts, value FROM events
+          WHERE event_id % 10 = 0 AND event_id % 20 <> 0
+        ), wm01 AS (
+          SELECT make_timestamp(epoch_ms(max(ts)) * 1000)
+                 - INTERVAL 2 DAY AS w
+          FROM (SELECT ts FROM a UNION ALL SELECT ts FROM b)
+        ), wmf AS (
+          SELECT make_timestamp(epoch_ms(max(ts)) * 1000)
+                 - INTERVAL 2 DAY AS w
+          FROM events
+        ), counted AS (
+          SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, value
+          FROM a
+          UNION ALL
+          SELECT CAST(date_trunc('day', ts) AS TIMESTAMP), value FROM b
+          UNION ALL
+          SELECT CAST(date_trunc('day', ts) AS TIMESTAMP), value
+          FROM c, wm01
+          WHERE date_trunc('day', ts) + INTERVAL 1 DAY > wm01.w
+        )
+        SELECT day, count(*) AS cnt,
+               round(sum(value) + 1e-9, 2) AS sum_value
+        FROM counted, wmf
+        WHERE day + INTERVAL 1 DAY <= wmf.w
+        GROUP BY day
+    """,
     "q_stream_quantile": """
         WITH b AS (
           SELECT event_type,
