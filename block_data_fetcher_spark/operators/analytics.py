@@ -247,6 +247,101 @@ def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition (the moving-average STL
+    ancestor) of the daily revenue series: trend = 7-day centered
+    moving average, seasonal = day-of-week mean of the detrended
+    series, residual = the rest. The reduce-first shape matters:
+    events aggregate to ONE row per day before any window — the
+    decomposition windows run over a days-in-corpus-sized table, so
+    at 100 TB the expensive part is a plain map-side-combinable
+    rollup and the time-series math is free. Edge days use the
+    partial centered window (rows between -3 and 3 over what exists),
+    identically in both engines."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum("value").alias("revenue")
+    )
+    w_ma = Window.orderBy("day").rowsBetween(-3, 3)
+    t = daily.select(
+        "day", "revenue", F.avg("revenue").over(w_ma).alias("trend")
+    ).withColumn("detrended", F.col("revenue") - F.col("trend"))
+    w_dow = Window.partitionBy(F.dayofweek("day"))
+    s = t.withColumn("seasonal", F.avg("detrended").over(w_dow))
+    return s.select(
+        "day",
+        (F.round(F.col("revenue") + F.lit(1e-9), 2) + 0.0).alias("revenue"),
+        (F.round(F.col("trend") + F.lit(1e-9), 4) + 0.0).alias("trend"),
+        (F.round(F.col("seasonal") + F.lit(1e-9), 4) + 0.0).alias(
+            "seasonal"
+        ),
+        (
+            F.round(
+                F.col("detrended") - F.col("seasonal") + F.lit(1e-9), 4
+            )
+            + 0.0
+        ).alias("residual"),
+    )
+
+
+CUPED_SPLIT = "2024-01-16"  # pre-period / experiment-period boundary
+
+
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM'13) — the
+    experimentation-platform op that cuts A/B test runtimes: each
+    user's PRE-period spend is a covariate for their experiment-period
+    spend; the adjusted metric post − θ·(pre − mean(pre)) with
+    θ = cov(pre, post)/var(pre) has the same mean but strictly lower
+    variance whenever pre correlates with post. Variants are the
+    deterministic user_id % 2 split; the report shows, per variant,
+    the raw and adjusted means and the variance-reduction ratio the
+    covariate bought.
+
+    Scale: two conditional aggregates per user (one shuffle), then θ
+    and the means come from ONE pooled moment aggregate (covar_pop /
+    var_pop are algebraic — map-side partials), broadcast back as a
+    1-row cross join. Nothing beyond |users| rows ever shuffles.
+    Floats follow the q_stats_agg stance: round(±1e-9, 4) on both
+    engines because distributed moment merges perturb last bits."""
+    ev = table(spark, sf_dir, "events")
+    split = F.lit(CUPED_SPLIT).cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("ts") < split, F.col("value"))), F.lit(0.0)
+        ).alias("pre"),
+        F.coalesce(
+            F.sum(F.when(F.col("ts") >= split, F.col("value"))), F.lit(0.0)
+        ).alias("post"),
+    )
+    pooled = per_user.agg(
+        (F.covar_pop("pre", "post") / F.var_pop("pre")).alias("theta"),
+        F.avg("pre").alias("pre_mean"),
+    )
+    adj = per_user.crossJoin(F.broadcast(pooled)).select(
+        (F.col("user_id") % 2).alias("variant"),
+        "post",
+        (
+            F.col("post")
+            - F.col("theta") * (F.col("pre") - F.col("pre_mean"))
+        ).alias("adjusted"),
+    )
+    return adj.groupBy("variant").agg(
+        F.count("*").alias("n_users"),
+        (F.round(F.avg("post") + F.lit(1e-9), 4) + 0.0).alias("mean_post"),
+        (F.round(F.avg("adjusted") + F.lit(1e-9), 4) + 0.0).alias(
+            "mean_adjusted"
+        ),
+        (
+            F.round(
+                1 - F.var_pop("adjusted") / F.var_pop("post") + F.lit(1e-9),
+                4,
+            )
+            + 0.0
+        ).alias("var_reduction"),
+    )
+
+
 def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier survival estimate with right censoring, on
     RECURRENT events — time between purchases: each inter-purchase
@@ -2613,6 +2708,54 @@ ORACLE: dict[str, str] = {
                count(*) AS n
         FROM steps WHERE e2 IS NOT NULL AND e3 IS NOT NULL
         GROUP BY 1 ORDER BY n DESC, path ASC LIMIT {PATHS_TOP}
+    """,
+    "q_seasonality": """
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS day, sum(value) AS revenue
+          FROM events GROUP BY 1
+        ), t AS (
+          SELECT day, revenue,
+                 avg(revenue) OVER (ORDER BY day
+                                    ROWS BETWEEN 3 PRECEDING
+                                             AND 3 FOLLOWING) AS trend
+          FROM daily
+        ), d AS (
+          SELECT *, revenue - trend AS detrended FROM t
+        ), s AS (
+          SELECT *, avg(detrended)
+                      OVER (PARTITION BY dayofweek(day)) AS seasonal
+          FROM d
+        )
+        SELECT day,
+               round(revenue + 1e-9, 2) + 0.0 AS revenue,
+               round(trend + 1e-9, 4) + 0.0 AS trend,
+               round(seasonal + 1e-9, 4) + 0.0 AS seasonal,
+               round(detrended - seasonal + 1e-9, 4) + 0.0 AS residual
+        FROM s
+    """,
+    "q_cuped": """
+        WITH per_user AS (
+          SELECT user_id,
+                 coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                                   THEN value END), 0.0) AS pre,
+                 coalesce(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                                   THEN value END), 0.0) AS post
+          FROM events GROUP BY user_id
+        ), pooled AS (
+          SELECT covar_pop(pre, post) / var_pop(pre) AS theta,
+                 avg(pre) AS pre_mean
+          FROM per_user
+        ), adj AS (
+          SELECT user_id % 2 AS variant, post,
+                 post - pooled.theta * (pre - pooled.pre_mean) AS adjusted
+          FROM per_user, pooled
+        )
+        SELECT variant, count(*) AS n_users,
+               round(avg(post) + 1e-9, 4) + 0.0 AS mean_post,
+               round(avg(adjusted) + 1e-9, 4) + 0.0 AS mean_adjusted,
+               round(1 - var_pop(adjusted) / var_pop(post) + 1e-9, 4) + 0.0
+                 AS var_reduction
+        FROM adj GROUP BY variant
     """,
     "q_survival_km": """
         WITH anchor AS (SELECT max(ts) AS a FROM events),
