@@ -687,7 +687,12 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     (R, F, M) cell. The workhorse of lifecycle marketing, expressed as
     one user rollup + three rank windows over the REDUCED per-user
     table — the windows sort |users| rows, not |events| (the same
-    reduce-first stance as the drift statistics).
+    reduce-first stance as the drift statistics). Scale honesty: an
+    unpartitioned ntile is a single-task sort; at 10^9 users each cut
+    becomes the two-phase bucket-local rank + summary carry that
+    q_equidepth_bins already implements (identical quartile labels,
+    distributed sort) — at the fixture's user cardinality the direct
+    window is the faster plan.
 
     Determinism: every ntile orders by (metric, user_id) so quartile
     boundaries are stable; the anchor 'now' is the corpus max ts (a
