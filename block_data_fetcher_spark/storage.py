@@ -663,6 +663,83 @@ def q_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PE_SPLIT = "2024-01-16"  # layout change date: daily before, monthly after
+
+
+def q_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec EVOLUTION — the Iceberg capability plain hive
+    layouts lack, built from primitives: history landed day-partitioned
+    proves too granular, so from 2024-01-16 the table switches to
+    week partitions WITHOUT rewriting history. Old files stay under
+    event_date=..., new files land under event_week=...; a reader
+    view unions the two layouts behind one schema, and a time-range
+    query prunes in BOTH (PartitionFilters on each branch — asserted
+    in tests/test_storage.py). The aggregate over the union proves the
+    two-spec table is lossless; the oracle recomputes it from raw.
+
+    At 100 TB this is the difference between a metadata-only spec
+    change and a multi-day table rewrite: evolution costs zero data
+    bytes, and every query pays only the pruning predicate translation
+    (here: date range → day dirs on one side, week dirs on the
+    other)."""
+    import os
+
+    from .catalog import table
+
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "spark-warehouse",
+        "storage",
+        "events_evolving_spec",
+    )
+    ev = with_event_date(table(spark, sf_dir, "events"))
+    split = F.lit(PE_SPLIT).cast("date")
+    old = ev.where(F.col("event_date") < split)
+    new = ev.where(F.col("event_date") >= split).withColumn(
+        "event_week", F.weekofyear("event_date")
+    )
+    write_partitioned(
+        repartition_for_write(old, ["event_date"]),
+        os.path.join(base, "daily"),
+        ["event_date"],
+    )
+    write_partitioned(
+        repartition_for_write(new, ["event_week"]),
+        os.path.join(base, "weekly"),
+        ["event_week"],
+    )
+    daily = spark.read.parquet(os.path.join(base, "daily"))
+    weekly = spark.read.parquet(os.path.join(base, "weekly"))
+    # the reader view: one logical table over both specs; the range
+    # predicate lands as a PartitionFilter on event_date for history
+    # and as an event_week filter (translated from the same range)
+    # for the new layout
+    lo, hi = "2024-01-10", "2024-01-20"
+    lo_week = spark.sql(
+        f"SELECT weekofyear(DATE'{PE_SPLIT}') AS w"
+    ).head()["w"]
+    part_old = daily.where(
+        (F.col("event_date") >= F.lit(lo).cast("date"))
+        & (F.col("event_date") <= F.lit(hi).cast("date"))
+    ).select("event_type", "value", "event_date")
+    part_new = (
+        weekly.where(F.col("event_week") >= F.lit(int(lo_week)))
+        .where(
+            (F.col("event_date") >= F.lit(lo).cast("date"))
+            & (F.col("event_date") <= F.lit(hi).cast("date"))
+        )
+        .select("event_type", "value", "event_date")
+    )
+    return (
+        part_old.unionByName(part_new)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value") + F.lit(1e-9), 2).alias("sum_value"),
+        )
+    )
+
+
 def q_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pseudonymization with referential integrity — the GDPR
     data-minimization twin of q_gdpr_erasure's deletion: user_id is
@@ -833,6 +910,14 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE: dict[str, str] = {
+    "q_partition_evolution": """
+        SELECT event_type, count(*) AS n,
+               round(sum(value) + 1e-9, 2) AS sum_value
+        FROM events
+        WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10'
+                                   AND DATE '2024-01-20'
+        GROUP BY event_type
+    """,
     "q_vacuum": f"""
         -- the surviving (current) snapshot, recomputed from raw
         -- events; exactly ONE file expires (v1's bucket-0, the only

@@ -496,3 +496,37 @@ def test_vacuum_preserves_cow_shared_files(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(*manifests[2]).collect()
     }
     assert after == before
+
+
+def test_partition_evolution_prunes_both_specs(spark, sf_dir):
+    """The evolved table must prune in BOTH layouts: the history
+    branch by event_date directories, the new branch by event_week
+    directories — a range query never lists non-matching partitions
+    of either spec."""
+    import os
+
+    from block_data_fetcher_spark import api
+    from block_data_fetcher_spark.plans.explain import formatted_plan
+
+    import block_data_fetcher_spark.storage as storage_mod
+
+    api.queries()["q_partition_evolution"](spark, sf_dir).collect()
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(storage_mod.__file__))),
+        "spark-warehouse",
+        "storage",
+        "events_evolving_spec",
+    )
+    from pyspark.sql import functions as F
+
+    daily = spark.read.parquet(os.path.join(root, "daily")).where(
+        (F.col("event_date") >= F.lit("2024-01-10").cast("date"))
+        & (F.col("event_date") <= F.lit("2024-01-15").cast("date"))
+    )
+    plan_d = formatted_plan(daily)
+    assert "PartitionFilters" in plan_d and "event_date" in plan_d
+    weekly = spark.read.parquet(os.path.join(root, "weekly")).where(
+        F.col("event_week") >= F.lit(3)
+    )
+    plan_w = formatted_plan(weekly)
+    assert "PartitionFilters" in plan_w and "event_week" in plan_w
