@@ -502,12 +502,16 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style frame sampling through the Arrow `mapInPandas`
-    plumbing (rows-only check — the 1→N fan-out and byte slicing are
-    unit-tested against plain Python in tests/test_multimodal.py):
-    per media item, the sampled frame count, the max frame index, and
-    the total sampled bytes. The decode step is the deterministic STUB
-    (no codecs in this container); schema, batching, and fan-out shape
-    are the real scale path."""
+    plumbing: per media item, the sampled frame count, the max frame
+    index, and the total sampled bytes. The payload slicer stands in
+    for a real frame decoder (no video codecs in this container), but
+    the fan-out arithmetic is fully checkable — promoted from
+    rows-only to a FULL oracle in round 4: DuckDB recomputes
+    ceil(payload_bytes/64) frames and the byte totals from the same
+    deterministic payloads, so the 1→N fan-out, the tail-frame
+    handling, and the byte accounting all hash-match (byte slicing is
+    additionally unit-tested against plain Python in
+    tests/test_multimodal.py)."""
     media = synth_media(spark, sf_dir)
     frames = frame_sample(media, every=64)
     return frames.groupBy("media_id").agg(
@@ -613,6 +617,18 @@ ORACLE: dict[str, str] = {
         -- byte-identical grouping (DuckDB's md5 takes no BLOB)
         SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         FROM documents GROUP BY text
+    """,
+    "q_media_framesample": """
+        -- payload = utf-8 text bytes sliced every 64: the fan-out
+        -- arithmetic is exact (no empty docs in the fixtures)
+        SELECT doc_id AS media_id,
+               CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT)
+                 AS n_frames,
+               CAST(ceil(octet_length(encode(text)) / 64.0) - 1
+                    AS INTEGER) AS max_idx,
+               CAST(octet_length(encode(text)) AS BIGINT)
+                 AS sampled_bytes
+        FROM documents
     """,
     "q_multimodal_meta": """
         SELECT CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
