@@ -884,7 +884,16 @@ def q_stream_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     within the watermark| × 16 B no matter how large the documents
     are. At 100 TB the same job curates a landing zone continuously;
     the batch twin's LSH near-dup stage stays a periodic batch job
-    (all-pairs banding needs the full corpus, not a stream prefix)."""
+    (all-pairs banding needs the full corpus, not a stream prefix).
+
+    FULL oracle since round 4 — by projection design: which duplicate
+    survives dropDuplicatesWithinWatermark is arrival-order-dependent
+    (shuffle-iterator order), so the query emits ONLY columns
+    functionally determined by the text itself (digest, quality,
+    token count) — identical for every member of a dup group, making
+    the output winner-invariant and value-hash-checkable. Consumers
+    needing a canonical doc_id per group use the batch pipeline's
+    deterministic lowest-id rule (q_corpus_curate)."""
     from ..functions.text import quality_score, token_count
 
     raw = (
@@ -904,8 +913,7 @@ def q_stream_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("text_hash", F.md5("text"))
         .dropDuplicatesWithinWatermark(["text_hash"])
         .select(
-            "doc_id",
-            "lang",
+            "text_hash",
             "quality",
             token_count("text").alias("n_tokens"),
         )
@@ -940,7 +948,17 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from ..operators import windows as _batch_windows  # noqa: E402
 
+from ..functions.text import quality_sql as _quality_sql  # noqa: E402
+
 ORACLE: dict[str, str] = {
+    "q_stream_curate": f"""
+        -- winner-invariant projection: every column is a function of
+        -- the TEXT, so whichever dup survives, the row is identical
+        SELECT DISTINCT md5(text) AS text_hash, quality,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM ({_quality_sql('documents')})
+        WHERE quality >= 0.5
+    """,
     "q_stream_late_data": """
         -- Spark's measured state lifecycle: batch-1 stragglers MERGE
         -- (state still live), eviction at end of batch 1 closes

@@ -90,22 +90,20 @@ def test_stream_curate_matches_batch_gate_and_dedup(spark, sf_dir):
     docs = table(spark, sf_dir, "documents").withColumn(
         "quality", quality_score("text")
     )
-    # compare surviving TEXTS, not doc_ids: both sides keep one row
-    # per distinct text but may pick different winners in a dup group
+    # compare surviving text DIGESTS: since round 4 the stream emits
+    # only winner-invariant columns (which dup survives is arrival-
+    # order-dependent; the digest identifies the group either way)
     curated = q_stream_curate(spark, sf_dir)
-    stream_texts = {
-        r.text
-        for r in curated.join(docs, "doc_id").select(docs.text).collect()
-    }
-    batch_texts = {
-        r.text
+    stream_hashes = {r.text_hash for r in curated.collect()}
+    batch_hashes = {
+        r.h
         for r in docs.where(F.col("quality") >= 0.5)
-        .select("text")
+        .select(F.md5("text").alias("h"))
         .distinct()
         .collect()
     }
-    assert curated.count() == len(stream_texts)  # one survivor per text
-    assert stream_texts == batch_texts
+    assert curated.count() == len(stream_hashes)  # one survivor per text
+    assert stream_hashes == batch_hashes
 
 
 def test_stream_stream_join_matches_batch_self_join(spark, sf_dir):
