@@ -247,6 +247,150 @@ def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting — the product-analytics ledger every
+    startup dashboard leads with: per week, users split into NEW
+    (first week ever seen), RETAINED (active this week and last),
+    RESURRECTED (active this week, not last, seen before), and the
+    week's CHURNED (active last week, not this). The identity
+    active_w = new + retained + resurrected is enforced by
+    construction and makes a great data-quality tripwire.
+
+    Scale: events reduce to the distinct (user, week) activity table
+    first; lag over each user's week sequence classifies transitions
+    — one shuffle on user_id over the reduced table, then a
+    dimension-sized weekly rollup."""
+    ev = table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.weekofyear("ts").alias("week")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("week")
+    flagged = uw.select(
+        "user_id",
+        "week",
+        F.lag("week").over(w).alias("prev_week"),
+        F.min("week").over(
+            Window.partitionBy("user_id")
+        ).alias("first_week"),
+        F.lead("week").over(w).alias("next_week"),
+    )
+    status = flagged.select(
+        "week",
+        F.when(F.col("week") == F.col("first_week"), "new")
+        .when(F.col("prev_week") == F.col("week") - 1, "retained")
+        .otherwise("resurrected")
+        .alias("status"),
+        # this user churns AFTER this week if the next active week
+        # isn't the immediately following one
+        (
+            F.col("next_week").isNull()
+            | (F.col("next_week") > F.col("week") + 1)
+        ).alias("churns_after"),
+    )
+    return status.groupBy("week").agg(
+        F.count("*").alias("active"),
+        F.count_if(F.col("status") == "new").alias("new_users"),
+        F.count_if(F.col("status") == "retained").alias("retained"),
+        F.count_if(F.col("status") == "resurrected").alias("resurrected"),
+        F.count_if(F.col("churns_after")).alias("churning_after"),
+    )
+
+
+def q_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day — the growth curve: naive
+    cumulative COUNT(DISTINCT) over an expanding window re-counts the
+    whole prefix per day; the scalable identity is that a user adds to
+    the cumulative count only on their FIRST day, so the curve is a
+    running sum over the first-seen-day histogram — one user rollup +
+    one |days|-sized prefix sum."""
+    ev = table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    per_day = first_seen.groupBy("first_day").agg(
+        F.count("*").alias("new_users")
+    )
+    w = Window.orderBy("first_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_day.select(
+        F.col("first_day").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    )
+
+
+def q_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent OLAP report: revenue per (region, nation) with
+    each nation's share of its region and of the global total — two
+    window sums over the dimension-sized rollup (the heavy work is
+    one fact aggregate; the shares are free)."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "_rev"
+            )
+        )
+    )
+    w_r = Window.partitionBy("r_name")
+    w_g = Window.partitionBy()
+    return rev.select(
+        "r_name",
+        "n_name",
+        (F.round(F.col("_rev") + F.lit(1e-9), 2) + 0.0).alias("revenue"),
+        (
+            F.round(F.col("_rev") / F.sum("_rev").over(w_r) * 100 + F.lit(1e-9), 4)
+            + 0.0
+        ).alias("pct_of_region"),
+        (
+            F.round(F.col("_rev") / F.sum("_rev").over(w_g) * 100 + F.lit(1e-9), 4)
+            + 0.0
+        ).alias("pct_of_total"),
+    )
+
+
+TOPK_OTHERS_K = 3
+
+
+def q_topk_others(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K plus OTHERS — the reporting idiom dashboards need (a pie
+    chart with a long tail): top-3 event types by revenue keep their
+    name, the tail folds into one 'other' row, totals preserved. Rank
+    over the dimension-sized rollup, then one re-aggregate."""
+    ev = table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.sum("value").alias("_rev"), F.count("*").alias("_n")
+    )
+    w = Window.orderBy(F.desc("_rev"), F.asc("event_type"))
+    ranked = per_type.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.select(
+            F.when(F.col("rn") <= TOPK_OTHERS_K, F.col("event_type"))
+            .otherwise(F.lit("other"))
+            .alias("bucket"),
+            "_rev",
+            "_n",
+        )
+        .groupBy("bucket")
+        .agg(
+            (F.round(F.sum("_rev") + F.lit(1e-9), 2) + 0.0).alias("revenue"),
+            F.sum("_n").alias("n_events"),
+        )
+    )
+
+
 def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classical seasonal decomposition (the moving-average STL
     ancestor) of the daily revenue series: trend = 7-day centered
@@ -2713,6 +2857,84 @@ ORACLE: dict[str, str] = {
                count(*) AS n
         FROM steps WHERE e2 IS NOT NULL AND e3 IS NOT NULL
         GROUP BY 1 ORDER BY n DESC, path ASC LIMIT {PATHS_TOP}
+    """,
+    "q_growth_accounting": """
+        WITH uw AS (
+          SELECT DISTINCT user_id, CAST(weekofyear(ts) AS INTEGER) AS week
+          FROM events
+        ), flagged AS (
+          SELECT week,
+                 lag(week) OVER (PARTITION BY user_id ORDER BY week)
+                   AS prev_week,
+                 min(week) OVER (PARTITION BY user_id) AS first_week,
+                 lead(week) OVER (PARTITION BY user_id ORDER BY week)
+                   AS next_week
+          FROM uw
+        ), status AS (
+          SELECT week,
+                 CASE WHEN week = first_week THEN 'new'
+                      WHEN prev_week = week - 1 THEN 'retained'
+                      ELSE 'resurrected' END AS status,
+                 (next_week IS NULL OR next_week > week + 1)
+                   AS churns_after
+          FROM flagged
+        )
+        SELECT week, count(*) AS active,
+               count(*) FILTER (WHERE status = 'new') AS new_users,
+               count(*) FILTER (WHERE status = 'retained') AS retained,
+               count(*) FILTER (WHERE status = 'resurrected')
+                 AS resurrected,
+               count(*) FILTER (WHERE churns_after) AS churning_after
+        FROM status GROUP BY week
+    """,
+    "q_cumulative_users": """
+        WITH first_seen AS (
+          SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+          FROM events GROUP BY user_id
+        ), per_day AS (
+          SELECT first_day, count(*) AS new_users
+          FROM first_seen GROUP BY first_day
+        )
+        SELECT first_day AS day, new_users,
+               sum(new_users) OVER (ORDER BY first_day
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW)
+                 AS cumulative_users
+        FROM per_day
+    """,
+    "q_share_of_total": """
+        WITH rev AS (
+          SELECT r.r_name, n.n_name,
+                 sum(l.l_extendedprice * (1 - l.l_discount)) AS _rev
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          JOIN region r ON n.n_regionkey = r.r_regionkey
+          GROUP BY r.r_name, n.n_name
+        )
+        SELECT r_name, n_name,
+               round(_rev + 1e-9, 2) + 0.0 AS revenue,
+               round(_rev / sum(_rev) OVER (PARTITION BY r_name) * 100
+                     + 1e-9, 4) + 0.0 AS pct_of_region,
+               round(_rev / sum(_rev) OVER () * 100 + 1e-9, 4) + 0.0
+                 AS pct_of_total
+        FROM rev
+    """,
+    "q_topk_others": """
+        WITH per_type AS (
+          SELECT event_type, sum(value) AS _rev, count(*) AS _n
+          FROM events GROUP BY event_type
+        ), ranked AS (
+          SELECT *, row_number() OVER (ORDER BY _rev DESC,
+                                       event_type ASC) AS rn
+          FROM per_type
+        )
+        SELECT CASE WHEN rn <= 3 THEN event_type ELSE 'other' END
+                 AS bucket,
+               round(sum(_rev) + 1e-9, 2) + 0.0 AS revenue,
+               CAST(sum(_n) AS BIGINT) AS n_events
+        FROM ranked GROUP BY 1
     """,
     "q_seasonality": """
         WITH daily AS (
