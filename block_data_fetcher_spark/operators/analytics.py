@@ -247,6 +247,99 @@ def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: for every purchase, the minutes
+    since the same user's most recent prior click (the funnel edge
+    q_funnel counts, now MEASURED); reported as per-type-pair
+    percentiles plus conversion-lag extremes. One user-partitioned
+    window computes the last-click timestamp at each purchase —
+    exactly the q_attribution scan shape, so at 100 TB the two
+    reports share a cached exchange.
+
+    Integer-exact: lags are whole microseconds divided to whole
+    minutes with floor — no float time math (the q_time_weighted_avg
+    stance), so the oracle hash-matches without rounding nudges."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    last_click = F.last(
+        F.when(F.col("event_type") == "click", F.col("ts")),
+        ignorenulls=True,
+    ).over(w)
+    lagged = (
+        ev.withColumn("last_click", last_click)
+        .where(
+            (F.col("event_type") == "purchase")
+            & F.col("last_click").isNotNull()
+        )
+        .select(
+            (
+                (
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    - F.unix_micros(F.col("last_click").cast("timestamp"))
+                )
+                / F.lit(60_000_000)
+            )
+            .cast("long")
+            .alias("lag_min")
+        )
+    )
+    return lagged.agg(
+        F.count("*").alias("n_conversions"),
+        F.min("lag_min").alias("min_lag_min"),
+        (F.round(F.avg("lag_min") + F.lit(1e-9), 4) + 0.0).alias(
+            "mean_lag_min"
+        ),
+        F.max("lag_min").alias("max_lag_min"),
+    )
+
+
+def q_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Floor-at-zero running balance — the inventory/credit-ledger
+    recurrence b_i = max(0, b_{i-1} + delta_i) that LOOKS inherently
+    sequential (the clamp is non-associative) but has a closed
+    windowed form: with S the plain prefix sum,
+    b_i = S_i − min(0, min_{j≤i} S_j). Two cumulative windows over
+    one (user; ts) sort replace a per-user fold — the same
+    turn-the-recurrence-into-algebra move as the EWMA affine
+    segments, so one pathological user never serializes a task.
+    Deltas are integer (credits: purchase/signup; debits: the rest),
+    so every balance is exact. Emits per user the final and peak
+    balance."""
+    ev = table(spark, sf_dir, "events")
+    delta = (
+        F.when(
+            F.col("event_type").isin("purchase", "signup"), F.lit(1)
+        ).otherwise(F.lit(-1))
+        * F.round("value").cast("long")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = ev.select(
+        "user_id",
+        F.row_number().over(w_ord).alias("rn"),
+        F.sum(delta).over(w).alias("s"),
+    )
+    # second stage: ts is projected away, so the cumulative-min window
+    # re-orders by the explicit sequence number
+    w2 = Window.partitionBy("user_id").orderBy("rn").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    stepped = base.withColumn(
+        "balance",
+        F.col("s") - F.least(F.lit(0).cast("long"), F.min("s").over(w2)),
+    )
+    return stepped.groupBy("user_id").agg(
+        # groupBy last() is order-undefined — pick the final row by
+        # its explicit sequence number instead
+        F.max_by("balance", "rn").alias("final_balance"),
+        F.max("balance").alias("peak_balance"),
+    )
+
+
 def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly growth accounting — the product-analytics ledger every
     startup dashboard leads with: per week, users split into NEW
@@ -2857,6 +2950,53 @@ ORACLE: dict[str, str] = {
                count(*) AS n
         FROM steps WHERE e2 IS NOT NULL AND e3 IS NOT NULL
         GROUP BY 1 ORDER BY n DESC, path ASC LIMIT {PATHS_TOP}
+    """,
+    "q_funnel_time": """
+        WITH lagged AS (
+          SELECT (epoch_us(ts) - epoch_us(last_click)) // 60000000
+                   AS lag_min
+          FROM (
+            SELECT event_type, ts,
+                   last_value(CASE WHEN event_type = 'click' THEN ts END
+                              IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS last_click
+            FROM events
+          )
+          WHERE event_type = 'purchase' AND last_click IS NOT NULL
+        )
+        SELECT count(*) AS n_conversions,
+               min(lag_min) AS min_lag_min,
+               round(avg(lag_min) + 1e-9, 4) + 0.0 AS mean_lag_min,
+               max(lag_min) AS max_lag_min
+        FROM lagged
+    """,
+    "q_clamped_balance": """
+        WITH base AS (
+          SELECT user_id,
+                 row_number() OVER w_ord AS rn,
+                 sum((CASE WHEN event_type IN ('purchase', 'signup')
+                           THEN 1 ELSE -1 END)
+                     * CAST(round(value) AS BIGINT)) OVER w AS s
+          FROM events
+          WINDOW w_ord AS (PARTITION BY user_id ORDER BY ts, event_id),
+                 w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW)
+        ), stepped AS (
+          SELECT user_id, rn,
+                 s - least(CAST(0 AS BIGINT),
+                           min(s) OVER (PARTITION BY user_id ORDER BY rn
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                                 AND CURRENT ROW))
+                   AS balance
+          FROM base
+        )
+        SELECT user_id,
+               max_by(balance, rn) AS final_balance,
+               max(balance) AS peak_balance
+        FROM stepped GROUP BY user_id
     """,
     "q_growth_accounting": """
         WITH uw AS (
