@@ -2994,8 +2994,8 @@ ORACLE: dict[str, str] = {
           FROM base
         )
         SELECT user_id,
-               max_by(balance, rn) AS final_balance,
-               max(balance) AS peak_balance
+               CAST(max_by(balance, rn) AS BIGINT) AS final_balance,
+               CAST(max(balance) AS BIGINT) AS peak_balance
         FROM stepped GROUP BY user_id
     """,
     "q_growth_accounting": """
@@ -3036,10 +3036,10 @@ ORACLE: dict[str, str] = {
           FROM first_seen GROUP BY first_day
         )
         SELECT first_day AS day, new_users,
-               sum(new_users) OVER (ORDER BY first_day
-                                    ROWS BETWEEN UNBOUNDED PRECEDING
-                                             AND CURRENT ROW)
-                 AS cumulative_users
+               CAST(sum(new_users) OVER (ORDER BY first_day
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                                  AND CURRENT ROW)
+                    AS BIGINT) AS cumulative_users
         FROM per_day
     """,
     "q_share_of_total": """
