@@ -247,6 +247,77 @@ def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lower_median(col: str, part: str) -> tuple:
+    """(cum_count window, total window) scaffolding for the exact
+    deterministic LOWER median: smallest value whose cumulative count
+    reaches half the group — integer rank logic, no interpolation, so
+    Spark and DuckDB agree bit-for-bit (quantile_cont interpolation
+    differs across engines; this doesn't)."""
+    w_cum = (
+        Window.partitionBy(part)
+        .orderBy(col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(part)
+    return w_cum, w_all
+
+
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection by Median Absolute Deviation — the
+    heavy-tail-safe alternative to q_anomaly's z-score (one whale
+    inflates a mean/stddev until nothing is anomalous; medians don't
+    care): per event type, med = median(value), MAD =
+    median(|value − med|), and a point is an outlier when
+    |value − med| > 3 · 1.4826 · MAD. Both medians are the exact
+    deterministic LOWER median (rank arithmetic, no interpolation —
+    engines disagree on quantile interpolation, never on ranks).
+
+    Scale: two sort-windows over the same event_type partitioning
+    (Catalyst shares the Exchange); the honest cost of exact medians.
+    At 100 TB you swap in the mergeable-histogram median
+    (q_quantile_merge) and keep this as the audit path."""
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    w_cum, w_all = _lower_median("value", "event_type")
+    with_rank = ev.select(
+        "event_type",
+        "value",
+        F.count("*").over(w_cum).alias("cum"),
+        F.count("*").over(w_all).alias("n"),
+    )
+    med = (
+        with_rank.where(F.col("cum") * 2 >= F.col("n"))
+        .groupBy("event_type")
+        .agg(F.min("value").alias("med"))
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", F.abs(F.col("value") - F.col("med")).alias("adev"), "med"
+    )
+    w_cum2, w_all2 = _lower_median("adev", "event_type")
+    with_rank2 = dev.select(
+        "event_type",
+        "adev",
+        F.count("*").over(w_cum2).alias("cum"),
+        F.count("*").over(w_all2).alias("n"),
+    )
+    mad = (
+        with_rank2.where(F.col("cum") * 2 >= F.col("n"))
+        .groupBy("event_type")
+        .agg(F.min("adev").alias("mad"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.round(F.max("med") + F.lit(1e-9), 2) + 0.0).alias("median"),
+            (F.round(F.max("mad") + F.lit(1e-9), 2) + 0.0).alias("mad"),
+            F.count_if(
+                F.col("adev") > 3 * 1.4826 * F.col("mad")
+            ).alias("n_outliers"),
+        )
+    )
+
+
 def q_funnel_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-to-convert distribution: for every purchase, the minutes
     since the same user's most recent prior click (the funnel edge
@@ -2950,6 +3021,40 @@ ORACLE: dict[str, str] = {
                count(*) AS n
         FROM steps WHERE e2 IS NOT NULL AND e3 IS NOT NULL
         GROUP BY 1 ORDER BY n DESC, path ASC LIMIT {PATHS_TOP}
+    """,
+    "q_anomaly_mad": """
+        WITH ranked AS (
+          SELECT event_type, value,
+                 count(*) OVER (PARTITION BY event_type ORDER BY value
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS cum,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM events
+        ), med AS (
+          SELECT event_type, min(value) AS med
+          FROM ranked WHERE cum * 2 >= n GROUP BY event_type
+        ), dev AS (
+          SELECT e.event_type, e.value,
+                 abs(e.value - m.med) AS adev, m.med
+          FROM events e JOIN med m ON e.event_type = m.event_type
+        ), ranked2 AS (
+          SELECT event_type, adev,
+                 count(*) OVER (PARTITION BY event_type ORDER BY adev
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS cum,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM dev
+        ), mad AS (
+          SELECT event_type, min(adev) AS mad
+          FROM ranked2 WHERE cum * 2 >= n GROUP BY event_type
+        )
+        SELECT d.event_type, count(*) AS n_events,
+               round(max(d.med) + 1e-9, 2) + 0.0 AS median,
+               round(max(md.mad) + 1e-9, 2) + 0.0 AS mad,
+               count(*) FILTER (WHERE d.adev > 3 * 1.4826 * md.mad)
+                 AS n_outliers
+        FROM dev d JOIN mad md ON d.event_type = md.event_type
+        GROUP BY d.event_type
     """,
     "q_funnel_time": """
         WITH lagged AS (
