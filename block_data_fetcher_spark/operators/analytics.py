@@ -988,6 +988,117 @@ def q_item_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association RULES on top of the co-occurrence pairs — the
+    directional half market-basket lift can't express: for each part
+    pair, conf(A→B) = P(B|A) and conf(B→A) = P(A|B) differ whenever
+    the marginals do, and the actionable rule is the high-confidence
+    direction ("A buyers also buy B" ≠ "B buyers also buy A"). Top-20
+    rules by confidence among pairs with support ≥ 3, each emitted in
+    its stronger direction.
+
+    Scale: reuses the basket-materialized pair counts (map-side
+    expansion, Σ basket² bounded by basket size) and broadcast
+    marginals — the rule arithmetic is free once the pairs exist."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pair_expr = F.explode(
+        F.flatten(
+            F.expr(
+                "transform(sequence(1, size(parts) - 1), i ->"
+                " transform(sequence(i + 1, size(parts)), j ->"
+                " struct(element_at(parts, i) AS part_a,"
+                "        element_at(parts, j) AS part_b)))"
+            )
+        )
+    )
+    pairs = (
+        baskets.where(F.size("parts") >= 2)
+        .select(pair_expr.alias("p"))
+        .groupBy(F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b"))
+        .agg(F.count("*").alias("n_both"))
+        .where(F.col("n_both") >= AFFINITY_MIN_PAIRS)
+    )
+    marg = baskets.select(F.explode("parts").alias("part")).groupBy(
+        "part"
+    ).agg(F.count("*").alias("n_with"))
+    enriched = (
+        pairs.join(
+            F.broadcast(marg.withColumnRenamed("part", "part_a")), "part_a"
+        )
+        .withColumnRenamed("n_with", "n_a")
+        .join(
+            F.broadcast(marg.withColumnRenamed("part", "part_b")), "part_b"
+        )
+        .withColumnRenamed("n_with", "n_b")
+    )
+    conf_ab = F.col("n_both") / F.col("n_a")
+    conf_ba = F.col("n_both") / F.col("n_b")
+    return (
+        enriched.select(
+            F.when(conf_ab >= conf_ba, F.col("part_a"))
+            .otherwise(F.col("part_b"))
+            .alias("antecedent"),
+            F.when(conf_ab >= conf_ba, F.col("part_b"))
+            .otherwise(F.col("part_a"))
+            .alias("consequent"),
+            "n_both",
+            (
+                F.round(F.greatest(conf_ab, conf_ba) + F.lit(1e-9), 4) + 0.0
+            ).alias("confidence"),
+        )
+        .orderBy(
+            F.desc("confidence"),
+            F.desc("n_both"),
+            F.asc("antecedent"),
+            F.asc("consequent"),
+        )
+        .limit(20)
+    )
+
+
+def q_markov_next(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event prediction accuracy from the first-order Markov
+    transition matrix — turning q_transitions' counts into a MODEL and
+    scoring it in-sample: the predictor for state s is
+    argmax_t P(t|s) (ties to the lexicographically first target, both
+    engines); accuracy = fraction of transitions where the prediction
+    matches. The baseline every sequence model must beat, computed
+    with two shuffles over the reduced transition table."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n"))
+    )
+    w_best = Window.partitionBy("src").orderBy(F.desc("n"), F.asc("dst"))
+    best = (
+        trans.withColumn("rn", F.row_number().over(w_best))
+        .where(F.col("rn") == 1)
+        .select("src", F.col("dst").alias("predicted"), F.col("n").alias("n_hit"))
+    )
+    totals = trans.groupBy("src").agg(F.sum("n").alias("n_total"))
+    return (
+        best.join(totals, "src")
+        .select(
+            "src",
+            "predicted",
+            "n_total",
+            (
+                F.round(F.col("n_hit") / F.col("n_total") + F.lit(1e-9), 4)
+                + 0.0
+            ).alias("accuracy"),
+        )
+    )
+
+
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation: per user recency (days since last
     event), frequency (event count), monetary (value sum), each cut
@@ -3314,6 +3425,62 @@ ORACLE: dict[str, str] = {
                round(avg(k) FILTER (WHERE k IS NOT NULL) + 1e-9, 4) + 0.0
                  AS mean_k_clean
         FROM parsed GROUP BY event_type
+    """,
+    "q_basket_rules": """
+        WITH li AS (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), pairs AS (
+          SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                 count(*) AS n_both
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 3
+        ), marg AS (
+          SELECT l_partkey AS part, count(*) AS n_with
+          FROM li GROUP BY 1
+        ), enriched AS (
+          SELECT p.part_a, p.part_b, p.n_both,
+                 p.n_both / CAST(ma.n_with AS DOUBLE) AS conf_ab,
+                 p.n_both / CAST(mb.n_with AS DOUBLE) AS conf_ba
+          FROM pairs p
+          JOIN marg ma ON ma.part = p.part_a
+          JOIN marg mb ON mb.part = p.part_b
+        )
+        SELECT CASE WHEN conf_ab >= conf_ba THEN part_a
+                    ELSE part_b END AS antecedent,
+               CASE WHEN conf_ab >= conf_ba THEN part_b
+                    ELSE part_a END AS consequent,
+               n_both,
+               round(greatest(conf_ab, conf_ba) + 1e-9, 4) + 0.0
+                 AS confidence
+        FROM enriched
+        ORDER BY confidence DESC, n_both DESC,
+                 antecedent ASC, consequent ASC
+        LIMIT 20
+    """,
+    "q_markov_next": """
+        WITH trans AS (
+          SELECT src, dst, count(*) AS n FROM (
+            SELECT event_type AS src,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS dst
+            FROM events
+          ) WHERE dst IS NOT NULL GROUP BY src, dst
+        ), best AS (
+          SELECT src, dst AS predicted, n AS n_hit FROM (
+            SELECT *, row_number() OVER (PARTITION BY src
+                                         ORDER BY n DESC, dst ASC) AS rn
+            FROM trans
+          ) WHERE rn = 1
+        ), totals AS (
+          SELECT src, CAST(sum(n) AS BIGINT) AS n_total
+          FROM trans GROUP BY src
+        )
+        SELECT b.src, b.predicted, t.n_total,
+               round(b.n_hit / CAST(t.n_total AS DOUBLE) + 1e-9, 4) + 0.0
+                 AS accuracy
+        FROM best b JOIN totals t ON b.src = t.src
     """,
     "q_item_affinity": """
         WITH li AS (
