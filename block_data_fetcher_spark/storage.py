@@ -740,6 +740,82 @@ def q_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skew_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics — the measurement that decides when
+    the salting machinery (salted_join / salted_sum_count) is worth
+    its replication cost: for each candidate join key, the share of
+    rows held by the hottest key, the top-1/median frequency ratio,
+    and a skewed flag (hottest key > 4× the uniform share). One
+    map-side-combinable count per key column plus dimension-sized
+    rank windows; at 100 TB this runs as a profiling pass before
+    every new pipeline's first full-scale join.
+
+    The fixture's keys are uniform-ish, so the flags read false —
+    the point is the measurement contract, and the exact medians use
+    the same rank arithmetic as q_anomaly_mad."""
+    from pyspark.sql import Window
+
+    from .catalog import table
+
+    specs = [
+        ("events.user_id", table(spark, sf_dir, "events").select(
+            F.col("user_id").cast("string").alias("k"))),
+        ("events.event_type", table(spark, sf_dir, "events").select(
+            F.col("event_type").alias("k"))),
+        ("lineitem.l_orderkey", table(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").cast("string").alias("k"))),
+        ("orders.o_custkey", table(spark, sf_dir, "orders").select(
+            F.col("o_custkey").cast("string").alias("k"))),
+    ]
+    outs = []
+    for name, df in specs:
+        freq = df.groupBy("k").agg(F.count("*").alias("n"))
+        w_cum = (
+            Window.orderBy("n", "k")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_all = Window.partitionBy()
+        ranked = freq.select(
+            "n",
+            F.count("*").over(w_cum).alias("cum"),
+            F.count("*").over(w_all).alias("n_keys"),
+            F.sum("n").over(w_all).alias("n_rows"),
+            F.max("n").over(w_all).alias("top_n"),
+        )
+        med = ranked.where(F.col("cum") * 2 >= F.col("n_keys")).agg(
+            F.min("n").alias("median_n"),
+            F.max("n_keys").alias("n_keys"),
+            F.max("n_rows").alias("n_rows"),
+            F.max("top_n").alias("top_n"),
+        )
+        outs.append(
+            med.select(
+                F.lit(name).alias("key"),
+                "n_keys",
+                (
+                    F.round(
+                        F.col("top_n") / F.col("n_rows") * 100 + F.lit(1e-9),
+                        4,
+                    )
+                    + 0.0
+                ).alias("top_share_pct"),
+                (
+                    F.round(
+                        F.col("top_n") / F.col("median_n") + F.lit(1e-9), 4
+                    )
+                    + 0.0
+                ).alias("top_over_median"),
+                (
+                    F.col("top_n") * F.col("n_keys")
+                    > 4 * F.col("n_rows")
+                ).alias("skewed"),
+            )
+        )
+    from functools import reduce
+
+    return reduce(lambda x, y: x.unionByName(y), outs)
+
+
 def q_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pseudonymization with referential integrity — the GDPR
     data-minimization twin of q_gdpr_erasure's deletion: user_id is
@@ -935,6 +1011,33 @@ ORACLE: dict[str, str] = {
                CAST(1 AS BIGINT) AS n_files_expired
         FROM v2
     """,
+    "q_skew_detect": " UNION ALL ".join(
+        f"""
+        SELECT '{name}' AS key,
+               count(*) AS n_keys,
+               round(max(n) / CAST(sum(n) AS DOUBLE) * 100 + 1e-9, 4)
+                 + 0.0 AS top_share_pct,
+               round(max(n) / CAST(
+                 (SELECT min(n) FROM (
+                    SELECT n, count(*) OVER (ORDER BY n, k
+                                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                                      AND CURRENT ROW) AS cum,
+                           count(*) OVER () AS n_keys
+                    FROM (SELECT CAST({col} AS VARCHAR) AS k, count(*) AS n
+                          FROM {tbl} GROUP BY 1))
+                  WHERE cum * 2 >= n_keys) AS DOUBLE) + 1e-9, 4) + 0.0
+                 AS top_over_median,
+               max(n) * count(*) > 4 * sum(n) AS skewed
+        FROM (SELECT CAST({col} AS VARCHAR) AS k, count(*) AS n
+              FROM {tbl} GROUP BY 1)
+        """
+        for name, tbl, col in [
+            ("events.user_id", "events", "user_id"),
+            ("events.event_type", "events", "event_type"),
+            ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+            ("orders.o_custkey", "orders", "o_custkey"),
+        ]
+    ),
     "q_pseudonymize": """
         WITH tok AS (
           SELECT substr(sha256('pepper-v1:' || CAST(user_id AS VARCHAR)),
