@@ -553,3 +553,29 @@ def test_audio_decode_shuffle_free_after_parallelize(spark, sf_dir):
     plan = formatted_plan(df)
     assert count_exchanges(df) <= 1, plan
     assert "hashpartitioning" not in plan.lower(), plan
+
+
+def test_basket_rules_broadcast_marginals(spark, sf_dir):
+    """Rule confidence joins must broadcast the item marginals, and
+    the pair expansion must not re-introduce a self-join."""
+    df = _Q["q_basket_rules"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert uses_broadcast_join(df), plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_markov_next_group_limit(spark, sf_dir):
+    """The per-state argmax (rn = 1 filter) should plan as a window
+    group limit or rank over the reduced transition table — never a
+    sort of the raw events."""
+    df = _Q["q_markov_next"](spark, sf_dir)
+    assert has_partial_aggregate(df), formatted_plan(df)
+
+
+def test_lsh_recall_no_all_pairs(spark, sf_dir):
+    """The exact-Jaccard truth side must come from the prefix-filter
+    equi-join — no cartesian/nested-loop anywhere in the plan."""
+    df = _Q["q_lsh_recall"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
