@@ -195,6 +195,22 @@ def main() -> None:
             json.dump(detail, f, indent=1, sort_keys=True)
     except OSError:
         pass
+    # Append-only history (r4 VERDICT item 8): BENCH_DETAIL.json is
+    # overwritten per run, so round-over-round regressions were only
+    # provable for the queries that survived stdout-tail truncation.
+    # One JSONL line per run keeps every full per-query map diffable.
+    try:
+        stamp = {"ts": time.strftime("%Y-%m-%dT%H:%M:%S"), **detail}
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_HISTORY.jsonl",
+            ),
+            "a",
+        ) as f:
+            f.write(json.dumps(stamp, sort_keys=True) + "\n")
+    except OSError:
+        pass
     sys.stderr.write(json.dumps(detail) + "\n")
 
     failed = sorted(n for n, v in timings.items() if v < 0)

@@ -100,6 +100,35 @@ def synthetic_block(slot: int, txs_per_block: int = 4) -> str:
     )
 
 
+MAX_RETRIES = 3  # reference default (src/cli.rs:99)
+RETRY_DELAY_S = 2.0  # reference default, linear backoff (src/cli.rs:100)
+
+
+def _with_retry(fn, max_retries: int = MAX_RETRIES,
+                delay_s: float = RETRY_DELAY_S, sleep=None):
+    """Bounded retry with linear backoff around ONE network fetch —
+    the reference's extract retry loop (src/pipeline.rs:188-247):
+    on failure sleep ``delay_s × attempt_number`` and retry; after
+    ``max_retries`` total attempts re-raise the last error. Applies
+    only to the online path (the offline synthetic source cannot
+    fail); Spark task retries remain the outer, coarser layer —
+    this inner loop keeps one slow/flaky RPC response from burning a
+    whole task attempt, exactly the reference's behavior."""
+    if sleep is None:
+        import time
+
+        sleep = time.sleep
+    attempt = 0
+    while True:
+        try:
+            return fn()
+        except Exception:
+            attempt += 1
+            if attempt >= max_retries:
+                raise
+            sleep(delay_s * attempt)
+
+
 def _fetch_block_rpc(url: str, slot: int, timeout: int = 30):
     """Network path (gated; never used in tests/correctness runs).
     Mirrors the reference's getBlock params (src/rpc/mod.rs:64-83)."""
@@ -142,6 +171,9 @@ class SolanaRpcReader(DataSourceReader):
         self.chunk = int(options.get("batch_size", 10))  # reference cli.rs:34-35
         self.mode = options.get("mode", "offline")
         self.url = options.get("url", "")
+        # reference CLI knobs (src/cli.rs:39-43, defaults :99-100)
+        self.max_retries = int(options.get("max_retries", MAX_RETRIES))
+        self.retry_delay = float(options.get("retry_delay", RETRY_DELAY_S))
 
     def partitions(self):
         return [
@@ -154,7 +186,11 @@ class SolanaRpcReader(DataSourceReader):
             if self.mode == "offline":
                 yield (slot, synthetic_block(slot))
             else:
-                result = _fetch_block_rpc(self.url, slot)
+                result = _with_retry(
+                    lambda s=slot: _fetch_block_rpc(self.url, s),
+                    self.max_retries,
+                    self.retry_delay,
+                )
                 if result is not None:  # skipped/absent slot → log-and-skip (ST5)
                     yield (slot, json.dumps(result))
 
@@ -167,6 +203,8 @@ class SolanaRpcStreamReader(SimpleDataSourceStreamReader):
         self.mode = options.get("mode", "offline")
         self.url = options.get("url", "")
         self.max_batch = int(options.get("max_slots_per_trigger", 10))
+        self.max_retries = int(options.get("max_retries", MAX_RETRIES))
+        self.retry_delay = float(options.get("retry_delay", RETRY_DELAY_S))
         self._offline_head = self.start + FINALITY_LAG + 5
 
     def initialOffset(self):
@@ -178,16 +216,22 @@ class SolanaRpcStreamReader(SimpleDataSourceStreamReader):
             self._offline_head += 3
             head = self._offline_head
         else:
-            import urllib.request
 
-            payload = json.dumps(
-                {"jsonrpc": "2.0", "id": 1, "method": "getSlot", "params": []}
-            ).encode()
-            req = urllib.request.Request(
-                self.url, data=payload, headers={"Content-Type": "application/json"}
-            )
-            with urllib.request.urlopen(req, timeout=30) as resp:
-                head = json.load(resp)["result"]
+            def _get_slot():
+                import urllib.request
+
+                payload = json.dumps(
+                    {"jsonrpc": "2.0", "id": 1, "method": "getSlot", "params": []}
+                ).encode()
+                req = urllib.request.Request(
+                    self.url,
+                    data=payload,
+                    headers={"Content-Type": "application/json"},
+                )
+                with urllib.request.urlopen(req, timeout=30) as resp:
+                    return json.load(resp)["result"]
+
+            head = _with_retry(_get_slot, self.max_retries, self.retry_delay)
         return head - FINALITY_LAG
 
     def read(self, start: dict):
@@ -198,7 +242,11 @@ class SolanaRpcStreamReader(SimpleDataSourceStreamReader):
             if self.mode == "offline":
                 rows.append((slot, synthetic_block(slot)))
             else:
-                result = _fetch_block_rpc(self.url, slot)
+                result = _with_retry(
+                    lambda s=slot: _fetch_block_rpc(self.url, s),
+                    self.max_retries,
+                    self.retry_delay,
+                )
                 if result is not None:
                     rows.append((slot, json.dumps(result)))
         return iter(rows), {"slot": max(first, last + 1)}

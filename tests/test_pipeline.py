@@ -60,6 +60,65 @@ def test_rpc_source_partitioned_fetch(rpc_registered, spark):
     assert raw.count() == 100
 
 
+def test_rpc_retry_backoff_matches_reference():
+    """ST3 parity (src/pipeline.rs:188-247, defaults src/cli.rs:99-100):
+    3 attempts total, linear backoff delay×attempt between failures,
+    last error re-raised once attempts are exhausted."""
+    from block_data_fetcher_spark.sources.rpc import _with_retry
+
+    sleeps: list[float] = []
+    calls = {"n": 0}
+
+    def flaky_then_ok():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise ConnectionError("transient")
+        return {"slot": 42}
+
+    out = _with_retry(flaky_then_ok, 3, 2.0, sleep=sleeps.append)
+    assert out == {"slot": 42}
+    assert calls["n"] == 3
+    assert sleeps == [2.0, 4.0]  # linear: delay*1, delay*2
+
+    calls["n"] = 0
+    sleeps.clear()
+
+    def always_fails():
+        calls["n"] += 1
+        raise TimeoutError("down")
+
+    with pytest.raises(TimeoutError):
+        _with_retry(always_fails, 3, 2.0, sleep=sleeps.append)
+    assert calls["n"] == 3  # reference: retry_count >= max_retries → give up
+    assert sleeps == [2.0, 4.0]
+
+
+def test_rpc_online_reader_retries_flaky_transport(monkeypatch):
+    """The online batch reader must survive one transient fetch error
+    per slot (flaky transport injected in place of the network) and
+    emit every slot exactly once."""
+    import block_data_fetcher_spark.sources.rpc as rpc
+
+    failures: dict[int, bool] = {}
+
+    def flaky_fetch(url, slot, timeout=30):
+        if not failures.get(slot):
+            failures[slot] = True
+            raise ConnectionError(f"transient slot {slot}")
+        return {"parentSlot": slot - 1, "blockTime": 1, "transactions": []}
+
+    monkeypatch.setattr(rpc, "_fetch_block_rpc", flaky_fetch)
+    monkeypatch.setattr(rpc, "RETRY_DELAY_S", 0.0)
+    reader = rpc.SolanaRpcReader(
+        {"start_slot": "5", "end_slot": "7", "mode": "online",
+         "url": "http://injected", "retry_delay": "0"}
+    )
+    (part,) = reader.partitions()
+    rows = list(reader.read(part))
+    assert [slot for slot, _ in rows] == [5, 6, 7]
+    assert all(failures[s] for s in (5, 6, 7))  # every slot failed once
+
+
 def test_upsert_idempotent(spark, tmp_path):
     path = str(tmp_path / "tx_table")
     df1 = spark.createDataFrame(

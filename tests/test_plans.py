@@ -472,12 +472,89 @@ def test_triangle_count_no_cross_join(spark, sf_dir):
     assert "Cartesian" not in plan and "CrossJoin" not in plan, plan
 
 
+def test_skew_adaptive_join_flips_with_the_data(spark, sf_dir):
+    """r4 VERDICT item 6: the skew diagnostics must CHOOSE the join
+    plan. A fact table whose hottest key holds ~90% of rows must come
+    out salted (the (key, salt) equi-join keys appear in the plan);
+    a uniform fact table over the same dim must come out plain (no
+    salt column anywhere)."""
+    from pyspark.sql import functions as F
+
+    from block_data_fetcher_spark.storage import (
+        detect_join_skew,
+        skew_adaptive_join,
+    )
+
+    dim = spark.range(10).select(
+        F.col("id").alias("d_key"), (F.col("id") * 2).alias("payload")
+    )
+    # ~90% of rows on key 7, the rest spread over ~10 cold keys — the
+    # hottest key holds ~10x the uniform per-key share
+    skewed = spark.range(2_000).select(
+        F.col("id").alias("rid"),
+        F.when(F.col("id") % 10 < 9, F.lit(7))
+        .otherwise(F.col("id") % 100)
+        .alias("f_key"),
+    )
+    uniform = spark.range(2_000).select(
+        F.col("id").alias("rid"), (F.col("id") % 10).alias("f_key")
+    )
+    assert detect_join_skew(skewed, "f_key")
+    assert not detect_join_skew(uniform, "f_key")
+
+    salted_plan = formatted_plan(
+        skew_adaptive_join(skewed, dim, "f_key", "d_key", "rid")
+    )
+    plain_plan = formatted_plan(
+        skew_adaptive_join(uniform, dim, "f_key", "d_key", "rid")
+    )
+    assert "_fsalt" in salted_plan and "_dsalt" in salted_plan, salted_plan
+    assert "_fsalt" not in plain_plan and "_dsalt" not in plain_plan, plain_plan
+    # the chosen plans must agree on the answer
+    a = sorted(
+        (r["f_key"], r["payload"])
+        for r in skew_adaptive_join(skewed, dim, "f_key", "d_key", "rid")
+        .select("f_key", "payload")
+        .collect()
+    )
+    b = sorted(
+        (r["f_key"], r["payload"])
+        for r in skewed.join(dim, skewed["f_key"] == dim["d_key"])
+        .select("f_key", "payload")
+        .collect()
+    )
+    assert a == b
+
+
+def test_embed_near_dup_join_is_cluster_blocked(spark, sf_dir):
+    """r4 VERDICT item 2: the near-dup pair join must never be keyed
+    label-wide (Σ n_label² quadratic — the catalog's last unbounded
+    shape). Every shuffle that carries the label key must also carry
+    the trained √N cluster key, so per-block work is bounded by the
+    cell size, and no unkeyed (cartesian) fallback may appear."""
+    import re
+
+    df = _Q["q_embed_near_dup"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    # the equi-join key lists (BHJ at fixture scale, SMJ at cluster
+    # scale) and any shuffle partitionings carrying `label` must also
+    # carry `cluster`
+    keyed = re.findall(r"keys \[\d+\]: \[[^\]]*\]", plan) + re.findall(
+        r"hashpartitioning\([^)]*\)", plan
+    )
+    label_keyed = [p for p in keyed if "label" in p]
+    assert label_keyed, f"expected a blocked pair join in plan:\n{plan}"
+    for p in label_keyed:
+        assert "cluster" in p, f"label-wide join key without cluster: {p}\n{plan}"
+
+
 def test_semdedup_cluster_count_scales_with_corpus():
     """SemDeDup's blocking granularity grows as sqrt(N) so expected
     cluster size is sqrt(N) and total pair work is N^1.5."""
-    from block_data_fetcher_spark.functions.similarity import KM_K, _sem_k
+    from block_data_fetcher_spark.functions.similarity import N_CENTROIDS, _sem_k
 
-    assert _sem_k(10) == KM_K
+    assert _sem_k(10) == N_CENTROIDS
     assert _sem_k(2_000) == 44
     assert _sem_k(20_000) == 141
     assert _sem_k(1_000_000_000) == 31_622

@@ -248,6 +248,178 @@ def test_merge_aggregate_multibatch_equals_whole(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def _two_file_source(spark, sf_dir, tmp_path):
+    """events split into two parquet files with pinned mtimes so
+    maxFilesPerTrigger=1 yields exactly two deterministic batches."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in (0, 1):
+        part = ev.where(F.col("event_id") % 2 == i).coalesce(1)
+        d = tmp_path / f"stage{i}"
+        part.write.mode("overwrite").parquet(str(d))
+        (pq_file,) = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        dst = src / f"f{i}.parquet"
+        os.rename(d / pq_file, dst)
+        os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+    return ev, str(src)
+
+
+def test_incremental_agg_crash_after_swap_is_exactly_once(spark, sf_dir, tmp_path):
+    """The UNGRACEFUL half of the batch_id ledger contract (r4 VERDICT
+    item 4): the stream is KILLED by an exception injected AFTER
+    merge_aggregate swapped batch 1's table but BEFORE the checkpoint
+    commit. Restart must (a) still have the complete batch-0+1 table
+    on disk the moment the crash happened — the swap is atomic — and
+    (b) replay batch 1 as a ledger-skipped no-op, so the final table
+    equals the batch aggregate: no double-count, no loss."""
+    import pyspark.errors
+    import pytest
+    from pyspark.sql import functions as F
+
+    from block_data_fetcher_spark.etl.load import merge_aggregate
+
+    ev, src = _two_file_source(spark, sf_dir, tmp_path)
+    path = str(tmp_path / "agg_by_type")
+    ckpt = str(tmp_path / "ckpt")
+    crashed = {"done": False}
+
+    def write_batch(batch_df, batch_id):
+        partials = batch_df.groupBy("event_type").agg(
+            F.count("*").alias("n"), F.sum("value").alias("sum_value")
+        )
+        merge_aggregate(
+            batch_df.sparkSession, partials, path, ["event_type"],
+            batch_id=batch_id,
+        )
+        if batch_id == 1 and not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("injected crash between swap and commit")
+
+    def run():
+        q = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    with pytest.raises(pyspark.errors.exceptions.captured.StreamingQueryException):
+        run()
+    assert crashed["done"]
+
+    want = {
+        r["event_type"]: (r["n"], round(r["sum_value"], 2))
+        for r in ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .collect()
+    }
+    # (a) the crash left the COMPLETE merged table behind — batch 1's
+    # swap committed before the exception; nothing was lost
+    after_crash = {
+        r["event_type"]: (r["n"], round(r["sum_value"], 2))
+        for r in spark.read.parquet(path).collect()
+    }
+    assert after_crash == want
+
+    # (b) restart replays batch 1 (at-least-once) — the ledger makes
+    # it a no-op instead of a double merge
+    run()
+    final = {
+        r["event_type"]: (r["n"], round(r["sum_value"], 2))
+        for r in spark.read.parquet(path).collect()
+    }
+    assert final == want
+
+
+def test_stream_cdc_crash_after_swap_converges(spark, sf_dir, tmp_path):
+    """q_stream_cdc's sink under the same injected kill: the keyed
+    last-wins upsert (tombstones kept) is idempotent by key, so the
+    replayed batch must converge to the batch CDC answer — no
+    resurrected deletes, no duplicate keys, table never lost."""
+    import pyspark.errors
+    import pytest
+    from pyspark.sql import functions as F
+
+    from block_data_fetcher_spark.etl.load import upsert_parquet
+
+    ev, src = _two_file_source(spark, sf_dir, tmp_path)
+    ops = ev.select(
+        F.col("user_id").alias("key"),
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_id") % 11 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    path = str(tmp_path / "cdc_snapshot")
+    ckpt = str(tmp_path / "ckpt_cdc")
+    crashed = {"done": False}
+
+    def write_batch(batch_df, batch_id):
+        batch_ops = batch_df.select(
+            F.col("user_id").alias("key"),
+            "ts",
+            "event_id",
+            "value",
+            F.when(F.col("event_id") % 11 == 0, F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+        )
+        upsert_parquet(
+            batch_df.sparkSession, batch_ops, path,
+            keys=["key"], order=["ts", "event_id"],
+        )
+        if batch_id == 1 and not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("injected crash between swap and commit")
+
+    def run():
+        q = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    with pytest.raises(pyspark.errors.exceptions.captured.StreamingQueryException):
+        run()
+    assert crashed["done"]
+    run()
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("key").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    want = _rows(
+        ops.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("key", "event_id", "value")
+    )
+    got = _rows(
+        spark.read.parquet(path)
+        .where(F.col("op") != "D")
+        .select("key", "event_id", "value")
+    )
+    assert got == want
+
+
 def test_merge_aggregate_replayed_batch_id_is_skipped(spark, sf_dir, tmp_path):
     """foreachBatch is AT-LEAST-once: a crash between the table swap
     and the checkpoint commit replays the batch on restart. The
