@@ -36,7 +36,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "12g"))
+        # local[N] runs driver+executors in ONE JVM: the heap must hold
+        # shuffle/join working sets for every concurrent task. 12g OOMed
+        # at the sf10 proof (60M-row SMJ after a 220-query session);
+        # size to the box (128 GiB here), overridable for smaller hosts.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
     )
