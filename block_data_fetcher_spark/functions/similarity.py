@@ -124,6 +124,24 @@ NEAR_DUP_AUDIT_TOP = 50  # tail audit: the top-K closest real pairs
 NEAR_DUP_PERT = 0.005  # planted-twin perturbation scale (cos > 0.9999)
 
 
+def _sqdist_fold(X: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
+    """Squared-L2 distances (n, k) via the exact left-to-right
+    Σᵢ(xᵢ−cᵢ)² accumulation — each step one IEEE add in index order,
+    bit-identical to the oracle's ``list_sum(list_transform(...))``
+    fold and to _ivf_probes' sequential Python sum (ADVICE r5: the
+    algebraically expanded −2X·Cᵀ+|C|² gemm can rank NEAR-TIED
+    centroids differently in floating point, flipping an assignment
+    in one engine only — 'caught'/cluster comparisons carry no
+    rounding slack). Cost is the same flop count as the gemm, DIM
+    vectorized passes instead of one BLAS call — still Arrow-batch
+    vectorized, never per-row."""
+    acc = np.zeros((X.shape[0], C.shape[0]), dtype=np.float64)
+    for i in range(X.shape[1]):
+        d = X[:, i, None] - C[None, :, i]
+        acc += d * d
+    return acc
+
+
 def q_embed_near_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall sign-off for q_embed_near_dup's cluster blocking (the
     same contract as the LSH and ANN sign-offs), two audits over a
@@ -155,7 +173,6 @@ def q_embed_near_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = _lloyd_cents(sf_dir, "_sem")
     ids = np.array([c for c, _ in cents])
     C = np.array([cx for _, cx in cents], dtype=np.float64)
-    c_sq = (C * C).sum(axis=1)
 
     @F.pandas_udf(
         T.StructType(
@@ -171,7 +188,7 @@ def q_embed_near_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         i = np.arange(DIM, dtype=np.int64)[None, :]
         noise = ((((V * DIM + i) * 2654435761) % 1000003) - 501501) / 501501.0
         P = X * (1.0 + NEAR_DUP_PERT * noise)
-        d = -2.0 * (P @ C.T) + c_sq[None, :]
+        d = _sqdist_fold(P, C)
         cos = (X * P).sum(axis=1) / (
             np.sqrt((X * X).sum(axis=1)) * np.sqrt((P * P).sum(axis=1))
         )
@@ -352,7 +369,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- ANN: IVF coarse quantizer --------------------------------------------
-N_CENTROIDS = 8  # IVF cell count (Lloyd-trained; init = first 8 vectors)
+N_CENTROIDS = 8  # IVF cell count (Lloyd-trained on a hash-spread sample)
 N_PROBE = 2
 
 
@@ -1105,9 +1122,12 @@ def _lloyd_final(spark: SparkSession, sf_dir: str, k_of, tag: str) -> DataFrame:
       driver collect per iteration. Cost is linear per iteration —
       right for the blocking trajectory whose K grows with the corpus.
     - fixed K (int ``k_of``, the IVF family): FAISS-style SAMPLED
-      training — the first 256·K vectors (a bounded dim-sized collect,
-      constant at any corpus size) train driver-side in numpy; the
-      cluster only runs the ONE final assignment pass. At every
+      training — the 256·K vectors with the smallest multiplicative
+      hash of vec_id (a deterministic SPREAD sample — not an id
+      prefix, which on label/time-ordered production data is a biased
+      slice; bounded TakeOrdered collect, constant at any corpus
+      size) train driver-side in numpy; the cluster only runs the ONE
+      final assignment pass. At every
       shipped fixture the sample bound exceeds the corpus, so sampled
       and full training coincide exactly; at 100 TB training cost is
       O(1) while assignment stays one scan.
@@ -1140,14 +1160,14 @@ def _lloyd_final(spark: SparkSession, sf_dir: str, k_of, tag: str) -> DataFrame:
     def _assign(cc: list[tuple[int, list[float]]]):
         ids = np.array([c for c, _ in cc])
         C = np.array([cx for _, cx in cc], dtype=np.float64)  # (k, DIM)
-        c_sq = (C * C).sum(axis=1)
 
         @F.pandas_udf(T.IntegerType())
         def cluster_of(xs: pd.Series) -> pd.Series:
             X = np.stack(xs.to_numpy()).astype(np.float64)
-            # argmin ||x-c||² = argmin (-2x·c + ||c||²); ties → lowest
-            # centroid id (ids are sorted ascending, argmin picks first)
-            d = -2.0 * (X @ C.T) + c_sq[None, :]
+            # exact Σ(x-c)² fold (bit-identical to the oracle's
+            # list_sum — see _sqdist_fold); ties → lowest centroid id
+            # (ids are sorted ascending, argmin picks first)
+            d = _sqdist_fold(X, C)
             return pd.Series(ids[np.argmin(d, axis=1)].astype(np.int32))
 
         return em.select(
@@ -1157,15 +1177,33 @@ def _lloyd_final(spark: SparkSession, sf_dir: str, k_of, tag: str) -> DataFrame:
     if isinstance(k_of, int):
         k = k_of
         bound = IVF_TRAIN_PER_CENTROID * k
+        # Deterministic SPREAD sample, not a vec_id prefix (ADVICE r5:
+        # on production data ordered by label/time the first 256·K ids
+        # are a biased slice, undermining cell balance — FAISS
+        # subsamples randomly). The 256·K rows with the smallest
+        # multiplicative hash of vec_id form a pseudo-random
+        # permutation prefix: TakeOrdered top-k (one scan, no full
+        # sort shuffle, bounded driver collect), identical predicate
+        # in the oracle's training CTEs. At every shipped fixture the
+        # bound exceeds the corpus, so the sample is the full corpus
+        # and training is byte-identical to full training.
+        hcol = (
+            F.col("vec_id").cast("long") * F.lit(2654435761)
+        ) % F.lit(1000003)
         srows = sorted(
-            em.where(F.col("vec_id") < bound).select("vec_id", "x").collect(),
+            em.select("vec_id", "x")
+            .orderBy(hcol.asc(), F.col("vec_id").asc())
+            .limit(bound)
+            .collect(),
             key=lambda r: r["vec_id"],
         )
         S = np.array([[float(v) for v in r["x"]] for r in srows])
-        cents_ids = list(range(k))
+        # init = the K lowest-id sample vectors; centroid ids are their
+        # vec_ids (ascending, so positional argmin ties = lowest id)
+        cents_ids = [int(r["vec_id"]) for r in srows[:k]]
         C = S[:k].copy()
         for _ in range(KM_ITERS):
-            d = -2.0 * (S @ C.T) + (C * C).sum(axis=1)[None, :]
+            d = _sqdist_fold(S, C)
             a = np.argmin(d, axis=1)  # ties → first = lowest cid
             new_ids: list[int] = []
             new_C: list[np.ndarray] = []
@@ -1255,20 +1293,32 @@ def _kmeans_ctes(k_sql: str | None = None, train_bound: int | None = None) -> st
     sample-trained) oracles (a{KM_ITERS} holds the final assignment).
 
     ``train_bound``: when set, the TRAINING iterations (t < KM_ITERS)
-    see only vectors with vec_id < bound — the FAISS-style bounded
-    training sample — while the FINAL assignment covers the full
-    corpus. At every shipped fixture the bound exceeds the corpus, so
-    sampled and full training are byte-identical there."""
+    see only the ``train_bound`` vectors with the smallest
+    multiplicative hash of vec_id — the FAISS-style bounded training
+    sample, SPREAD across the id space rather than a biased prefix
+    (ADVICE r5) — while the FINAL assignment covers the full corpus,
+    and the init centroids are the K lowest-id SAMPLE vectors. At
+    every shipped fixture the bound exceeds the corpus, so sampled
+    and full training are byte-identical there."""
     k = k_sql if k_sql is not None else str(KM_K)
-    tsrc = (
-        f"(SELECT * FROM v WHERE vec_id < {train_bound}) v"
-        if train_bound is not None
-        else "v"
-    )
+    if train_bound is not None:
+        sample = (
+            "(SELECT * FROM v ORDER BY"
+            " (CAST(vec_id AS BIGINT) * 2654435761) % 1000003 ASC,"
+            f" vec_id ASC LIMIT {train_bound})"
+        )
+        tsrc = sample + " v"
+        c0 = (
+            f"c0 AS (SELECT vec_id AS c, x AS cx FROM {sample} s"
+            f" ORDER BY vec_id ASC LIMIT ({k}))"
+        )
+    else:
+        tsrc = "v"
+        c0 = f"c0 AS (SELECT vec_id AS c, x AS cx FROM v WHERE vec_id < ({k}))"
     ctes = [
         "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings)",
         f"ms AS (SELECT unnest(range({DIM})) AS i)",
-        f"c0 AS (SELECT vec_id AS c, x AS cx FROM v WHERE vec_id < ({k}))",
+        c0,
     ]
     for t in range(KM_ITERS + 1):
         src = tsrc if t < KM_ITERS else "v"

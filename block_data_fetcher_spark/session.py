@@ -20,6 +20,44 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _host_mem_bytes() -> int | None:
+    """Smallest of physical RAM and any cgroup (v2 then v1) limit —
+    what the JVM can actually claim inside a container."""
+    limits: list[int] = []
+    try:
+        limits.append(os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES"))
+    except (ValueError, OSError, AttributeError):
+        pass
+    for p in (
+        "/sys/fs/cgroup/memory.max",
+        "/sys/fs/cgroup/memory/memory.limit_in_bytes",
+    ):
+        try:
+            with open(p) as f:
+                v = f.read().strip()
+            if v.isdigit():
+                limits.append(int(v))
+        except OSError:
+            pass
+    return min(limits) if limits else None
+
+
+def default_driver_mem(host_bytes: int | None = None) -> str:
+    """Driver-heap default sized to the HOST, not to one 128 GiB box
+    (ADVICE r5: a flat 32g on a container with a smaller cgroup limit
+    gets OOM-killed mid-query instead of failing fast): 60% of the
+    detected host/cgroup memory, clamped to [2g, 32g]; 32g whenever
+    detection fails or the box is big. SPARK_DRIVER_MEM always wins."""
+    env = os.environ.get("SPARK_DRIVER_MEM")
+    if env:
+        return env
+    if host_bytes is None:
+        host_bytes = _host_mem_bytes()
+    if host_bytes is None:
+        return "32g"
+    return f"{max(2, min(32, int(host_bytes * 0.6) >> 30))}g"
+
+
 def get_spark(
     app_name: str = "block-data-fetcher-spark",
     shuffle_partitions: int | None = None,
@@ -39,8 +77,9 @@ def get_spark(
         # local[N] runs driver+executors in ONE JVM: the heap must hold
         # shuffle/join working sets for every concurrent task. 12g OOMed
         # at the sf10 proof (60M-row SMJ after a 220-query session);
-        # size to the box (128 GiB here), overridable for smaller hosts.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
+        # sized to the detected host/cgroup memory, capped at 32g,
+        # SPARK_DRIVER_MEM overrides (see default_driver_mem).
+        .config("spark.driver.memory", default_driver_mem())
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
     )

@@ -104,16 +104,42 @@ MAX_RETRIES = 3  # reference default (src/cli.rs:99)
 RETRY_DELAY_S = 2.0  # reference default, linear backoff (src/cli.rs:100)
 
 
+_RETRYABLE_HTTP = (408, 429, 500, 502, 503, 504)
+
+
+def _is_transient(e: BaseException) -> bool:
+    """Retry only errors that a later attempt can plausibly fix
+    (ADVICE r5: retrying bare Exception burned all attempts + backoff
+    sleeps per slot on deterministic failures like 404s or malformed
+    JSON). HTTPError subclasses URLError AND OSError, so it is
+    classified first by status code; everything transport-shaped
+    (connection reset, DNS, timeout) retries; parse/programming
+    errors fail fast."""
+    import socket
+    import urllib.error
+
+    if isinstance(e, urllib.error.HTTPError):
+        return e.code in _RETRYABLE_HTTP
+    return isinstance(
+        e,
+        (urllib.error.URLError, socket.timeout, TimeoutError, ConnectionError),
+    )
+
+
 def _with_retry(fn, max_retries: int = MAX_RETRIES,
-                delay_s: float = RETRY_DELAY_S, sleep=None):
+                delay_s: float = RETRY_DELAY_S, sleep=None,
+                retryable=_is_transient):
     """Bounded retry with linear backoff around ONE network fetch —
     the reference's extract retry loop (src/pipeline.rs:188-247):
     on failure sleep ``delay_s × attempt_number`` and retry; after
-    ``max_retries`` total attempts re-raise the last error. Applies
-    only to the online path (the offline synthetic source cannot
-    fail); Spark task retries remain the outer, coarser layer —
-    this inner loop keeps one slow/flaky RPC response from burning a
-    whole task attempt, exactly the reference's behavior."""
+    ``max_retries`` total attempts re-raise the last error. Unlike
+    the reference's broad retry, only TRANSIENT transport errors
+    (``retryable``) are retried — a deterministic 4xx or JSON parse
+    error surfaces on the first attempt instead of paying
+    (max_retries − 1) backoff sleeps per slot. Each retried error is
+    logged so flaky endpoints are visible. Applies only to the online
+    path (the offline synthetic source cannot fail); Spark task
+    retries remain the outer, coarser layer."""
     if sleep is None:
         import time
 
@@ -122,10 +148,18 @@ def _with_retry(fn, max_retries: int = MAX_RETRIES,
     while True:
         try:
             return fn()
-        except Exception:
+        except Exception as e:
+            if not retryable(e):
+                raise
             attempt += 1
             if attempt >= max_retries:
                 raise
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "transient RPC error (attempt %d/%d): %r", attempt,
+                max_retries, e,
+            )
             sleep(delay_s * attempt)
 
 

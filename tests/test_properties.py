@@ -804,3 +804,51 @@ def test_star_components_handles_long_paths(spark):
         for r in min_label_components(spark, n2, shallow).collect()
     }
     assert a == b
+
+
+@given(
+    st.integers(min_value=0, max_value=2**31 - 1),
+    st.integers(min_value=2, max_value=5),
+    st.integers(min_value=2, max_value=8),
+)
+@_settings
+def test_sqdist_fold_matches_oracle_fold_at_ties(seed, k, dim):
+    """ADVICE r5: centroid assignment must rank near-tied centroids
+    the way the DuckDB oracle's list_sum fold does. _sqdist_fold
+    accumulates Σ(x−c)² left-to-right, one IEEE add per element —
+    bit-identical to a sequential Python fold (the oracle semantics)
+    — even for vectors perturbed onto centroid boundaries, where the
+    expanded −2x·C+|C|² gemm form may disagree in the last ulp."""
+    import numpy as np
+
+    from block_data_fetcher_spark.functions.similarity import _sqdist_fold
+
+    rng = np.random.RandomState(seed % (2**31))
+    C = rng.standard_normal((k, dim))
+    # points ON and NEAR centroid-pair midpoints (the tie boundary),
+    # with escalating tiny perturbations toward either side
+    pts = []
+    for i in range(k):
+        for j in range(i + 1, k):
+            mid = (C[i] + C[j]) / 2.0
+            pts.append(mid)
+            for eps in (1e-16, 1e-12, 1e-9):
+                pts.append(mid + eps * (C[j] - C[i]))
+                pts.append(mid - eps * (C[j] - C[i]))
+    X = np.array(pts)
+    got = _sqdist_fold(X, C)
+    # the oracle fold: strict left-to-right scalar accumulation
+    # NB (p1-p2)*(p1-p2) with explicit multiply, matching the oracle
+    # SQL — Python's `** 2` (libm pow) can differ by an ulp
+    def term(x, c, d):
+        diff = float(x[d]) - float(c[d])
+        return diff * diff
+
+    want = np.array(
+        [
+            [sum(term(x, c, d) for d in range(dim)) for c in C]
+            for x in X
+        ]
+    )
+    assert (got == want).all()  # bit-exact, not approx
+    assert (np.argmin(got, axis=1) == np.argmin(want, axis=1)).all()
