@@ -61,34 +61,60 @@ def haversine_km(
     return 2 * EARTH_R_KM * F.asin(F.sqrt(a))
 
 
-def q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Radius self-join: all customer-point pairs within 50 km, found
-    by 1°-cell grid blocking with a 3×3 neighbor stencil and verified
-    with the exact haversine — the standard distributed spatial join
-    (the stencil side replicates 9×; the equi-join on cell id shuffles
-    (id, lat, lon) only; candidate work is Σ cell-pair sizes, not n²).
-    Guaranteed-complete because cell edge (1°) exceeds the radius'
-    angular extent at |lat| ≤ 60 in both axes. The DuckDB oracle runs
-    the O(n²) all-pairs join — the blocked plan must return exactly
-    the same pairs."""
-    pts = synth_points(spark, sf_dir)
-    cx = F.floor(F.col("lon") / CELL_DEG).cast("long")
+# Half of the 3×3 neighbor stencil: exactly ONE of each ±offset pair
+# (plus the home cell). Every unordered pair of Chebyshev-adjacent
+# cells {c, c+off} is covered in exactly one direction, so each
+# qualifying point pair is generated ONCE — the build side replicates
+# 5× instead of 9×, and no post-join dedup of mirrored pairs is
+# needed (the sf10 proof run measured the full-stencil variant at
+# 48.8× the sf1 wall; the pair join's shuffle and candidate count
+# both halve with the symmetric stencil).
+_HALF_STENCIL = ((0, 0), (0, 1), (1, -1), (1, 0), (1, 1))
+
+
+N_LON_CELLS = 360  # 1° cells around the full circle — lon cells WRAP
+
+
+def _radius_pairs(
+    spark: SparkSession, sf_dir: str, points: DataFrame | None = None
+) -> DataFrame:
+    """All point pairs within RADIUS_KM, normalized to id_a < id_b,
+    with the RAW haversine double (callers round for output). Grid
+    blocking: bucket into 1° cells, replicate the build side into the
+    half stencil, equi-join on cell id, bounding-box prune, exact
+    haversine verify. Guaranteed-complete because the cell edge (1°)
+    exceeds the radius' angular extent at |lat| ≤ 60 in both axes,
+    one of {c→c', c'→c} is always in the half stencil, and the
+    longitude cell index WRAPS modulo 360: points at lon ±179.97° are
+    ~4 km apart across the anti-meridian, so cells −180 and +179 are
+    adjacent on the sphere (caught round 6: the unwrapped grid missed
+    850 real pairs at sf1 — latent until a scale with pairs near the
+    seam, since the driver's sf0.01 fixture has no 50 km pairs at
+    all). Latitude needs no wrap (|lat| ≤ 60 keeps cells off the
+    poles)."""
+    pts = points if points is not None else synth_points(spark, sf_dir)
+    raw_cx = F.floor(F.col("lon") / CELL_DEG).cast("long")
     cy = F.floor(F.col("lat") / CELL_DEG).cast("long")
-    # probe side: home cell only
+    # probe side: home cell only (lon index wrapped to [0, 360))
     probe = pts.select(
         F.col("point_id").alias("id_b"),
         F.col("lat").alias("lat_b"),
         F.col("lon").alias("lon_b"),
-        cx.alias("cx"),
+        F.pmod(raw_cx + F.lit(180), F.lit(N_LON_CELLS)).alias("cx"),
         cy.alias("cy"),
     )
-    # build side: replicate into the 3x3 stencil
+    # build side: replicate into the HALF stencil; home marks the
+    # (0,0) copy, whose within-cell pairs need the id-order filter
+    # (they appear in both orders; cross-cell pairs appear once)
     offs = F.explode(
         F.array(
             *[
-                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-                for dx in (-1, 0, 1)
-                for dy in (-1, 0, 1)
+                F.struct(
+                    F.lit(dx).alias("dx"),
+                    F.lit(dy).alias("dy"),
+                    F.lit(dx == 0 and dy == 0).alias("home"),
+                )
+                for dx, dy in _HALF_STENCIL
             ]
         )
     ).alias("o")
@@ -96,18 +122,23 @@ def q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("point_id").alias("id_a"),
         F.col("lat").alias("lat_a"),
         F.col("lon").alias("lon_a"),
-        cx.alias("bx"),
+        raw_cx.alias("bx"),
         cy.alias("by"),
         offs,
     ).select(
         "id_a",
         "lat_a",
         "lon_a",
-        (F.col("bx") + F.col("o.dx")).alias("cx"),
+        F.pmod(
+            F.col("bx") + F.col("o.dx") + F.lit(180), F.lit(N_LON_CELLS)
+        ).alias("cx"),
         (F.col("by") + F.col("o.dy")).alias("cy"),
+        F.col("o.home").alias("home"),
     )
     cand = build.join(probe, ["cx", "cy"]).where(
-        F.col("id_a") < F.col("id_b")
+        F.when(F.col("home"), F.col("id_a") < F.col("id_b")).otherwise(
+            F.col("id_a") != F.col("id_b")
+        )
     )
     # Sound bounding-box prefilter before the trig: great-circle km ≥
     # 110.0 × |Δlat°| (meridian arc is ≥110.57 km/deg) and ≥ 110.0 ×
@@ -117,31 +148,96 @@ def q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 5 trig calls. Physical-only: the emitted pair set is unchanged
     # (the sf10 proof measured ~4× fewer haversine evaluations; the
     # surviving ~quadratic growth is the OUTPUT pair count itself,
-    # which grows with density² at fixed radius by definition).
+    # which grows with density² at fixed radius by definition —
+    # densify the world 10× and there ARE ~100× more pairs to emit;
+    # no plan outruns its own output size. The bounded-output scale
+    # query is q_spatial_nn below).
     lat_gap_ok = F.abs(F.col("lat_a") - F.col("lat_b")) * 110.0 <= F.lit(
         RADIUS_KM
     )
     cos_max = F.cos(
         F.radians(F.greatest(F.abs(F.col("lat_a")), F.abs(F.col("lat_b"))))
     )
+    # wrap-aware lon gap: a pair straddling the anti-meridian has
+    # |Δlon| ≈ 360 but a tiny great-circle separation — the true
+    # angular gap is min(|Δ|, 360 − |Δ|)
+    lon_gap = F.abs(F.col("lon_a") - F.col("lon_b"))
     lon_gap_ok = (
-        F.abs(F.col("lon_a") - F.col("lon_b")) * 110.0 * cos_max
+        F.least(lon_gap, F.lit(360.0) - lon_gap) * 110.0 * cos_max
         <= F.lit(RADIUS_KM)
     )
-    dist = haversine_km(
-        F.col("lat_a"), F.col("lon_a"), F.col("lat_b"), F.col("lon_b")
-    )
+    # Cross-cell survivors may arrive with id_a > id_b; the oracle
+    # always evaluates haversine(lower-id, higher-id), and libm trig
+    # is not guaranteed bit-symmetric under operand swap — so SWAP
+    # FIRST, then evaluate the distance with the exact operand order
+    # the oracle uses.
+    lo_is_a = F.col("id_a") < F.col("id_b")
+    lat1 = F.when(lo_is_a, F.col("lat_a")).otherwise(F.col("lat_b"))
+    lon1 = F.when(lo_is_a, F.col("lon_a")).otherwise(F.col("lon_b"))
+    lat2 = F.when(lo_is_a, F.col("lat_b")).otherwise(F.col("lat_a"))
+    lon2 = F.when(lo_is_a, F.col("lon_b")).otherwise(F.col("lon_a"))
     return (
         cand.where(lat_gap_ok & lon_gap_ok)
-        .withColumn("dist_km", dist)
-        .where(F.col("dist_km") <= F.lit(RADIUS_KM))
         .select(
-            "id_a",
-            "id_b",
-            (F.round(F.col("dist_km") + F.lit(1e-9), 3) + 0.0).alias(
-                "dist_km"
-            ),
+            F.least(F.col("id_a"), F.col("id_b")).alias("id_a"),
+            F.greatest(F.col("id_a"), F.col("id_b")).alias("id_b"),
+            haversine_km(lat1, lon1, lat2, lon2).alias("dist_km"),
         )
+        .where(F.col("dist_km") <= F.lit(RADIUS_KM))
+    )
+
+
+def q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius self-join: all customer-point pairs within 50 km, found
+    by 1°-cell grid blocking with a HALF 3×3 neighbor stencil (each
+    unordered cell pair covered exactly once — see _radius_pairs) and
+    verified with the exact haversine — the standard distributed
+    spatial join (the stencil side replicates 5×; the equi-join on
+    cell id shuffles (id, lat, lon) only; candidate work is Σ
+    cell-pair sizes, not n²). The DuckDB oracle runs the O(n²)
+    all-pairs join — the blocked plan must return exactly the same
+    pairs. NB the OUTPUT of a fixed-radius all-pairs query is itself
+    quadratic in density (fixed fixture world ⇒ ~100× pairs at 10×
+    rows); q_spatial_nn is the O(N)-output production shape."""
+    return _radius_pairs(spark, sf_dir).select(
+        "id_a",
+        "id_b",
+        (F.round(F.col("dist_km") + F.lit(1e-9), 3) + 0.0).alias("dist_km"),
+    )
+
+
+def q_spatial_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest neighbor within 50 km per point — the bounded-output
+    spatial query a pipeline actually runs at 100 TB (q_spatial_join's
+    full pair enumeration grows with density²; this output is ≤ one
+    row per point no matter how dense the world gets). Reuses the
+    half-stencil pair generation, mirrors each normalized pair to
+    both endpoints (map-side, no extra shuffle of the input), and
+    takes min(dist) per point — a partial-aggregatable reduction, so
+    the shuffle carries |points| rows, not |pairs|. Ties break toward
+    the lower neighbor id; the raw-double distance compare is
+    engine-identical because both engines rank the SAME pr-computed
+    doubles (haversine evaluated once per pair, lower-id operand
+    first)."""
+    pr = _radius_pairs(spark, sf_dir)
+    both = pr.select(
+        F.col("id_a").alias("point_id"),
+        F.col("id_b").alias("nn_id"),
+        "dist_km",
+    ).unionAll(
+        pr.select(
+            F.col("id_b").alias("point_id"),
+            F.col("id_a").alias("nn_id"),
+            "dist_km",
+        )
+    )
+    best = both.groupBy("point_id").agg(
+        F.min(F.struct(F.col("dist_km"), F.col("nn_id"))).alias("b")
+    )
+    return best.select(
+        "point_id",
+        F.col("b.nn_id").alias("nn_id"),
+        (F.round(F.col("b.dist_km") + F.lit(1e-9), 3) + 0.0).alias("dist_km"),
     )
 
 
@@ -191,6 +287,26 @@ ORACLE: dict[str, str] = {
                round({_HAVERSINE_SQL} + 1e-9, 3) + 0.0 AS dist_km
         FROM pts a JOIN pts b ON a.point_id < b.point_id
         WHERE {_HAVERSINE_SQL} <= 50.0
+    """,
+    "q_spatial_nn": f"""
+        -- brute-force per-point nearest-neighbor-in-radius reference
+        WITH pts AS ({_POINTS_SQL}),
+        pr AS (
+          SELECT a.point_id AS ia, b.point_id AS ib, {_HAVERSINE_SQL} AS d
+          FROM pts a JOIN pts b ON a.point_id < b.point_id
+          WHERE {_HAVERSINE_SQL} <= 50.0
+        ),
+        mirrored AS (
+          SELECT ia AS point_id, ib AS nn_id, d FROM pr
+          UNION ALL
+          SELECT ib AS point_id, ia AS nn_id, d FROM pr
+        )
+        SELECT point_id, nn_id, round(d + 1e-9, 3) + 0.0 AS dist_km
+        FROM (
+          SELECT point_id, nn_id, d, row_number() OVER (
+            PARTITION BY point_id ORDER BY d ASC, nn_id ASC) AS rn
+          FROM mirrored
+        ) WHERE rn = 1
     """,
     "q_geo_density": f"""
         WITH pts AS ({_POINTS_SQL})

@@ -622,18 +622,22 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     For STANDARD parts and EUROPE suppliers, keep the supplier(s)
     charging each part's regional minimum, top-20 by balance.
 
-    Exercises the correlated-min subquery decorrelated to a window:
-    the pair-level aggregate pre-partitions on ``l_partkey`` alone,
-    which already satisfies both the (partkey, suppkey) grouping's
-    ClusteredDistribution and the per-part min window — the whole
-    query is ONE shuffle plus a broadcast dim spine and a top-k
-    (gated in tests/test_plans.py). Reference analog: the registry's
-    "best label per program" resolution (src/etl/transform.rs:34-61)
-    at benchmark shape."""
+    Exercises the correlated-min subquery decorrelated to a window.
+    Two exchanges, each carrying the RIGHT data: the grouped cost
+    aggregate keeps map-side partial aggregation, so its shuffle
+    carries |distinct (part, supp) pairs|, not |lineitem rows| (an
+    earlier variant pre-repartitioned raw lineitem on l_partkey to
+    satisfy both the grouping and the window with one exchange — but
+    that shuffles every raw row and forfeits the partial agg: at the
+    sf10 proof it ran 11.7× the sf1 wall; this plan's first exchange
+    shrinks with the combine and the window exchange moves only
+    aggregated pairs). Broadcast dim spine, top-k output (gated in
+    tests/test_plans.py). Reference analog: the registry's "best
+    label per program" resolution (src/etl/transform.rs:34-61) at
+    benchmark shape."""
     li = table(spark, sf_dir, "lineitem")
     cost = (
-        li.repartition("l_partkey")
-        .groupBy("l_partkey", "l_suppkey")
+        li.groupBy("l_partkey", "l_suppkey")
         .agg(
             F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
                 "supplycost"

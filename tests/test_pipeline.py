@@ -305,3 +305,57 @@ def test_default_driver_mem_sizes_to_host(monkeypatch):
     }
     monkeypatch.setenv("SPARK_DRIVER_MEM", "7g")
     assert default_driver_mem(host_bytes=4 * g) == "7g"  # env wins
+
+
+def test_spatial_blocking_complete_incl_antimeridian(spark, sf_dir):
+    """The grid-blocked pair join must equal brute force on a DENSE
+    point set — including pairs straddling the anti-meridian (round-6
+    fix: lon cells wrap modulo 360; the unwrapped grid silently
+    missed 850 real pairs at sf1) and within/cross-cell pairs in both
+    id orders (half-stencil coverage)."""
+    import math
+
+    from block_data_fetcher_spark.operators.spatial import (
+        RADIUS_KM,
+        _radius_pairs,
+    )
+
+    # clusters at the seam (±179.9x°), a mid-world cell-corner
+    # cluster, and isolated far points; ids deliberately interleaved
+    # so cross-cell pairs arrive in both id orders
+    coords = [
+        (0, 55.0, 179.95), (1, 55.1, -179.97), (2, 55.2, 179.80),
+        (3, 54.9, -179.85), (4, -10.02, 0.98), (5, -9.97, 1.03),
+        (6, -10.4, 0.6), (7, 30.0, 90.0), (8, 59.9, -120.0),
+        (9, -10.05, 1.01), (10, 55.05, -179.99),
+    ]
+    pts = spark.createDataFrame(
+        coords, "point_id long, lat double, lon double"
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in _radius_pairs(spark, sf_dir, points=pts).collect()
+    }
+
+    def hav(a, b):
+        (_, la1, lo1), (_, la2, lo2) = a, b
+        dphi = math.radians(la2 - la1) / 2
+        dlmb = math.radians(lo2 - lo1) / 2
+        x = (
+            math.sin(dphi) ** 2
+            + math.cos(math.radians(la1))
+            * math.cos(math.radians(la2))
+            * math.sin(dlmb) ** 2
+        )
+        return 2 * 6371.0 * math.asin(math.sqrt(x))
+
+    want = {
+        (coords[i][0], coords[j][0])
+        for i in range(len(coords))
+        for j in range(i + 1, len(coords))
+        if hav(coords[i], coords[j]) <= RADIUS_KM
+    }
+    assert got == want
+    # the seam pairs must actually be exercised by this fixture
+    seam = {p for p in want if {p[0], p[1]} & {0, 1, 10}}
+    assert len(seam) >= 2, want

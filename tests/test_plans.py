@@ -223,14 +223,19 @@ def test_unigram_logprob_broadcasts_frequency_table(spark, sf_dir):
     assert uses_broadcast_join(df), formatted_plan(df)
 
 
-def test_tpch_q2_single_shuffle_top_k(spark, sf_dir):
-    # the pair-level cost aggregate pre-partitions on l_partkey, which
-    # satisfies both the (partkey, suppkey) grouping and the per-part
-    # min window: one exchange, broadcast dims, top-k output
+def test_tpch_q2_partial_agg_then_window(spark, sf_dir):
+    # two exchanges max: the (partkey, suppkey) grouping keeps its
+    # map-side partial aggregation (the shuffle carries distinct
+    # pairs, not raw lineitem rows — a pre-repartition that forced a
+    # raw-row shuffle ran 11.7× at the sf10 proof), then the per-part
+    # window re-shuffles only the aggregated pairs; broadcast dims,
+    # top-k output
     df = _Q["q_tpch_q2"](spark, sf_dir)
-    assert count_exchanges(df) <= 1, formatted_plan(df)
+    plan = formatted_plan(df)
+    assert count_exchanges(df) <= 2, plan
+    assert "partial_min" in plan.lower() or "HashAggregate" in plan, plan
     assert uses_broadcast_join(df)
-    assert is_top_k(df), formatted_plan(df)
+    assert is_top_k(df), plan
 
 
 def test_tpch_q20_semi_join_and_broadcast_part(spark, sf_dir):
