@@ -72,18 +72,21 @@ def haversine_km(
 _HALF_STENCIL = ((0, 0), (0, 1), (1, -1), (1, 0), (1, 1))
 
 
-N_LON_CELLS = 360  # 1° cells around the full circle — lon cells WRAP
-
-
 def _radius_pairs(
-    spark: SparkSession, sf_dir: str, points: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    points: DataFrame | None = None,
+    radius_km: float = RADIUS_KM,
+    cell_deg: float = CELL_DEG,
 ) -> DataFrame:
-    """All point pairs within RADIUS_KM, normalized to id_a < id_b,
-    with the RAW haversine double (callers round for output). Grid
-    blocking: bucket into 1° cells, replicate the build side into the
-    half stencil, equi-join on cell id, bounding-box prune, exact
-    haversine verify. Guaranteed-complete because the cell edge (1°)
-    exceeds the radius' angular extent at |lat| ≤ 60 in both axes,
+    """All point pairs within ``radius_km``, normalized to
+    id_a < id_b, with the RAW haversine double (callers round for
+    output). Grid blocking: bucket into ``cell_deg``° cells,
+    replicate the build side into the half stencil, equi-join on cell
+    id, bounding-box prune, exact haversine verify.
+    Guaranteed-complete because the cell edge exceeds the radius'
+    angular extent at |lat| ≤ 60 in both axes (callers must pick
+    cell_deg ≥ radius_km / (110 · cos 60°) ≈ radius_km / 55),
     one of {c→c', c'→c} is always in the half stencil, and the
     longitude cell index WRAPS modulo 360: points at lon ±179.97° are
     ~4 km apart across the anti-meridian, so cells −180 and +179 are
@@ -93,14 +96,16 @@ def _radius_pairs(
     all). Latitude needs no wrap (|lat| ≤ 60 keeps cells off the
     poles)."""
     pts = points if points is not None else synth_points(spark, sf_dir)
-    raw_cx = F.floor(F.col("lon") / CELL_DEG).cast("long")
-    cy = F.floor(F.col("lat") / CELL_DEG).cast("long")
-    # probe side: home cell only (lon index wrapped to [0, 360))
+    n_lon_cells = int(round(360.0 / cell_deg))
+    half_turn = n_lon_cells // 2
+    raw_cx = F.floor(F.col("lon") / cell_deg).cast("long")
+    cy = F.floor(F.col("lat") / cell_deg).cast("long")
+    # probe side: home cell only (lon index wrapped to [0, n_cells))
     probe = pts.select(
         F.col("point_id").alias("id_b"),
         F.col("lat").alias("lat_b"),
         F.col("lon").alias("lon_b"),
-        F.pmod(raw_cx + F.lit(180), F.lit(N_LON_CELLS)).alias("cx"),
+        F.pmod(raw_cx + F.lit(half_turn), F.lit(n_lon_cells)).alias("cx"),
         cy.alias("cy"),
     )
     # build side: replicate into the HALF stencil; home marks the
@@ -130,7 +135,7 @@ def _radius_pairs(
         "lat_a",
         "lon_a",
         F.pmod(
-            F.col("bx") + F.col("o.dx") + F.lit(180), F.lit(N_LON_CELLS)
+            F.col("bx") + F.col("o.dx") + F.lit(half_turn), F.lit(n_lon_cells)
         ).alias("cx"),
         (F.col("by") + F.col("o.dy")).alias("cy"),
         F.col("o.home").alias("home"),
@@ -153,7 +158,7 @@ def _radius_pairs(
     # no plan outruns its own output size. The bounded-output scale
     # query is q_spatial_nn below).
     lat_gap_ok = F.abs(F.col("lat_a") - F.col("lat_b")) * 110.0 <= F.lit(
-        RADIUS_KM
+        radius_km
     )
     cos_max = F.cos(
         F.radians(F.greatest(F.abs(F.col("lat_a")), F.abs(F.col("lat_b"))))
@@ -164,7 +169,7 @@ def _radius_pairs(
     lon_gap = F.abs(F.col("lon_a") - F.col("lon_b"))
     lon_gap_ok = (
         F.least(lon_gap, F.lit(360.0) - lon_gap) * 110.0 * cos_max
-        <= F.lit(RADIUS_KM)
+        <= F.lit(radius_km)
     )
     # Cross-cell survivors may arrive with id_a > id_b; the oracle
     # always evaluates haversine(lower-id, higher-id), and libm trig
@@ -183,7 +188,7 @@ def _radius_pairs(
             F.greatest(F.col("id_a"), F.col("id_b")).alias("id_b"),
             haversine_km(lat1, lon1, lat2, lon2).alias("dist_km"),
         )
-        .where(F.col("dist_km") <= F.lit(RADIUS_KM))
+        .where(F.col("dist_km") <= F.lit(radius_km))
     )
 
 
@@ -206,20 +211,29 @@ def q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NN_RADIUS_KM = 25.0  # tighter search radius for the per-point NN query
+NN_CELL_DEG = 0.5  # ≥ 25 km angular extent at |lat| ≤ 60 (25/55.66 ≈ 0.45°)
+
+
 def q_spatial_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nearest neighbor within 50 km per point — the bounded-output
+    """Nearest neighbor within 25 km per point — the bounded-output
     spatial query a pipeline actually runs at 100 TB (q_spatial_join's
     full pair enumeration grows with density²; this output is ≤ one
-    row per point no matter how dense the world gets). Reuses the
-    half-stencil pair generation, mirrors each normalized pair to
-    both endpoints (map-side, no extra shuffle of the input), and
-    takes min(dist) per point — a partial-aggregatable reduction, so
-    the shuffle carries |points| rows, not |pairs|. Ties break toward
-    the lower neighbor id; the raw-double distance compare is
-    engine-identical because both engines rank the SAME pr-computed
-    doubles (haversine evaluated once per pair, lower-id operand
-    first)."""
-    pr = _radius_pairs(spark, sf_dir)
+    row per point no matter how dense the world gets). The tighter
+    radius also picks a FINER grid (0.5° cells — the cell size must
+    only dominate the radius' angular extent, so a smaller radius
+    legitimately buys ~4× fewer per-cell candidates: candidate work
+    ∝ N · density · cell_area). Reuses the half-stencil pair
+    generation, mirrors each normalized pair to both endpoints
+    (map-side, no extra shuffle of the input), and takes min(dist)
+    per point — a partial-aggregatable reduction, so the shuffle
+    carries |points| rows, not |pairs|. Ties break toward the lower
+    neighbor id; the raw-double distance compare is engine-identical
+    because both engines rank the SAME pr-computed doubles (haversine
+    evaluated once per pair, lower-id operand first)."""
+    pr = _radius_pairs(
+        spark, sf_dir, radius_km=NN_RADIUS_KM, cell_deg=NN_CELL_DEG
+    )
     both = pr.select(
         F.col("id_a").alias("point_id"),
         F.col("id_b").alias("nn_id"),
@@ -294,7 +308,7 @@ ORACLE: dict[str, str] = {
         pr AS (
           SELECT a.point_id AS ia, b.point_id AS ib, {_HAVERSINE_SQL} AS d
           FROM pts a JOIN pts b ON a.point_id < b.point_id
-          WHERE {_HAVERSINE_SQL} <= 50.0
+          WHERE {_HAVERSINE_SQL} <= 25.0
         ),
         mirrored AS (
           SELECT ia AS point_id, ib AS nn_id, d FROM pr
