@@ -142,6 +142,41 @@ def _sqdist_fold(X: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
     return acc
 
 
+def _argmin_sqdist(X: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
+    """Nearest-centroid index with the EXACT-FOLD outcome at gemm
+    speed (the r6 all-rows fold was DIM memory-bandwidth passes per
+    batch — 3× the sf10 wall on the √N-centroid assignment): rank
+    every row with the expanded −2X·Cᵀ+|C|² gemm, then re-rank ONLY
+    the rows whose top-2 margin is within a rigorous error bound of
+    the expanded form via :func:`_sqdist_fold`. The expanded form's
+    deviation from the exact fold is ≲ DIM·ε·(|x|²+|c|²) ≈ 1.4e-14 of
+    the operand scale; the 1e-10-of-scale margin gate is ~10⁴× that,
+    so any row it passes has the same argmin under both forms, and
+    the flagged rows (exact ties included) get the oracle-identical
+    fold ranking outright. (The gate must stay well below typical
+    top-2 margins too: with K ≈ √N near-equidistant centroids the
+    nearest-two margin is often ~1e-5 of scale — a 1e-6 gate flagged
+    a large fraction of rows and gave back most of the gemm saving.)
+    Ties → lowest index, identical in both paths (np.argmin picks
+    first)."""
+    c_sq = (C * C).sum(axis=1)
+    G = -2.0 * (X @ C.T) + c_sq[None, :]
+    a = np.argmin(G, axis=1)
+    if C.shape[0] > 1:
+        # second-smallest via mask-and-restore (no O(n·k) partition
+        # copy — this path shadows every assignment at 100 TB)
+        rows = np.arange(X.shape[0])
+        m1 = G[rows, a].copy()
+        G[rows, a] = np.inf
+        m2 = G.min(axis=1)
+        G[rows, a] = m1
+        scale = (X * X).sum(axis=1) + c_sq.max() + 1.0
+        risky = (m2 - m1) <= 1e-10 * scale
+        if risky.any():
+            a[risky] = np.argmin(_sqdist_fold(X[risky], C), axis=1)
+    return a
+
+
 def q_embed_near_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall sign-off for q_embed_near_dup's cluster blocking (the
     same contract as the LSH and ANN sign-offs), two audits over a
@@ -188,12 +223,12 @@ def q_embed_near_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         i = np.arange(DIM, dtype=np.int64)[None, :]
         noise = ((((V * DIM + i) * 2654435761) % 1000003) - 501501) / 501501.0
         P = X * (1.0 + NEAR_DUP_PERT * noise)
-        d = _sqdist_fold(P, C)
+        pc_idx = _argmin_sqdist(P, C)
         cos = (X * P).sum(axis=1) / (
             np.sqrt((X * X).sum(axis=1)) * np.sqrt((P * P).sum(axis=1))
         )
         return pd.DataFrame(
-            {"pc": ids[np.argmin(d, axis=1)].astype(np.int32), "pcos": cos}
+            {"pc": ids[pc_idx].astype(np.int32), "pcos": cos}
         )
 
     panel = sem.where(F.col("vec_id") < NEAR_DUP_PANEL).select(
@@ -1164,11 +1199,11 @@ def _lloyd_final(spark: SparkSession, sf_dir: str, k_of, tag: str) -> DataFrame:
         @F.pandas_udf(T.IntegerType())
         def cluster_of(xs: pd.Series) -> pd.Series:
             X = np.stack(xs.to_numpy()).astype(np.float64)
-            # exact Σ(x-c)² fold (bit-identical to the oracle's
-            # list_sum — see _sqdist_fold); ties → lowest centroid id
-            # (ids are sorted ascending, argmin picks first)
-            d = _sqdist_fold(X, C)
-            return pd.Series(ids[np.argmin(d, axis=1)].astype(np.int32))
+            # exact-fold argmin at gemm speed (see _argmin_sqdist);
+            # ties → lowest centroid id (ids sorted ascending)
+            return pd.Series(
+                ids[_argmin_sqdist(X, C)].astype(np.int32)
+            )
 
         return em.select(
             "vec_id", "label", "x", cluster_of(F.col("x")).alias("cluster")

@@ -852,3 +852,10 @@ def test_sqdist_fold_matches_oracle_fold_at_ties(seed, k, dim):
     )
     assert (got == want).all()  # bit-exact, not approx
     assert (np.argmin(got, axis=1) == np.argmin(want, axis=1)).all()
+
+    # the gemm+margin-gated hybrid must give the SAME assignment as
+    # the exact fold, on exactly these boundary-tie points (its risky
+    # set catches them and re-ranks with the fold)
+    from block_data_fetcher_spark.functions.similarity import _argmin_sqdist
+
+    assert (_argmin_sqdist(X, C) == np.argmin(want, axis=1)).all()
