@@ -243,19 +243,32 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     DISTINCT'd (dimension-sized — |benchmark| ≪ |corpus|), the
     contaminated ids come from a LEFT SEMI join on the gram key and
     survivors from a LEFT ANTI join on doc_id — the full documents
-    never move through the gram shuffle, only (id, gram) pairs. At
-    100 TB both sides would pre-hash grams to 64-bit ints (same plan,
-    1/10 the shuffle bytes); strings are kept here for oracle
-    readability."""
+    never move through the gram shuffle, only (id, gram) pairs. Both
+    sides pre-hash the gram to a 64-bit int (xxhash64) BEFORE the
+    shuffle — the join key drops from a ~30-byte string to 8 bytes
+    and compares as a long. On local[32] this is cost-neutral (the
+    sf10 proof pinned the bottleneck as gram-explosion CPU, ~in-memory
+    exchange); on a network-bound cluster the ~4× fewer exchange
+    bytes are the win — this stays the heaviest catalog entry either
+    way because it re-tokenizes the full corpus (linear, 9.3× wall
+    for 10× rows at the sf10 proof). A 64-bit collision between
+    a train-only and bench gram would misflag one doc; at n grams the
+    chance is ~n²/2⁶⁴ (≈1e-7 even at sf10) and the string-keyed
+    DuckDB oracle would catch exactly that, so the gate doubles as a
+    collision monitor."""
     docs = table(spark, sf_dir, "documents")
     bench = docs.where(F.col("source") == "src0")
     train = docs.where(F.col("source") != "src0")
+    gram_h = F.xxhash64(F.col("gram")).alias("gh")
     bench_grams = (
-        bench.select(F.explode(F.expr(_GRAMS5)).alias("gram")).distinct()
+        bench.select(F.explode(F.expr(_GRAMS5)).alias("gram"))
+        .select(gram_h)
+        .distinct()
     )
     contaminated = (
         train.select("doc_id", F.explode(F.expr(_GRAMS5)).alias("gram"))
-        .join(bench_grams, "gram", "left_semi")
+        .select("doc_id", gram_h)
+        .join(bench_grams, "gh", "left_semi")
         .select("doc_id")
         .distinct()
     )
