@@ -211,16 +211,20 @@ def q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-NN_RADIUS_KM = 25.0  # tighter search radius for the per-point NN query
-NN_CELL_DEG = 0.5  # ≥ 25 km angular extent at |lat| ≤ 60 (25/55.66 ≈ 0.45°)
+NN_RADIUS_KM = 40.0  # tighter search radius for the per-point NN query
+# (40, not 25: the congruential fixture lattice has min pair distance
+# ~31 km at sf0.1 — a 25 km radius returned ZERO rows at every tested
+# sf, making the oracle gate vacuous; 40 km yields ~2.4k pairs at
+# sf0.1, and tests/test_oracle.py pins the non-vacuity)
+NN_CELL_DEG = 0.75  # ≥ 40 km angular extent at |lat| ≤ 60 (40/55.66 ≈ 0.72°)
 
 
 def q_spatial_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nearest neighbor within 25 km per point — the bounded-output
+    """Nearest neighbor within 40 km per point — the bounded-output
     spatial query a pipeline actually runs at 100 TB (q_spatial_join's
     full pair enumeration grows with density²; this output is ≤ one
     row per point no matter how dense the world gets). The tighter
-    radius also picks a FINER grid (0.5° cells — the cell size must
+    radius also picks a FINER grid (0.75° cells — the cell size must
     only dominate the radius' angular extent, so a smaller radius
     legitimately buys ~4× fewer per-cell candidates: candidate work
     ∝ N · density · cell_area). Reuses the half-stencil pair
@@ -308,7 +312,7 @@ ORACLE: dict[str, str] = {
         pr AS (
           SELECT a.point_id AS ia, b.point_id AS ib, {_HAVERSINE_SQL} AS d
           FROM pts a JOIN pts b ON a.point_id < b.point_id
-          WHERE {_HAVERSINE_SQL} <= 25.0
+          WHERE {_HAVERSINE_SQL} <= 40.0
         ),
         mirrored AS (
           SELECT ia AS point_id, ib AS nn_id, d FROM pr

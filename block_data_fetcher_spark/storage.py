@@ -451,8 +451,12 @@ def q_zorder_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     write_zordered(ev.select("event_id", "user_id", "event_type", "value"), path, zk)
+    # predicate chosen NON-VACUOUS at every fixture scale (r6: the
+    # original `value > 900` matched zero rows anywhere — events top
+    # out ~560 — so the lossless-readback proof proved nothing);
+    # ~0.3% selective, 26 rows even at sf0.001
     back = spark.read.parquet(path).where(
-        (F.col("user_id") % 1000 < 20) & (F.col("value") > 900.0)
+        (F.col("user_id") % 100 < 10) & (F.col("value") > 150.0)
     )
     return back.groupBy("event_type").agg(
         F.count("*").alias("n"),
@@ -1222,7 +1226,7 @@ ORACLE: dict[str, str] = {
         SELECT event_type, count(*) AS n,
                round(sum(value), 2) AS sum_value
         FROM events
-        WHERE user_id % 1000 < 20 AND value > 900.0
+        WHERE user_id % 100 < 10 AND value > 150.0
         GROUP BY event_type
     """,
     "q_bucketed_join": """

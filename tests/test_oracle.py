@@ -54,3 +54,33 @@ def test_rows_only(name, spark, sf_dir):
     df = _QUERIES[name](spark, sf_dir)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+# Queries whose result is EMPTY at the small gate scales (sf0.001 /
+# sf0.01) — there an oracle "pass" is 0-rows-vs-0-rows and proves
+# nothing (r6 lesson: exactly such a vacuous pass hid an
+# anti-meridian bug in q_spatial_join for five rounds). Each is
+# re-compared at sf0.1, where the result is pinned NON-EMPTY, every
+# run — if a fixture or query change ever empties one of these at
+# sf0.1 too, the count assertion (not just the compare) fails loudly.
+# q_embed_near_dup is intentionally absent: the embedding fixture
+# plants no near-dups at ANY sf (documented); its non-vacuous gate is
+# q_embed_near_dup_recall's planted-twin panel.
+_SPARSE_AT_SMALL_SF = [
+    "q_spatial_join",
+    "q_spatial_nn",
+    "q_zorder_sink",
+    "q_tpch_q20",
+    "q_anti_join",
+]
+
+
+@pytest.mark.parametrize("name", _SPARSE_AT_SMALL_SF)
+def test_oracle_nonvacuous_at_sf01(name, spark):
+    sf01 = "/root/testdata/sf0.1"
+    df = _QUERIES[name](spark, sf01)
+    assert df.count() > 0, (
+        f"{name} returns 0 rows even at sf0.1 — its oracle gate is "
+        "vacuous at every tested scale"
+    )
+    compare(spark, _QUERIES[name], _ORACLES[name], sf01)
