@@ -82,23 +82,44 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _run_to_memory(df: DataFrame, name: str, mode: str) -> DataFrame:
+def _stream_partitions(sf_dir: str) -> int:
+    """State-store partition count sized to the SOURCE (the analog of
+    sizing to |executors| at stream start on a real cluster — the
+    count freezes into the checkpoint): 8 covers the single-file
+    fixture scales, where more partitions are pure per-task overhead,
+    growing toward the core count once the events file is large
+    enough that state-op parallelism dominates (r6: the flat 8 capped
+    sf10's 6M-event state stages at a quarter of the cores)."""
+    import os
+
+    try:
+        size = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
+    except OSError:
+        return 8
+    return min(32, max(8, int(size // (4 << 20))))
+
+
+def _run_to_memory(
+    df: DataFrame, name: str, mode: str, partitions: int = 8
+) -> DataFrame:
     """Run a stream to a memory sink with availableNow — bounded,
     deterministic, returns the sink table. ``complete`` for windowed
     aggregations (bounded input — emits every window even though the
     final watermark never passes the last one), ``append`` for
     row-level streams.
 
-    The state-store partition count is pinned LOW for the run: a
-    stateful query creates one state-store instance per shuffle
-    partition per trigger, so 32 partitions over a single-file source
-    is pure per-task overhead (~2x wall-clock measured at sf0.1). On a
-    real cluster the same knob is sized to |executors| at stream START
-    (it is frozen into the checkpoint, deliberately — state cannot be
-    re-sharded by config after the fact)."""
+    The state-store partition count is sized by the CALLER via
+    ``partitions`` (see _stream_partitions): a stateful query creates
+    one state-store instance per shuffle partition per trigger, so 32
+    partitions over a small single-file source is pure per-task
+    overhead (~2x wall-clock measured at sf0.1), while 8 starves a
+    6M-event sf10 state stage of cores. On a real cluster the same
+    knob is sized to |executors| at stream START (it is frozen into
+    the checkpoint, deliberately — state cannot be re-sharded by
+    config after the fact)."""
     spark = df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
     try:
         sink = f"{name}_{uuid.uuid4().hex[:8]}"
         q = (
@@ -124,7 +145,7 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
         .select(F.col("w.start").alias("hour"), "cnt", "sum_value")
     )
-    return _run_to_memory(agg, "stream_tumbling", "complete")
+    return _run_to_memory(agg, "stream_tumbling", "complete", _stream_partitions(sf_dir))
 
 
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -134,7 +155,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup = ev.dropDuplicatesWithinWatermark(["event_id"]).select(
         "event_id", "user_id", "event_type"
     )
-    return _run_to_memory(dedup, "stream_dedup", "append")
+    return _run_to_memory(dedup, "stream_dedup", "append", _stream_partitions(sf_dir))
 
 
 def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -145,7 +166,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
         .select(F.col("w.start").alias("w_start"), F.col("w.end").alias("w_end"), "cnt")
     )
-    return _run_to_memory(agg, "stream_sliding", "complete")
+    return _run_to_memory(agg, "stream_sliding", "complete", _stream_partitions(sf_dir))
 
 
 def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -201,7 +222,7 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return _run_to_memory(rolled, "stream_stateful", "update")
+    return _run_to_memory(rolled, "stream_stateful", "update", _stream_partitions(sf_dir))
 
 
 def q_stream_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -261,7 +282,7 @@ def q_stream_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
-        return _run_to_memory(rolled, "stream_tws", "update")
+        return _run_to_memory(rolled, "stream_tws", "update", _stream_partitions(sf_dir))
 
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
@@ -302,7 +323,7 @@ def q_stream_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             outputMode="Update",
             timeMode="None",
         )
-        return _run_to_memory(rolled, "stream_tws", "update")
+        return _run_to_memory(rolled, "stream_tws", "update", _stream_partitions(sf_dir))
     finally:
         if prev is None:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
@@ -332,7 +353,7 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = ev.join(_F.broadcast(profile), "user_id", "left").select(
         "event_id", "user_id", "event_type", "lifetime_events"
     )
-    return _run_to_memory(joined, "stream_static_join", "append")
+    return _run_to_memory(joined, "stream_static_join", "append", _stream_partitions(sf_dir))
 
 
 def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -376,7 +397,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AND p_ts <= c_ts + interval 30 minutes"
         ),
     ).select("click_id", "purchase_id", "c_user", "value")
-    return _run_to_memory(joined, "stream_stream_join", "append")
+    return _run_to_memory(joined, "stream_stream_join", "append", _stream_partitions(sf_dir))
 
 
 def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -401,7 +422,7 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("total_value").desc(), F.col("user_id").asc())
         .limit(3)
     )
-    return _run_to_memory(ranked, "stream_topk", "complete")
+    return _run_to_memory(ranked, "stream_topk", "complete", _stream_partitions(sf_dir))
 
 
 def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -455,7 +476,7 @@ def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "leftOuter",
     ).select("click_id", "c_user", "c_ts", "purchase_id", "value")
-    return _run_to_memory(joined, "stream_stream_left_join", "append")
+    return _run_to_memory(joined, "stream_stream_left_join", "append", _stream_partitions(sf_dir))
 
 
 def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -682,7 +703,7 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("day"), "cnt", "sum_value")
     )
-    out = _run_to_memory(agg, "stream_late", "append")
+    out = _run_to_memory(agg, "stream_late", "append", _stream_partitions(sf_dir))
     out = out.cache()
     out.count()
     shutil.rmtree(root, ignore_errors=True)
@@ -918,7 +939,7 @@ def q_stream_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
             token_count("text").alias("n_tokens"),
         )
     )
-    return _run_to_memory(curated, "stream_curate", "append")
+    return _run_to_memory(curated, "stream_curate", "append", _stream_partitions(sf_dir))
 
 
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -934,7 +955,7 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt",
         )
     )
-    return _run_to_memory(agg, "stream_session", "complete")
+    return _run_to_memory(agg, "stream_session", "complete", _stream_partitions(sf_dir))
 
 
 # ---------------------------------------------------------------------------
