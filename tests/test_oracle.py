@@ -84,3 +84,78 @@ def test_oracle_nonvacuous_at_sf01(name, spark):
         "vacuous at every tested scale"
     )
     compare(spark, _QUERIES[name], _ORACLES[name], sf01)
+
+
+# ---------------------------------------------------------------------------
+# Automated vacuity sweep (r7, generalizing the r6 hand-list above).
+#
+# The driver's gate compares Spark vs the DuckDB oracle at sf0.001 and
+# sf0.01. That comparison is VACUOUS exactly when the ORACLE side is
+# empty: oracle non-empty forces a real value comparison, and oracle
+# empty + Spark non-empty fails outright — so a 0-row oracle is the
+# only shape where a broken query can pass unnoticed (the hole that
+# hid q_spatial_join's anti-meridian bug for five rounds). Counting
+# the oracle side in DuckDB therefore proves gate non-vacuity for the
+# whole catalog in ~15 s per scale, without re-running 252 Spark jobs.
+#
+# Every query allow-listed as legitimately-empty at the gate scales
+# must carry a pinned NON-EMPTY gate at a higher scale:
+#   - four of them via test_oracle_nonvacuous_at_sf01 (sf0.1), and
+#   - q_embed_near_dup via q_embed_near_dup_recall's planted-twin
+#     panel (the embedding fixture plants no organic near-dups at ANY
+#     sf — documented in FIXTURES.md — so no sf makes it non-empty).
+# The sweep fails loudly in BOTH directions: a non-allow-listed query
+# going empty (new vacuous gate) and an allow-listed query returning
+# rows (stale allow-list entry).
+_VACUOUS_AT_GATE_SF = {
+    "q_anti_join",
+    "q_embed_near_dup",
+    "q_spatial_join",
+    "q_spatial_nn",
+    "q_tpch_q20",
+}
+
+
+def test_vacuity_allowlist_entries_have_nonvacuous_twin():
+    covered = set(_SPARSE_AT_SMALL_SF) | {"q_embed_near_dup"}
+    orphans = _VACUOUS_AT_GATE_SF - covered
+    assert not orphans, (
+        f"allow-listed vacuous queries with NO pinned non-empty twin "
+        f"at a higher sf: {sorted(orphans)} — add each to "
+        "_SPARSE_AT_SMALL_SF (or an equivalent planted-truth gate) "
+        "before allow-listing"
+    )
+
+
+@pytest.mark.parametrize(
+    "gate_sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_vacuity_sweep_at_gate_scales(gate_sf):
+    from tests.oracle_harness import duckdb_conn
+
+    con = duckdb_conn(gate_sf)
+    violations = []
+    for name in sorted(_QUERIES):
+        sql = _ORACLES.get(name)
+        if sql is None:
+            # A query with no oracle can't be swept here — it must not
+            # silently dodge vacuity checking.
+            violations.append(
+                f"{name}: no oracle_sql entry — unsweepable; add an "
+                "oracle or extend the sweep with a Spark-side count"
+            )
+            continue
+        n = con.execute(f"SELECT count(*) FROM ({sql})").fetchone()[0]
+        if n == 0 and name not in _VACUOUS_AT_GATE_SF:
+            violations.append(
+                f"{name}: oracle empty at {gate_sf} — its driver gate "
+                "is vacuous; fix the query/fixture or allow-list it "
+                "WITH a pinned non-empty twin at a higher sf"
+            )
+        elif n > 0 and name in _VACUOUS_AT_GATE_SF:
+            violations.append(
+                f"{name}: allow-listed as vacuous but returns {n} rows "
+                f"at {gate_sf} — remove the stale allow-list entry"
+            )
+    con.close()
+    assert not violations, "\n".join(violations)
