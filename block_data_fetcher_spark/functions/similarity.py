@@ -1222,9 +1222,20 @@ def _lloyd_final(spark: SparkSession, sf_dir: str, k_of, tag: str) -> DataFrame:
         # in the oracle's training CTEs. At every shipped fixture the
         # bound exceeds the corpus, so the sample is the full corpus
         # and training is byte-identical to full training.
-        hcol = (
-            F.col("vec_id").cast("long") * F.lit(2654435761)
-        ) % F.lit(1000003)
+        # vec_id is reduced mod the prime BEFORE the multiply (ADVICE
+        # r6): past ~3.5e9 ids the raw product overflows int64, where
+        # Spark wraps silently but DuckDB raises — breaking the
+        # identical-predicate contract exactly at the 100 TB design
+        # point. (a·h) mod p == ((a mod p)·h) mod p, and the reduced
+        # product tops out at ~2.7e15, so the two forms agree wherever
+        # the old one was overflow-free (all shipped fixtures) and the
+        # new one never overflows. pmod keeps any negative id in
+        # [0, p) the way DuckDB's double-% idiom does.
+        hcol = F.pmod(
+            F.pmod(F.col("vec_id").cast("long"), F.lit(1000003))
+            * F.lit(2654435761),
+            F.lit(1000003),
+        )
         srows = sorted(
             em.select("vec_id", "x")
             .orderBy(hcol.asc(), F.col("vec_id").asc())
@@ -1337,9 +1348,12 @@ def _kmeans_ctes(k_sql: str | None = None, train_bound: int | None = None) -> st
     and full training are byte-identical there."""
     k = k_sql if k_sql is not None else str(KM_K)
     if train_bound is not None:
+        # mirrors the Spark overflow-safe pmod form: reduce vec_id mod
+        # the prime first (never overflows), normalize to [0, p)
         sample = (
             "(SELECT * FROM v ORDER BY"
-            " (CAST(vec_id AS BIGINT) * 2654435761) % 1000003 ASC,"
+            " ((((CAST(vec_id AS BIGINT) % 1000003) + 1000003) % 1000003)"
+            " * 2654435761) % 1000003 ASC,"
             f" vec_id ASC LIMIT {train_bound})"
         )
         tsrc = sample + " v"

@@ -95,8 +95,21 @@ def _radius_pairs(
     seam, since the driver's sf0.01 fixture has no 50 km pairs at
     all). Latitude needs no wrap (|lat| ≤ 60 keeps cells off the
     poles)."""
+    import math
+
     pts = points if points is not None else synth_points(spark, sf_dir)
     n_lon_cells = int(round(360.0 / cell_deg))
+    # cell_deg must tile the 360° circle EXACTLY: a non-divisor (e.g.
+    # 0.7°) leaves a narrower seam cell at the anti-meridian whose
+    # edge can undercut the radius' angular extent, silently missing
+    # pairs across the seam (ADVICE r6) — fail loudly instead.
+    if not math.isclose(n_lon_cells * cell_deg, 360.0, rel_tol=0, abs_tol=1e-9):
+        raise ValueError(
+            f"cell_deg={cell_deg} does not divide 360° evenly "
+            f"({n_lon_cells} cells × {cell_deg}° = {n_lon_cells * cell_deg}°); "
+            "the anti-meridian seam cell would be narrower than the "
+            "radius requires — pick a divisor of 360"
+        )
     half_turn = n_lon_cells // 2
     raw_cx = F.floor(F.col("lon") / cell_deg).cast("long")
     cy = F.floor(F.col("lat") / cell_deg).cast("long")
@@ -232,9 +245,16 @@ def q_spatial_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-side, no extra shuffle of the input), and takes min(dist)
     per point — a partial-aggregatable reduction, so the shuffle
     carries |points| rows, not |pairs|. Ties break toward the lower
-    neighbor id; the raw-double distance compare is engine-identical
-    because both engines rank the SAME pr-computed doubles (haversine
-    evaluated once per pair, lower-id operand first)."""
+    neighbor id. Cross-engine determinism caveat (ADVICE r6): each
+    engine computes its OWN haversine doubles (JVM Math vs libm can
+    differ by ulps), so two near-equidistant neighbors could in
+    principle rank differently per engine; WITHIN each engine the
+    ranking is consistent because the pair distance is evaluated once
+    (lower-id operand first) and reused for both endpoints. The
+    fixture's inter-point spacing makes a cross-engine flip
+    astronomically unlikely, and the sf0.1 gate additionally asserts
+    every point's top-2 neighbor distances are separated by far more
+    than accumulated ulp error (tests/test_oracle.py)."""
     pr = _radius_pairs(
         spark, sf_dir, radius_km=NN_RADIUS_KM, cell_deg=NN_CELL_DEG
     )

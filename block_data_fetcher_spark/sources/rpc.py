@@ -113,16 +113,28 @@ def _is_transient(e: BaseException) -> bool:
     sleeps per slot on deterministic failures like 404s or malformed
     JSON). HTTPError subclasses URLError AND OSError, so it is
     classified first by status code; everything transport-shaped
-    (connection reset, DNS, timeout) retries; parse/programming
-    errors fail fast."""
+    (connection reset, DNS, timeout, truncated/garbled HTTP response)
+    retries; parse/programming errors fail fast."""
+    import http.client
     import socket
     import urllib.error
 
     if isinstance(e, urllib.error.HTTPError):
         return e.code in _RETRYABLE_HTTP
+    # http.client.HTTPException covers IncompleteRead/BadStatusLine —
+    # a flaky server truncating or garbling a response mid-flight is
+    # genuinely transient, but subclasses neither URLError nor
+    # ConnectionError (ADVICE r6: one truncated body failed the slot
+    # immediately).
     return isinstance(
         e,
-        (urllib.error.URLError, socket.timeout, TimeoutError, ConnectionError),
+        (
+            urllib.error.URLError,
+            http.client.HTTPException,
+            socket.timeout,
+            TimeoutError,
+            ConnectionError,
+        ),
     )
 
 

@@ -208,11 +208,26 @@ def salted_join(
 
 SKEW_FACTOR = 4.0  # hottest key > 4× the uniform share ⇒ salt (q_skew_detect's flag rule)
 
-# (analyzed-plan semanticHash, key, factor, sample) → flag. The
-# profiling scan really does run once per fact/key pair now (ADVICE
-# r5: the docstring claimed caching the API didn't provide — repeated
-# skew_adaptive_join calls re-scanned the fact table every time).
+# (analyzed-plan semanticHash, input-file listing, key, factor,
+# sample) → flag. The profiling scan really does run once per
+# fact/key pair now (ADVICE r5: the docstring claimed caching the API
+# didn't provide — repeated skew_adaptive_join calls re-scanned the
+# fact table every time). The file-listing component is the
+# data-version key (ADVICE r6): a semantically-equal plan over
+# REWRITTEN data (new part files at the same path) must re-profile,
+# not serve the stale flag. Bounded FIFO so a long-lived driver
+# profiling many tables can't grow it without limit.
 _SKEW_CACHE: dict[tuple, bool] = {}
+_SKEW_CACHE_MAX = 256
+
+
+def clear_skew_cache() -> None:
+    """Drop all memoized skew flags. Needed only when data changes
+    UNDER an existing DataFrame in a way the file-listing key can't
+    see (e.g. a format that rewrites bytes in place keeping file
+    names); normal overwrites produce new part files and re-profile
+    automatically."""
+    _SKEW_CACHE.clear()
 
 
 def detect_join_skew(
@@ -226,8 +241,11 @@ def detect_join_skew(
     hottest join key holds more than ``skew_factor`` times the uniform
     per-key share. One map-side-combinable count per key + a 3-number
     global agg — memoized on the DataFrame's analyzed-plan semantic
-    hash so a pipeline pays the profiling scan ONCE per (fact, key)
-    pair no matter how many joins consult it. At 100 TB pass
+    hash PLUS its input-file listing (the data-version component: an
+    overwrite at the same path produces new part files and therefore
+    re-profiles; see :func:`clear_skew_cache` for the one case it
+    can't see) so a pipeline pays the profiling scan ONCE per
+    (fact, key) pair no matter how many joins consult it. At 100 TB pass
     ``sample_fraction`` (hot keys dominate any uniform sample — a 1%
     sample of a 4×-skewed key is still ~4×-skewed in expectation) or
     profile yesterday's partition and pass ``skewed=`` to
@@ -235,8 +253,14 @@ def detect_join_skew(
     ck = None
     if cache:
         try:
+            # inputFiles() is a driver-side listing (no job): it pins
+            # the cache entry to the exact part files profiled, so
+            # re-reading a path whose data was overwritten (new part
+            # files, same schema ⇒ same semanticHash) re-profiles
+            # instead of returning the stale flag.
             ck = (
                 df._jdf.queryExecution().analyzed().semanticHash(),
+                tuple(sorted(df.inputFiles())),
                 key,
                 skew_factor,
                 sample_fraction,
@@ -262,6 +286,8 @@ def detect_join_skew(
         and row["top_n"] * row["n_keys"] > skew_factor * row["n_rows"]
     )
     if ck is not None:
+        while len(_SKEW_CACHE) >= _SKEW_CACHE_MAX:
+            _SKEW_CACHE.pop(next(iter(_SKEW_CACHE)))
         _SKEW_CACHE[ck] = flag
     return flag
 

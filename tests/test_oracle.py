@@ -120,6 +120,50 @@ def test_oracle_nonvacuous_at_sf01(name, spark):
     compare(spark, _QUERIES[name], _ORACLES[name], sf01)
 
 
+def test_spatial_nn_top2_margin_at_sf01(spark):
+    """Cross-engine determinism guard for q_spatial_nn (ADVICE r6):
+    Spark and DuckDB each compute their own haversine doubles (JVM
+    Math vs libm can differ by ulps), so the per-point argmin is only
+    engine-stable if no point's top-2 candidate distances are within
+    ulp range of each other. Assert the minimum top-2 margin at sf0.1
+    is orders of magnitude above accumulated double rounding error
+    (~1e-12 km at 40 km scale) — if a future fixture ever plants
+    near-equidistant neighbors, this fails before the oracle gate
+    starts flaking."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from block_data_fetcher_spark.operators.spatial import (
+        NN_CELL_DEG,
+        NN_RADIUS_KM,
+        _radius_pairs,
+    )
+
+    pr = _radius_pairs(
+        spark,
+        "/root/testdata/sf0.1",
+        radius_km=NN_RADIUS_KM,
+        cell_deg=NN_CELL_DEG,
+    )
+    both = pr.select(
+        F.col("id_a").alias("point_id"), "dist_km"
+    ).unionAll(pr.select(F.col("id_b").alias("point_id"), "dist_km"))
+    w = Window.partitionBy("point_id").orderBy("dist_km")
+    top2 = both.withColumn("rk", F.row_number().over(w)).where("rk <= 2")
+    margin = (
+        top2.groupBy("point_id")
+        .agg((F.max("dist_km") - F.min("dist_km")).alias("m"), F.count("*").alias("n"))
+        .where("n = 2")  # points with a single candidate can't tie
+        .agg(F.min("m"))
+        .head()[0]
+    )
+    assert margin is None or margin > 1e-6, (
+        f"top-2 neighbor distances separated by only {margin} km — "
+        "within ulp range, the q_spatial_nn oracle gate can flake "
+        "across engines"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Automated vacuity sweep (r7, generalizing the r6 hand-list above).
 #

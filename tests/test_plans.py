@@ -531,6 +531,43 @@ def test_skew_adaptive_join_flips_with_the_data(spark, sf_dir):
     assert a == b
 
 
+def test_skew_cache_reprofiles_after_overwrite(spark, tmp_path):
+    """ADVICE r6: the skew memo must carry a data-version component.
+    Overwriting a path's data keeps the read plan semantically equal
+    (same schema ⇒ same semanticHash), so a hash-only key would serve
+    the stale flag; the input-file listing in the key forces a
+    re-profile of the rewritten data."""
+    from pyspark.sql import functions as F
+
+    from block_data_fetcher_spark import storage
+    from block_data_fetcher_spark.storage import (
+        clear_skew_cache,
+        detect_join_skew,
+    )
+
+    path = str(tmp_path / "facts")
+    uniform = spark.range(1_000).select(
+        (F.col("id") % 100).alias("f_key")
+    )
+    uniform.write.mode("overwrite").parquet(path)
+    clear_skew_cache()
+    try:
+        assert detect_join_skew(spark.read.parquet(path), "f_key") is False
+        # overwrite IN PLACE with a 9/10-hot key, same schema
+        skewed = spark.range(1_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7))
+            .otherwise(F.col("id") % 100)
+            .alias("f_key")
+        )
+        skewed.write.mode("overwrite").parquet(path)
+        assert detect_join_skew(spark.read.parquet(path), "f_key") is True, (
+            "stale skew flag served for rewritten data — the cache key "
+            "is missing the input-file listing component"
+        )
+    finally:
+        clear_skew_cache()
+
+
 def test_skew_detection_is_memoized_and_overridable(spark, sf_dir):
     """ADVICE r5: detect_join_skew must not re-scan the fact table on
     every skew_adaptive_join call. The result is memoized per
@@ -560,7 +597,7 @@ def test_skew_detection_is_memoized_and_overridable(spark, sf_dir):
     poisoned = {
         k: not v
         for k, v in storage._SKEW_CACHE.items()
-        if k[1] == "f_key"
+        if k[2] == "f_key"  # key name; [1] is the file-listing (r7)
     }
     assert poisoned, "detection result was not cached"
     storage._SKEW_CACHE.update(poisoned)
