@@ -89,11 +89,26 @@ def _stream_partitions(sf_dir: str) -> int:
     fixture scales, where more partitions are pure per-task overhead,
     growing toward the core count once the events file is large
     enough that state-op parallelism dominates (r6: the flat 8 capped
-    sf10's 6M-event state stages at a quarter of the cores)."""
+    sf10's 6M-event state stages at a quarter of the cores).
+
+    `events.parquet` may be a single file (every shipped fixture) or
+    a directory of part files (any Spark-written fixture) — a
+    directory is walked and its data-file sizes summed, so a future
+    multi-file fixture sizes correctly instead of silently hitting
+    the OSError floor of 8 (r6 verdict nit)."""
     import os
 
+    path = os.path.join(sf_dir, "events.parquet")
     try:
-        size = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
+        if os.path.isdir(path):
+            size = sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _dirs, files in os.walk(path)
+                for f in files
+                if not f.startswith(("_", "."))  # skip _SUCCESS/.crc
+            )
+        else:
+            size = os.path.getsize(path)
     except OSError:
         return 8
     return min(32, max(8, int(size // (4 << 20))))

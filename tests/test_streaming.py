@@ -623,3 +623,38 @@ def test_cdc_tombstone_survives_out_of_order_replay(spark, sf_dir, tmp_path):
     # and the tombstone itself is still present for future merges
     ops = {r.key: r.op for r in spark.read.parquet(path).collect()}
     assert ops[1] == "D"
+
+
+def test_stream_partitions_handles_directory_fixture(spark, sf_dir, tmp_path):
+    """r6 verdict nit: `_stream_partitions` sized state-store
+    parallelism from a single `events.parquet` FILE and silently fell
+    back to the floor of 8 if the fixture were a directory. A
+    Spark-written (directory-shaped) events fixture must size from
+    the summed part-file bytes, identically to a single file of the
+    same size."""
+    import os
+
+    from block_data_fetcher_spark.streaming.jobs import _stream_partitions
+
+    # single-file fixtures keep their existing sizing
+    single = _stream_partitions(sf_dir)
+    size = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
+    assert single == min(32, max(8, int(size // (4 << 20))))
+
+    # directory-shaped fixture: Spark writes part files + _SUCCESS
+    ddir = str(tmp_path / "dirfix")
+    os.makedirs(ddir)
+    spark.read.parquet(os.path.join(sf_dir, "events.parquet")).repartition(
+        4
+    ).write.parquet(os.path.join(ddir, "events.parquet"))
+    dsize = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _d, files in os.walk(os.path.join(ddir, "events.parquet"))
+        for f in files
+        if not f.startswith(("_", "."))
+    )
+    assert dsize > 0
+    assert _stream_partitions(ddir) == min(32, max(8, int(dsize // (4 << 20))))
+
+    # missing fixture still floors at 8
+    assert _stream_partitions(str(tmp_path / "nope")) == 8
