@@ -186,6 +186,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        # r7: r5's sf10 history line silently carried a 28-query failed
+        # tail (-1 markers only) that the round-6 wall-clock comparison
+        # missed — surface the count at the top level so any failed run
+        # is loud in round-over-round diffs.
+        "n_failed": sum(1 for v in timings.values() if v < 0),
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
