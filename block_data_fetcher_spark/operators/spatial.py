@@ -231,52 +231,268 @@ NN_RADIUS_KM = 40.0  # tighter search radius for the per-point NN query
 # sf0.1, and tests/test_oracle.py pins the non-vacuity)
 NN_CELL_DEG = 0.75  # ≥ 40 km angular extent at |lat| ≤ 60 (40/55.66 ≈ 0.72°)
 
+# Fixed-degree cell ladder for the adaptive phase-1 radius: every entry
+# divides 360° evenly (the anti-meridian wrap requirement _radius_pairs
+# asserts) and supports radii up to 55·cell_deg km at |lat| ≤ 60.
+_NN_CELL_LADDER = (
+    0.01, 0.025, 0.05, 0.1, 0.15, 0.2, 0.25, 0.3, 0.375, 0.5, 0.75,
+)
+# Spherical area of the fixture's lat band |lat| ≤ 60°, full longitude:
+# 2πR² · (sin 60° − sin −60°) ≈ 4.417e8 km².
+_WORLD_AREA_KM2 = 441_672_943.0
+_NN_TARGET_PTS_PER_DISK = 3.0  # aim for ~3 candidates inside the r0 disk
 
-def q_spatial_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+def _nn_phase1(n_points: int) -> tuple[float, float] | None:
+    """Pick the phase-1 (radius_km, cell_deg) for the two-phase NN
+    search, or None when the corpus is sparse enough that the full
+    40 km search is already cheap.
+
+    r0 is sized so a Poisson-uniform corpus puts ~3 points inside the
+    r0-disk (r0 = sqrt(k·A/(π·N))) — dense worlds get a small first
+    ring, so per-point candidate work stays O(1) as density grows
+    instead of scaling with the 40 km disk's occupancy. The cell comes
+    from a fixed ladder of 360°-divisors with 55·cell ≥ r0 (the
+    completeness bound at |lat| ≤ 60)."""
+    import math
+
+    if n_points <= 0:
+        return None
+    r0 = math.sqrt(
+        _NN_TARGET_PTS_PER_DISK * _WORLD_AREA_KM2 / (math.pi * n_points)
+    )
+    if r0 >= NN_RADIUS_KM:
+        return None
+    for cell in _NN_CELL_LADDER:
+        if 55.0 * cell >= r0:
+            return (max(r0, 1e-3), cell)
+    return None  # r0 > 41.25 km: ladder exhausted ⇒ single-phase
+
+
+def _bipartite_nn_candidates(
+    pts: DataFrame,
+    probes: DataFrame,
+    radius_km: float,
+    cell_deg: float,
+) -> DataFrame:
+    """(point_id, nn_id, dist_km) candidates: for every probe point,
+    all OTHER points within ``radius_km``, via the FULL 3×3 stencil on
+    the (small) probe side — the bipartite analog of _radius_pairs'
+    half-stencil self-join, used by q_spatial_nn's escalation phase
+    where |probes| ≪ |pts|. The haversine is evaluated with the
+    lower-id operands first, exactly the operand order the oracle and
+    the phase-1 pair set use, so a pair's distance double is identical
+    no matter which phase found it."""
+    import math
+
+    n_lon_cells = int(round(360.0 / cell_deg))
+    if not math.isclose(n_lon_cells * cell_deg, 360.0, rel_tol=0, abs_tol=1e-9):
+        raise ValueError(f"cell_deg={cell_deg} does not divide 360° evenly")
+    half_turn = n_lon_cells // 2
+    raw_cx = F.floor(F.col("lon") / cell_deg).cast("long")
+    cy = F.floor(F.col("lat") / cell_deg).cast("long")
+    others = pts.select(
+        F.col("point_id").alias("nn_id"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+        F.pmod(raw_cx + F.lit(half_turn), F.lit(n_lon_cells)).alias("cx"),
+        cy.alias("cy"),
+    )
+    offs = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ]
+        )
+    ).alias("o")
+    probe_cells = probes.select(
+        F.col("point_id"),
+        F.col("lat").alias("lat_a"),
+        F.col("lon").alias("lon_a"),
+        raw_cx.alias("bx"),
+        cy.alias("by"),
+        offs,
+    ).select(
+        "point_id",
+        "lat_a",
+        "lon_a",
+        F.pmod(
+            F.col("bx") + F.col("o.dx") + F.lit(half_turn), F.lit(n_lon_cells)
+        ).alias("cx"),
+        (F.col("by") + F.col("o.dy")).alias("cy"),
+    )
+    cand = probe_cells.join(others, ["cx", "cy"]).where(
+        F.col("point_id") != F.col("nn_id")
+    )
+    lat_gap_ok = F.abs(F.col("lat_a") - F.col("lat_b")) * 110.0 <= F.lit(
+        radius_km
+    )
+    cos_max = F.cos(
+        F.radians(F.greatest(F.abs(F.col("lat_a")), F.abs(F.col("lat_b"))))
+    )
+    lon_gap = F.abs(F.col("lon_a") - F.col("lon_b"))
+    lon_gap_ok = (
+        F.least(lon_gap, F.lit(360.0) - lon_gap) * 110.0 * cos_max
+        <= F.lit(radius_km)
+    )
+    lo_is_a = F.col("point_id") < F.col("nn_id")
+    lat1 = F.when(lo_is_a, F.col("lat_a")).otherwise(F.col("lat_b"))
+    lon1 = F.when(lo_is_a, F.col("lon_a")).otherwise(F.col("lon_b"))
+    lat2 = F.when(lo_is_a, F.col("lat_b")).otherwise(F.col("lat_a"))
+    lon2 = F.when(lo_is_a, F.col("lon_b")).otherwise(F.col("lon_a"))
+    return (
+        cand.where(lat_gap_ok & lon_gap_ok)
+        .select(
+            "point_id",
+            "nn_id",
+            haversine_km(lat1, lon1, lat2, lon2).alias("dist_km"),
+        )
+        .where(F.col("dist_km") <= F.lit(radius_km))
+    )
+
+
+def _min_struct(cand: DataFrame) -> DataFrame:
+    """min(dist, nn_id) per point over (point_id, nn_id, dist_km)
+    candidates — a partial-aggregatable reduction, so the shuffle
+    carries |points| rows, not |candidates|."""
+    return cand.groupBy("point_id").agg(
+        F.min(F.struct(F.col("dist_km"), F.col("nn_id"))).alias("b")
+    )
+
+
+def q_spatial_nn(
+    spark: SparkSession,
+    sf_dir: str,
+    phase1: tuple[float, float] | None | str = "auto",
+    points: DataFrame | None = None,
+) -> DataFrame:
     """Nearest neighbor within 40 km per point — the bounded-output
     spatial query a pipeline actually runs at 100 TB (q_spatial_join's
     full pair enumeration grows with density²; this output is ≤ one
-    row per point no matter how dense the world gets). The tighter
-    radius also picks a FINER grid (0.75° cells — the cell size must
-    only dominate the radius' angular extent, so a smaller radius
-    legitimately buys ~4× fewer per-cell candidates: candidate work
-    ∝ N · density · cell_area). Reuses the half-stencil pair
-    generation, mirrors each normalized pair to both endpoints
-    (map-side, no extra shuffle of the input), and takes min(dist)
-    per point — a partial-aggregatable reduction, so the shuffle
-    carries |points| rows, not |pairs|. Ties break toward the lower
-    neighbor id. Cross-engine determinism caveat (ADVICE r6): each
-    engine computes its OWN haversine doubles (JVM Math vs libm can
-    differ by ulps), so two near-equidistant neighbors could in
+    row per point no matter how dense the world gets).
+
+    Two structural facts drive the r7 plan (the r6 single-phase pair
+    enumeration measured 22× the sf1 wall for 10× rows at sf10):
+
+    1. EXACT CO-LOCATION FAST PATH. Replicated corpora stack many
+       points on identical coordinates (the sf10 fixture holds 1.5M
+       points on 36k distinct positions, ~42 deep — and production
+       data has the same shape: devices sharing a cell tower, events
+       geocoded to a city centroid). Every such point's NN is a
+       co-located twin at distance EXACTLY 0.0 — haversine of
+       identical doubles is 0.0 bit-exactly in every engine (sin(0)=0,
+       asin(0)=0), so no trig and no cross-engine ulp risk — with the
+       tie broken to the lowest other id at the position. One window
+       over (lat, lon) resolves them all; the k²-per-position pair
+       enumeration (≈60M candidates at sf10, any ring size) vanishes.
+    2. DENSITY-ADAPTIVE two-phase ring search for the remaining
+       singleton-position probes, bipartite against the WHOLE corpus:
+       phase 1 sizes a first ring r0 from corpus density so the
+       r0-disk holds ~3 points (r0 = sqrt(3·A/(π·N)), cell from a
+       360°-divisor ladder with 55·cell ≥ r0). A probe with any
+       phase-1 candidate is FINAL (its true NN ≤ r0 < 40 and the r0
+       candidate set is complete at ≤ r0); only the rest — e^(−3) ≈ 5%
+       on a Poisson-uniform corpus — escalate to the full 40 km
+       search. Per-probe candidate work is therefore O(1) in density,
+       the curve a 100 TB-dense world needs, while a sparse corpus
+       (r0 ≥ 40 km: every gate sf) keeps the single full-radius pass.
+
+    ``phase1``: "auto" (density-derived), None (force single-phase),
+    or an explicit (radius_km, cell_deg) — tests force all paths on
+    the same fixture and assert identical results. ``points``
+    overrides the synthetic point set (tests inject co-located
+    fixtures).
+
+    min-struct (dist, nn_id) ties break toward the lower neighbor id.
+    Cross-engine determinism caveat (ADVICE r6): each engine computes
+    its OWN haversine doubles (JVM Math vs libm can differ by ulps),
+    so two near-equidistant CROSS-position neighbors could in
     principle rank differently per engine; WITHIN each engine the
-    ranking is consistent because the pair distance is evaluated once
-    (lower-id operand first) and reused for both endpoints. The
-    fixture's inter-point spacing makes a cross-engine flip
-    astronomically unlikely, and the sf0.1 gate additionally asserts
-    every point's top-2 neighbor distances are separated by far more
-    than accumulated ulp error (tests/test_oracle.py)."""
-    pr = _radius_pairs(
-        spark, sf_dir, radius_km=NN_RADIUS_KM, cell_deg=NN_CELL_DEG
-    )
-    both = pr.select(
-        F.col("id_a").alias("point_id"),
-        F.col("id_b").alias("nn_id"),
-        "dist_km",
-    ).unionAll(
-        pr.select(
-            F.col("id_b").alias("point_id"),
-            F.col("id_a").alias("nn_id"),
-            "dist_km",
+    ranking is consistent because a candidate's distance is evaluated
+    with the lower-id operands first — in BOTH phases, matching the
+    oracle's a.point_id < b.point_id evaluation — and co-located
+    candidates are exact 0.0 in both engines. The fixture's
+    inter-point spacing makes a cross-engine flip astronomically
+    unlikely, and the sf0.1 gate additionally asserts every point's
+    top-2 neighbor distances are separated by far more than
+    accumulated ulp error (tests/test_oracle.py)."""
+    if phase1 == "auto":
+        phase1 = _nn_phase1(_count_points(sf_dir))
+    if phase1 is not None and phase1[0] >= NN_RADIUS_KM:
+        # a first ring ≥ the query radius would admit neighbors beyond
+        # the 40 km semantics — that's just the single phase; demand
+        # the caller say so explicitly
+        raise ValueError(
+            f"phase-1 radius {phase1[0]} must be < {NN_RADIUS_KM} km "
+            "(pass phase1=None for the single-phase search)"
         )
+    pts = points if points is not None else synth_points(spark, sf_dir)
+    w = (
+        Window.partitionBy("lat", "lon")
+        .orderBy("point_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
-    best = both.groupBy("point_id").agg(
-        F.min(F.struct(F.col("dist_km"), F.col("nn_id"))).alias("b")
+    ranked = pts.select(
+        "point_id",
+        "lat",
+        "lon",
+        F.count("*").over(w).alias("n_at_pos"),
+        F.first("point_id").over(w).alias("m1"),
+        F.nth_value("point_id", 2).over(w).alias("m2"),
     )
-    return best.select(
+    res0 = ranked.where(F.col("n_at_pos") >= 2).select(
+        "point_id",
+        F.struct(
+            F.lit(0.0).alias("dist_km"),
+            F.when(F.col("point_id") == F.col("m1"), F.col("m2"))
+            .otherwise(F.col("m1"))
+            .alias("nn_id"),
+        ).alias("b"),
+    )
+    probes = ranked.where(F.col("n_at_pos") == 1).select(
+        "point_id", "lat", "lon"
+    )
+    if phase1 is None:
+        best = _min_struct(
+            _bipartite_nn_candidates(pts, probes, NN_RADIUS_KM, NN_CELL_DEG)
+        )
+    else:
+        r0, cell0 = phase1
+        best1 = _min_struct(_bipartite_nn_candidates(pts, probes, r0, cell0))
+        rest = probes.join(best1.select("point_id"), "point_id", "left_anti")
+        best2 = _min_struct(
+            _bipartite_nn_candidates(pts, rest, NN_RADIUS_KM, NN_CELL_DEG)
+        )
+        best = best1.unionAll(best2)
+    return res0.unionAll(best).select(
         "point_id",
         F.col("b.nn_id").alias("nn_id"),
         (F.round(F.col("b.dist_km") + F.lit(1e-9), 3) + 0.0).alias("dist_km"),
     )
+
+
+def _count_points(sf_dir: str) -> int:
+    """Point count for the adaptive radius, from parquet footer
+    metadata (no Spark job — the number of synth points is exactly
+    |customer|). Falls back to 0 (⇒ single-phase) if the file layout
+    is unexpected."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "customer.parquet")
+    try:
+        if os.path.isdir(path):
+            return sum(
+                pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return 0
 
 
 def q_geo_density(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -391,6 +391,149 @@ def test_spatial_blocking_complete_incl_antimeridian(spark, sf_dir):
     assert len(seam) >= 2, want
 
 
+def test_spatial_nn_two_phase_equals_single_phase(spark):
+    """r7: q_spatial_nn's density-adaptive two-phase search (small
+    first ring, escalate only unmatched points to the full 40 km
+    radius) must return EXACTLY the single-phase result. sf0.1 is the
+    scale where a 35 km first ring genuinely splits the corpus — some
+    points resolve in phase 1, most escalate — so both code paths and
+    their union are exercised; a 5 km ring (below the lattice's 31 km
+    min spacing) matches nobody and must degrade to a pure phase-2
+    answer, also identical."""
+    from block_data_fetcher_spark.operators.spatial import (
+        _radius_pairs,
+        q_spatial_nn,
+        synth_points,
+    )
+
+    sf01 = "/root/testdata/sf0.1"
+    single = sorted(
+        map(tuple, q_spatial_nn(spark, sf01, phase1=None).collect())
+    )
+    assert single, "sf0.1 NN result must be non-empty (vacuity guard)"
+
+    # forced split ring: assert BOTH phases contribute before comparing
+    n_matched = (
+        _radius_pairs(spark, sf01, radius_km=35.0, cell_deg=0.75)
+        .select(F.explode(F.array("id_a", "id_b")).alias("point_id"))
+        .distinct()
+        .count()
+    )
+    assert 0 < n_matched < len(single), (
+        "35 km ring must split sf0.1 into matched and escalated points"
+    )
+    two_phase = sorted(
+        map(tuple, q_spatial_nn(spark, sf01, phase1=(35.0, 0.75)).collect())
+    )
+    assert two_phase == single
+
+    # ring below the lattice min spacing: phase 1 empty, pure phase 2
+    all_phase2 = sorted(
+        map(tuple, q_spatial_nn(spark, sf01, phase1=(5.0, 0.1)).collect())
+    )
+    assert all_phase2 == single
+
+
+def test_spatial_nn_colocated_fast_path(spark, sf_dir):
+    """r7: points stacked on IDENTICAL coordinates (the sf1/sf10
+    fixtures put ~4/~42 copies per position; production analogs: cell
+    towers, city-centroid geocodes) must resolve through the exact
+    0.0-distance window path — lowest other co-located id, no trig —
+    while singleton-position points still ring-search the WHOLE corpus
+    (their NN may sit at a multi-occupied position). Checked against
+    python brute force over every path (auto/single/two-phase)."""
+    import math
+
+    from block_data_fetcher_spark.operators.spatial import (
+        NN_RADIUS_KM,
+        q_spatial_nn,
+    )
+
+    coords = [
+        # three points stacked at A; two at B (~31 km from A);
+        # singleton C whose NN is the stack at B; far-away singleton D
+        # (no neighbor in 40 km -> no output row); seam stack E/E'
+        (7, 10.0, 20.0), (3, 10.0, 20.0), (9, 10.0, 20.0),
+        (5, 10.28, 20.0), (11, 10.28, 20.0),
+        (2, 10.56, 20.0),
+        (4, -50.0, 120.0),
+        (6, 55.0, 179.999), (8, 55.0, 179.999), (1, 55.0, -179.999),
+    ]
+    pts = spark.createDataFrame(
+        coords, "point_id long, lat double, lon double"
+    )
+
+    def hav(a, b):
+        (la1, lo1), (la2, lo2) = a, b
+        dphi = math.radians(la2 - la1) / 2
+        dlmb = math.radians(lo2 - lo1) / 2
+        x = (
+            math.sin(dphi) ** 2
+            + math.cos(math.radians(la1))
+            * math.cos(math.radians(la2))
+            * math.sin(dlmb) ** 2
+        )
+        return 2 * 6371.0 * math.asin(math.sqrt(x))
+
+    want = {}
+    for pid, la, lo in coords:
+        best = None
+        for qid, la2, lo2 in coords:
+            if qid == pid:
+                continue
+            lo_pt, hi_pt = (
+                ((la, lo), (la2, lo2)) if pid < qid else ((la2, lo2), (la, lo))
+            )
+            d = hav(lo_pt, hi_pt)
+            if d <= NN_RADIUS_KM and (best is None or (d, qid) < best):
+                best = (d, qid)
+        if best is not None:
+            want[pid] = (best[1], round(best[0] + 1e-9, 3) + 0.0)
+    assert want[7] == (3, 0.0) and want[3] == (7, 0.0)  # stack sanity
+    assert 4 not in want  # isolated point yields no row
+    assert want[2][0] in (5, 11)  # singleton resolves to the B stack
+
+    for ph in ("auto", None, (20.0, 0.375)):
+        got = {
+            r.point_id: (r.nn_id, r.dist_km)
+            for r in q_spatial_nn(spark, sf_dir, phase1=ph, points=pts).collect()
+        }
+        assert got == want, f"phase1={ph}"
+
+
+def test_spatial_nn_phase1_sizing():
+    """The adaptive first ring: sparse corpora (every gate sf through
+    sf1) stay single-phase; dense corpora get r0 = sqrt(3A/(pi N))
+    with a 360-divisor cell obeying the 55*cell >= r0 completeness
+    bound; radii shrink monotonically with density and a forced ring
+    >= the query radius is rejected loudly."""
+    import math
+
+    import pytest as _pytest
+
+    from block_data_fetcher_spark.operators.spatial import (
+        _NN_CELL_LADDER,
+        _nn_phase1,
+        NN_RADIUS_KM,
+        q_spatial_nn,
+    )
+
+    for n in (0, 150, 15000, 150000):  # gate scales + sf1: single-phase
+        assert _nn_phase1(n) is None
+    prev = NN_RADIUS_KM
+    for n in (1_500_000, 15_000_000, 1_500_000_000):
+        r0, cell = _nn_phase1(n)
+        assert r0 < prev  # monotone in density
+        assert 55.0 * cell >= r0  # completeness bound
+        assert cell in _NN_CELL_LADDER
+        assert math.isclose(
+            round(360.0 / cell) * cell, 360.0, rel_tol=0, abs_tol=1e-9
+        )
+        prev = r0
+    with _pytest.raises(ValueError, match="phase-1 radius"):
+        q_spatial_nn(None, "/root/testdata/sf0.1", phase1=(45.0, 0.75))
+
+
 # ---------------------------------------------------------------------------
 # Online RPC path, end to end over a real socket (r6 verdict item 4):
 # retry/backoff was only unit-tested with injected transports; here a
