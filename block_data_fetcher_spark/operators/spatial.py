@@ -78,6 +78,7 @@ def _radius_pairs(
     points: DataFrame | None = None,
     radius_km: float = RADIUS_KM,
     cell_deg: float = CELL_DEG,
+    keep_coords: bool = False,
 ) -> DataFrame:
     """All point pairs within ``radius_km``, normalized to
     id_a < id_b, with the RAW haversine double (callers round for
@@ -194,30 +195,165 @@ def _radius_pairs(
     lon1 = F.when(lo_is_a, F.col("lon_a")).otherwise(F.col("lon_b"))
     lat2 = F.when(lo_is_a, F.col("lat_b")).otherwise(F.col("lat_a"))
     lon2 = F.when(lo_is_a, F.col("lon_b")).otherwise(F.col("lon_a"))
+    cols = [
+        F.least(F.col("id_a"), F.col("id_b")).alias("id_a"),
+        F.greatest(F.col("id_a"), F.col("id_b")).alias("id_b"),
+        haversine_km(lat1, lon1, lat2, lon2).alias("dist_km"),
+    ]
+    if keep_coords:
+        # lower-id side's coords first, matching dist_km's operand
+        # order; callers re-evaluating the swapped orientation get a
+        # pad over the radius so boundary-straddling ulps survive to
+        # their own exact per-orientation filter (an ulp at 50 km is
+        # ~1e-14 km; the pad is 12 orders of magnitude safer)
+        cols += [
+            lat1.alias("lat_a"),
+            lon1.alias("lon_a"),
+            lat2.alias("lat_b"),
+            lon2.alias("lon_b"),
+        ]
+        pad = 1e-6
+    else:
+        pad = 0.0
     return (
         cand.where(lat_gap_ok & lon_gap_ok)
+        .select(*cols)
+        .where(F.col("dist_km") <= F.lit(radius_km + pad))
+    )
+
+
+def _radius_pairs_collapsed(
+    spark: SparkSession,
+    sf_dir: str,
+    points: DataFrame | None = None,
+    radius_km: float = RADIUS_KM,
+    cell_deg: float = CELL_DEG,
+) -> DataFrame:
+    """Same output as _radius_pairs — every id pair within
+    ``radius_km``, normalized to id_a < id_b, raw haversine double —
+    but with the geometry COLLAPSED to distinct coordinates first
+    (r7): replicated corpora stack many points per position (sf10:
+    1.5M points on 36k positions, ~42 deep), so the per-id-pair plan
+    evaluates the same trig k_a·k_b times per position pair and its
+    candidate stage dwarfs the output. Here:
+
+    * positions = distinct (lat, lon) — the grid/stencil/bounding-box/
+      haversine machinery runs over |positions| rows, evaluating each
+      position pair's distance ONCE in BOTH operand orders (the
+      oracle computes hav(lower-id coords first) per id pair, and a
+      position pair's expansion holds id pairs of both orientations;
+      swapped-slot trig is not guaranteed bit-identical, so both
+      doubles ride along and the expansion picks per id pair);
+    * within-position pairs are emitted by a coords-equi self-join at
+      distance exactly 0.0 (bit-exact in both engines, no trig);
+    * cross-position pairs expand by two coords-equi joins back to
+      the point set — output-bound work, which is the irreducible
+      cost of a fixed-radius pair enumeration.
+
+    Trig/candidate work drops from Σ k_a·k_b (≈5·10⁸ bounding-box
+    candidates at sf10) to one pass over position pairs (≈10⁵), and
+    the remainder is the output itself."""
+    pts = points if points is not None else synth_points(spark, sf_dir)
+    pos = pts.groupBy("lat", "lon").agg(
+        F.min("point_id").alias("point_id"), F.count("*").alias("n_at_pos")
+    )
+    # position-level pair machinery: reuse _radius_pairs' stencil on
+    # one representative per position, but carry BOTH coordinate sets
+    # through (its output drops them), so run the stencil inline here
+    # via the rep-id pair set joined back to position coords.
+    reps = pos.select("point_id", "lat", "lon")
+    rep_pairs = _radius_pairs(
+        spark,
+        sf_dir,
+        points=reps,
+        radius_km=radius_km,
+        cell_deg=cell_deg,
+        keep_coords=True,
+    )
+    # rep_pairs: (id_a, id_b, lat_a, lon_a, lat_b, lon_b, dist_km)
+    # where dist_km = hav(side-of-lower-rep first) and sides are
+    # normalized so (lat_a, lon_a) is the LOWER rep's position. The
+    # swapped-order double for opposite-orientation id pairs:
+    d_ba = haversine_km(
+        F.col("lat_b"), F.col("lon_b"), F.col("lat_a"), F.col("lon_a")
+    )
+    ppairs = rep_pairs.select(
+        "lat_a",
+        "lon_a",
+        "lat_b",
+        "lon_b",
+        F.col("dist_km").alias("d_ab"),
+        d_ba.alias("d_ba"),
+    ).where(
+        # keep the position pair if EITHER orientation's double passes
+        # (they can straddle the boundary by an ulp — _radius_pairs
+        # over-collects by a pad for exactly this; the per-id-pair
+        # filter below is what the oracle sees)
+        (F.col("d_ab") <= F.lit(radius_km))
+        | (F.col("d_ba") <= F.lit(radius_km))
+    )
+    # expansion: all points at side A × all points at side B.
+    # |positions within radius| is output/(k_a·k_b)-sized — broadcast
+    # it through the first join when small; Catalyst/AQE decides.
+    x = pts.select(
+        F.col("point_id").alias("xid"),
+        F.col("lat").alias("lat_a"),
+        F.col("lon").alias("lon_a"),
+    )
+    y = pts.select(
+        F.col("point_id").alias("yid"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+    )
+    cross = (
+        ppairs.join(x, ["lat_a", "lon_a"])
+        .join(y, ["lat_b", "lon_b"])
         .select(
-            F.least(F.col("id_a"), F.col("id_b")).alias("id_a"),
-            F.greatest(F.col("id_a"), F.col("id_b")).alias("id_b"),
-            haversine_km(lat1, lon1, lat2, lon2).alias("dist_km"),
+            F.least(F.col("xid"), F.col("yid")).alias("id_a"),
+            F.greatest(F.col("xid"), F.col("yid")).alias("id_b"),
+            # the oracle evaluates hav(lower-id coords first): lower
+            # id on side A → d_ab's operand order, else d_ba's
+            F.when(F.col("xid") < F.col("yid"), F.col("d_ab"))
+            .otherwise(F.col("d_ba"))
+            .alias("dist_km"),
         )
         .where(F.col("dist_km") <= F.lit(radius_km))
     )
+    # within-position pairs: distance exactly 0.0, no trig; the equi
+    # self-join on coords only fans out on stacked positions, where
+    # its product IS the output
+    stacked = pts.join(
+        pos.where(F.col("n_at_pos") >= 2).select("lat", "lon"),
+        ["lat", "lon"],
+    )
+    a = stacked.select(
+        F.col("point_id").alias("id_a"), "lat", "lon"
+    )
+    b = stacked.select(
+        F.col("point_id").alias("id_b"), "lat", "lon"
+    )
+    within = (
+        a.join(b, ["lat", "lon"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(0.0).alias("dist_km"))
+    )
+    return cross.unionAll(within)
 
 
 def q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Radius self-join: all customer-point pairs within 50 km, found
     by 1°-cell grid blocking with a HALF 3×3 neighbor stencil (each
-    unordered cell pair covered exactly once — see _radius_pairs) and
-    verified with the exact haversine — the standard distributed
-    spatial join (the stencil side replicates 5×; the equi-join on
-    cell id shuffles (id, lat, lon) only; candidate work is Σ
-    cell-pair sizes, not n²). The DuckDB oracle runs the O(n²)
-    all-pairs join — the blocked plan must return exactly the same
-    pairs. NB the OUTPUT of a fixed-radius all-pairs query is itself
-    quadratic in density (fixed fixture world ⇒ ~100× pairs at 10×
-    rows); q_spatial_nn is the O(N)-output production shape."""
-    return _radius_pairs(spark, sf_dir).select(
+    unordered cell pair covered exactly once — see _radius_pairs)
+    over DISTINCT positions, then expanded back to id pairs
+    (_radius_pairs_collapsed: geometry once per position pair,
+    within-position stacks at exact 0.0) — the standard distributed
+    spatial join with duplicate-coordinate collapse. The DuckDB
+    oracle runs the O(n²) all-pairs join — the blocked plan must
+    return exactly the same pairs. NB the OUTPUT of a fixed-radius
+    all-pairs query is itself quadratic in density (fixed fixture
+    world ⇒ ~100× pairs at 10× rows); q_spatial_nn is the
+    O(N)-output production shape."""
+    return _radius_pairs_collapsed(spark, sf_dir).select(
         "id_a",
         "id_b",
         (F.round(F.col("dist_km") + F.lit(1e-9), 3) + 0.0).alias("dist_km"),

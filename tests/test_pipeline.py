@@ -358,6 +358,9 @@ def test_spatial_blocking_complete_incl_antimeridian(spark, sf_dir):
         (3, 54.9, -179.85), (4, -10.02, 0.98), (5, -9.97, 1.03),
         (6, -10.4, 0.6), (7, 30.0, 90.0), (8, 59.9, -120.0),
         (9, -10.05, 1.01), (10, 55.05, -179.99),
+        # exact-duplicate stacks (r7 collapsed plan: within-position
+        # pairs via the 0.0 fast path, cross via position expansion)
+        (11, -10.02, 0.98), (12, -10.02, 0.98), (13, 55.05, -179.99),
     ]
     pts = spark.createDataFrame(
         coords, "point_id long, lat double, lon double"
@@ -386,6 +389,21 @@ def test_spatial_blocking_complete_incl_antimeridian(spark, sf_dir):
         if hav(coords[i], coords[j]) <= RADIUS_KM
     }
     assert got == want
+    # the collapsed (distinct-position) variant must emit the exact
+    # same pair set, including the duplicate stacks at distance 0.0
+    from block_data_fetcher_spark.operators.spatial import (
+        _radius_pairs_collapsed,
+    )
+
+    collapsed = {
+        (r.id_a, r.id_b): r.dist_km
+        for r in _radius_pairs_collapsed(
+            spark, sf_dir, points=pts
+        ).collect()
+    }
+    assert set(collapsed) == want
+    assert collapsed[(4, 11)] == 0.0 and collapsed[(11, 12)] == 0.0
+    assert {p for p in want if 13 in p}, "seam stack must pair up"
     # the seam pairs must actually be exercised by this fixture
     seam = {p for p in want if {p[0], p[1]} & {0, 1, 10}}
     assert len(seam) >= 2, want
