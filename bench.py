@@ -81,6 +81,17 @@ LARGE_RESULT = {
     "q_array_funcs",
     "q_conditional_funcs",
     "q_stream_curate",
+    # r7 sweep: every query emitting >=50k rows at sf0.1 (row-per-
+    # input/-fingerprint outputs; >=1M rows at sf10, where .collect()
+    # measured driver Arrow materialization instead of engine work —
+    # q_try_funcs computed in 0.3 s at sf10 and spent ~38 s
+    # collecting). Counted like the rest of this set.
+    "q_winnow",
+    "q_stream_static_join",
+    "q_try_funcs",
+    "q_session_window",
+    "q_stream_session",
+    "q_scd2",
 }
 
 
