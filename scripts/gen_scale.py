@@ -154,22 +154,32 @@ def gen_documents(src: str, dst: str, mult: int, rng: np.random.Generator) -> No
 
 def gen_embeddings(src: str, dst: str, mult: int, rng: np.random.Generator) -> None:
     emb = _read(src, "embeddings")
-    vecs = np.asarray(emb.column("embedding").to_pylist(), dtype=np.float32)
-    labels = np.asarray(emb.column("label").to_pylist())
+    # zero-copy list<float32> → (n, dim) view (r7: the to_pylist /
+    # tolist round-trips built tens of GB of python objects at
+    # mult ≥ 100 — the arrow buffers ARE the data; values unchanged)
+    col = emb.column("embedding").combine_chunks()
+    dim = len(col[0])
+    vecs = np.asarray(col.values, dtype=np.float32).reshape(-1, dim)
+    labels = emb.column("label").to_numpy()
     n_total = emb.num_rows * mult
     uniq = np.unique(labels)
     out_label = uniq[rng.integers(0, len(uniq), size=n_total)]
-    out = np.empty((n_total, vecs.shape[1]), dtype=np.float32)
+    out = np.empty((n_total, dim), dtype=np.float32)
     for lab in uniq:
         mu = vecs[labels == lab].mean(axis=0)
         sd = vecs[labels == lab].std(axis=0)
         mask = out_label == lab
-        out[mask] = mu + sd * rng.standard_normal((int(mask.sum()), vecs.shape[1]))
+        out[mask] = mu + sd * rng.standard_normal((int(mask.sum()), dim))
+    offsets = pa.array(
+        np.arange(0, (n_total + 1) * dim, dim, dtype=np.int64)
+    )
+    flat = pa.array(out.reshape(-1), type=pa.float32())
     _write(dst, "embeddings", pa.table({
-        "vec_id": pa.array(range(n_total), type=pa.int64()),
-        "embedding": pa.array([row.tolist() for row in out],
-                              type=pa.list_(pa.float32())),
-        "label": pa.array([int(x) for x in out_label], type=pa.int32()),
+        "vec_id": pa.array(np.arange(n_total, dtype=np.int64)),
+        "embedding": pa.LargeListArray.from_arrays(offsets, flat).cast(
+            pa.list_(pa.float32())
+        ),
+        "label": pa.array(out_label.astype(np.int32)),
     }))
 
 
