@@ -102,6 +102,19 @@ def main() -> None:
 
     queries = api.queries()
 
+    # Subset mode (r7, for targeted scale proofs like the sf100
+    # heavy-family run): SPARK_GRAFT_ONLY=q_a,q_b restricts the run;
+    # the summary/history lines carry a "subset" marker so a partial
+    # wall-clock can never be mistaken for a full-catalog number.
+    only_env = os.environ.get("SPARK_GRAFT_ONLY", "").strip()
+    subset = None
+    if only_env:
+        subset = sorted({q for q in only_env.split(",") if q})
+        unknown = [q for q in subset if q not in queries]
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_ONLY names unknown queries: {unknown}")
+        queries = {q: queries[q] for q in subset}
+
     # Warm-up: pay JVM/codegen/parquet-footer init once, outside the
     # timings (otherwise the alphabetically-first query absorbs ~4 s
     # of session startup that is not query cost).
@@ -203,6 +216,8 @@ def main() -> None:
         # is loud in round-over-round diffs.
         "n_failed": sum(1 for v in timings.values() if v < 0),
     }
+    if subset is not None:
+        detail["subset"] = True
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
@@ -241,6 +256,8 @@ def main() -> None:
         "max_query_sec": max(ok) if ok else -1.0,
         "detail": "BENCH_DETAIL.json",
     }
+    if subset is not None:
+        summary["subset"] = True
     print(json.dumps(summary))
 
 
