@@ -392,32 +392,44 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     the template/spam signal unigrams miss).
 
     Scale shape: bigram and unigram frequency tables are reduced
-    aggregates; the per-doc-bigram join keys on the bigram string
-    (AQE may broadcast the reduced side at fixture scale, shuffle-join
-    at corpus scale); vocab size rides along as a 1-row cross join.
+    aggregates; the per-doc-bigram join keys are PRE-HASHED to 64-bit
+    (xxhash64) before the exchange — the r6 decontamination-gram
+    precedent (`hashing.py`): the corpus-sized shuffle carries 8-byte
+    longs instead of ~25-byte bigram strings (~2.5× fewer exchange
+    bytes on a network-bound cluster, cheaper hash-partitioning and
+    sort-merge compares). A hash collision would merge two bigrams'
+    counts; odds are ~n²/2⁶⁴ (≈2·10⁻⁵ at sf10's ~3·10⁷ distinct
+    bigrams) and the string-keyed DuckDB oracle monitors exactness at
+    every gate scale. Vocab size rides along as a 1-row cross join.
     Documents shorter than 2 tokens have no bigrams and drop out —
     mirrored by the oracle."""
     docs = table(spark, sf_dir, "documents")
     doc_bg = docs.select(
         "doc_id", F.explode(_bigrams("text")).alias("bg")
-    ).withColumn("w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+    ).select(
+        "doc_id",
+        F.xxhash64(F.col("bg")).alias("bg_h"),
+        F.xxhash64(
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(1))
+        ).alias("w1_h"),
+    )
     corpus_bg = (
         table(spark, sf_dir, "documents")
         .select(F.explode(_bigrams("text")).alias("bg"))
-        .groupBy("bg")
+        .groupBy(F.xxhash64(F.col("bg")).alias("bg_h"))
         .agg(F.count("*").alias("c_ab"))
     )
     uni = (
         table(spark, sf_dir, "documents")
         .select(F.explode(tokens("text")).alias("term"))
         .where(F.col("term") != "")
-        .groupBy("term")
+        .groupBy(F.xxhash64(F.col("term")).alias("term_h"))
         .agg(F.count("*").alias("c_a"))
     )
     vocab = uni.agg(F.count("*").alias("v"))
     scored = (
-        doc_bg.join(corpus_bg, "bg")
-        .join(uni, doc_bg.w1 == uni.term)
+        doc_bg.join(corpus_bg, "bg_h")
+        .join(uni, doc_bg.w1_h == uni.term_h)
         .join(F.broadcast(vocab))
         .select(
             "doc_id",
