@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import parallelize, table
+from ..storage import ITER_STORAGE
 
 P = 1_000_000_007  # modulus for permutations (fits 63-bit products)
 # fixed permutation coefficients (a_i * h + b_i) % P, i = 0..7
@@ -373,12 +374,12 @@ def min_label_components(
         )
         # eager: materialized ONCE at full parallelism (the expensive
         # candidate build), reused every round from checkpoint blocks
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=ITER_STORAGE)
     )
     _size_rounds_to(spark, edges.count())
     labels = nodes.select(
         "doc_id", F.col("doc_id").alias("cluster_id")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=ITER_STORAGE)
 
     def propagate(lab: DataFrame) -> DataFrame:
         nbr = (
@@ -401,7 +402,7 @@ def min_label_components(
     # outweighs the saved actions at any SF where rounds are few.
     cur_sum = None
     for _ in range(12):
-        new = propagate(labels).localCheckpoint(eager=False)
+        new = propagate(labels).localCheckpoint(eager=False, storageLevel=ITER_STORAGE)
         row = new.agg(
             F.sum("cluster_id").alias("s"), F.sum("doc_id").alias("ident")
         ).first()
@@ -526,7 +527,7 @@ def star_components(
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=ITER_STORAGE)
     )
     _size_rounds_to(spark, edges.count())
 
@@ -570,7 +571,7 @@ def star_components(
     for _ in range(15):
         edges = star(
             star(edges, large=True, dedup=False), large=False
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint(eager=False, storageLevel=ITER_STORAGE)
         cur = signature(edges)
         if cur == prev:
             break

@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import parallelize, table
+from ..storage import ITER_STORAGE
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -940,7 +941,7 @@ def _kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             F.transform(F.col("embedding"), lambda e: e.cast("double")).alias("x"),
         )
-        .persist()
+        .persist(ITER_STORAGE)
     )
     init = sorted(
         em.where(F.col("vec_id") < KM_K).select("vec_id", "x").collect(),
@@ -965,7 +966,7 @@ def _kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a returned frame must not leave CacheManager entries behind
     # (they'd accumulate across a bench session; see the dup-clusters
     # lineage test)
-    final = _km_assign(em, cents).localCheckpoint(eager=True)
+    final = _km_assign(em, cents).localCheckpoint(eager=True, storageLevel=ITER_STORAGE)
     em.unpersist()
     return final
 
@@ -1272,7 +1273,7 @@ def _lloyd_final(spark: SparkSession, sf_dir: str, k_of, tag: str) -> DataFrame:
             F.transform(F.col("embedding"), lambda e: e.cast("double")).alias(
                 "x"
             ),
-        ).persist()
+        ).persist(ITER_STORAGE)
         k = k_of(em.count())
         init = sorted(
             em.where(F.col("vec_id") < k).select("vec_id", "x").collect(),

@@ -16,6 +16,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import parallelize, table
+from ..storage import ITER_STORAGE
 
 # Tiny per-language stopword lists for the language-ID heuristic.
 # Deterministic and mirrored literally in the DuckDB oracle.
@@ -844,7 +845,7 @@ def _train_bpe(spark: SparkSession, sf_dir: str):
         .where(F.col("word") != "")
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
-        .persist()
+        .persist(ITER_STORAGE)
     )
     syms = F.expr(
         "transform(sequence(1, length(word)), i -> substring(word, i, 1))"

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..storage import ITER_STORAGE
 
 
 def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -824,7 +825,7 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_mode = Window.partitionBy("column").orderBy(
         F.desc("count"), F.asc("v")
     )
-    counts = pairs.groupBy("column", "v").count().localCheckpoint(
+    counts = pairs.groupBy("column", "v").count().localCheckpoint(storageLevel=ITER_STORAGE, 
         eager=False
     )  # reused by mode AND n_distinct — the one expensive shuffle
     mode_df = (
@@ -2977,7 +2978,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
         )
         .distinct()
-        .persist()
+        .persist(ITER_STORAGE)
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))
     n_nodes = nodes.count()

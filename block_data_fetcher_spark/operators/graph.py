@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..storage import ITER_STORAGE
 
 #: Edge derivation shared with q_pagerank: nation u → nation v when a
 #: customer in u bought from a supplier in v (distinct pairs).
@@ -67,7 +68,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
         )
         .distinct()
-        .persist()
+        .persist(ITER_STORAGE)
     )
     e1 = und.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = und.select(F.col("u").alias("b"), F.col("v").alias("c"))
@@ -95,7 +96,7 @@ def q_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a map-side-combinable groupBy. Fixed depth keeps the plan
     statically bounded; an open-ended BFS would localCheckpoint per
     round like q_dup_clusters."""
-    edges = _trade_edges(spark, sf_dir).filter(F.col("src") != F.col("dst")).persist()
+    edges = _trade_edges(spark, sf_dir).filter(F.col("src") != F.col("dst")).persist(ITER_STORAGE)
     nation = table(spark, sf_dir, "nation")
     sources = nation.filter(F.col("n_regionkey") == 0).select(
         F.col("n_nationkey").alias("node"), F.lit(0).alias("dist")

@@ -25,6 +25,16 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+# Storage level for iterative-loop state frames (CC edge sets, BFS
+# frontiers, k-means assignments, equi-depth counts): SERIALIZED with
+# disk overflow. localCheckpoint()'s default stores DESERIALIZED rows
+# on-heap — at sf100 the CC edge frame alone blew a 32 GiB heap
+# (r7); serialized blocks are several-fold smaller and degrade to
+# disk instead of OOMing the context. On a real cluster the same
+# level applies to the reliable checkpoint dir story.
+ITER_STORAGE = StorageLevel.MEMORY_AND_DISK
 
 
 def write_partitioned(
