@@ -561,9 +561,16 @@ def star_components(
         return out.distinct() if dedup else out
 
     def signature(e: DataFrame):
+        # set signature = (count, XOR of per-edge xxhash64): order-
+        # independent, collision odds ~2⁻⁶⁴, and — unlike the weighted
+        # SUM this replaced — incapable of overflow (r7: at sf100 the
+        # sum of a·1000003+b tripped ANSI ARITHMETIC_OVERFLOW once the
+        # edge count crossed ~10⁶ at 5M-wide doc ids). XOR cancellation
+        # needs duplicate rows; the edge set is distinct by
+        # construction.
         row = e.agg(
             F.count("*").alias("n"),
-            F.sum(F.col("a") * 1000003 + F.col("b")).alias("h"),
+            F.expr("bit_xor(xxhash64(a, b))").alias("h"),
         ).first()
         return (row.n, row.h)
 
