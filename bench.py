@@ -92,6 +92,10 @@ LARGE_RESULT = {
     "q_session_window",
     "q_stream_session",
     "q_scd2",
+    # row-per-point output whose cardinality grows with density (2.7k
+    # rows at sf0.1 but 15M at sf100, where .collect() was 200 s of
+    # driver Arrow while the engine computed in 4.4 s)
+    "q_spatial_nn",
 }
 
 

@@ -72,6 +72,20 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Decouple max shuffle parallelism from the static partition
+        # count: shuffles START at 512 partitions and AQE coalesces
+        # down to the 64 MB advisory size, so a 60 GB sf100 exchange
+        # gets ~512 × ~120 MB partitions (the static 32 gave ~2 GB
+        # partitions that spilled every sort-merge join — q_tpch_q21
+        # ran 26× its sf10 wall for 10× rows) while fixture-scale
+        # shuffles still coalesce to a handful of tasks. This is the
+        # same knob a 1000-executor cluster relies on: size the
+        # initial count for the biggest exchange, let AQE shrink the
+        # rest.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            "512",
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # local[N] runs driver+executors in ONE JVM: the heap must hold
