@@ -438,6 +438,15 @@ def _size_rounds_to(spark: SparkSession, n_rows: int) -> None:
         cur = 200
     parts = max(8, min(cur, n_rows // 100_000 + 1))
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    # AQE's initialPartitionNum (512 session-wide, r7) supersedes the
+    # static setting as the STARTING count — without pinning it too,
+    # every loop round pays 512-way map output + coalesce overhead,
+    # which re-inflated the iterative family ~2× at fixture scale
+    # (the exact overhead this helper exists to remove).
+    spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        str(parts),
+    )
 
 
 LSH_VERIFY_MIN = 0.5  # exact-Jaccard acceptance threshold

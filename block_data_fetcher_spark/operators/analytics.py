@@ -2963,6 +2963,9 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same stance as k-means centroid rounding). Dangling-node mass is
     not redistributed (plain damped formula, mirrored in the
     oracle)."""
+    from ..functions.hashing import _iter_session, _size_rounds_to
+
+    spark = _iter_session(spark)
     nodes = table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("node")
     )
@@ -2980,6 +2983,9 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist(ITER_STORAGE)
     )
+    # materialize the corpus-sized derivation under cluster confs,
+    # then size the rank-iteration shuffles to the bounded graph
+    _size_rounds_to(spark, edges.count())
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))
     n_nodes = nodes.count()
     base = (1.0 - PR_DAMP) / n_nodes

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..functions.hashing import _iter_session, _size_rounds_to
 from ..storage import ITER_STORAGE
 
 #: Edge derivation shared with q_pagerank: nation u → nation v when a
@@ -61,6 +62,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     filters two-paths before they leave the join, so the shuffle
     carries two-paths only between partitions, never the quadratic
     neighborhood expansion."""
+    spark = _iter_session(spark)
     edges = _trade_edges(spark, sf_dir)
     und = (
         edges.filter(F.col("src") != F.col("dst"))
@@ -70,6 +72,12 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist(ITER_STORAGE)
     )
+    # corpus-sized edge derivation materializes under the session's
+    # cluster-sized shuffle confs; the triangle joins then run over
+    # the BOUNDED persisted edge frame, so size their shuffles to it
+    # (the r7 512-way AQE initial count re-inflated the graph family
+    # ~2-3x at fixture scale without this)
+    _size_rounds_to(spark, und.count())
     e1 = und.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = und.select(F.col("u").alias("b"), F.col("v").alias("c"))
     e3 = und.select(F.col("u").alias("a"), F.col("v").alias("c"))
@@ -96,7 +104,9 @@ def q_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a map-side-combinable groupBy. Fixed depth keeps the plan
     statically bounded; an open-ended BFS would localCheckpoint per
     round like q_dup_clusters."""
+    spark = _iter_session(spark)
     edges = _trade_edges(spark, sf_dir).filter(F.col("src") != F.col("dst")).persist(ITER_STORAGE)
+    _size_rounds_to(spark, edges.count())  # loop shuffles sized to the bounded graph
     nation = table(spark, sf_dir, "nation")
     sources = nation.filter(F.col("n_regionkey") == 0).select(
         F.col("n_nationkey").alias("node"), F.lit(0).alias("dist")
@@ -141,6 +151,7 @@ def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     priority queue does not distribute, which is why every bulk-
     synchronous graph engine (Pregel/GraphX/GraphFrames) ships exactly
     this algorithm."""
+    spark = _iter_session(spark)
     edges = (
         _trade_edges(spark, sf_dir)
         .where(F.col("src") != F.col("dst"))
@@ -149,7 +160,9 @@ def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dst",
             (1 + (F.col("src") * 31 + F.col("dst") * 17) % 97).alias("w"),
         )
+        .persist(ITER_STORAGE)
     )
+    _size_rounds_to(spark, edges.count())  # loop shuffles sized to the bounded graph
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select("dst"))

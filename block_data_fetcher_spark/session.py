@@ -58,6 +58,27 @@ def default_driver_mem(host_bytes: int | None = None) -> str:
     return f"{max(2, min(32, int(host_bytes * 0.6) >> 30))}g"
 
 
+def _initial_shuffle_partitions(cores: int) -> int:
+    """AQE initial shuffle-partition count sized to the active fixture
+    (~1 per 32 MB of parquet under $SPARK_GRAFT_SF_DIR, clamped to
+    [cores, 1024]): tiny fixtures keep core-count parallelism with
+    zero extra shuffle-file overhead; sf100's ~15 GB yields ~480, so
+    60 GB exchanges land ~128 MB partitions instead of spilling."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    total = 0
+    try:
+        for root, _dirs, files in os.walk(sf_dir):
+            for f in files:
+                if f.endswith(".parquet"):
+                    try:
+                        total += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        pass
+    except OSError:
+        pass
+    return max(cores, min(1024, total // (32 << 20)))
+
+
 def get_spark(
     app_name: str = "block-data-fetcher-spark",
     shuffle_partitions: int | None = None,
@@ -73,18 +94,22 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # Decouple max shuffle parallelism from the static partition
-        # count: shuffles START at 512 partitions and AQE coalesces
-        # down to the 64 MB advisory size, so a 60 GB sf100 exchange
-        # gets ~512 × ~120 MB partitions (the static 32 gave ~2 GB
-        # partitions that spilled every sort-merge join — q_tpch_q21
-        # ran 26× its sf10 wall for 10× rows) while fixture-scale
-        # shuffles still coalesce to a handful of tasks. This is the
-        # same knob a 1000-executor cluster relies on: size the
-        # initial count for the biggest exchange, let AQE shrink the
-        # rest.
+        # count: shuffles START at a count sized to the data under
+        # $SPARK_GRAFT_SF_DIR and AQE coalesces down to the 64 MB
+        # advisory size. The static 32 gave ~2 GB sort-merge
+        # partitions at sf100's 60 GB lineitem exchanges — every join
+        # spilled (q_tpch_q21 ran 26× its sf10 wall for 10× rows);
+        # fresh-session A/B at sf100: q_tpch_q3 43.6 → 26.6 s with
+        # ~500 initial partitions. But a blanket high count taxes
+        # small fixtures ~2× per multi-exchange query (512-way
+        # shuffle-file creation is pure overhead when the exchange is
+        # kilobytes — measured on the sf0.1 graph family), so the
+        # initial count tracks fixture bytes: ~1 partition per 32 MB,
+        # clamped to [cores, 1024]. A real cluster sizes this from
+        # table statistics the same way.
         .config(
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-            "512",
+            str(_initial_shuffle_partitions(int(cpus))),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
