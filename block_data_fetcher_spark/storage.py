@@ -879,9 +879,18 @@ def q_skew_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     its replication cost: for each candidate join key, the share of
     rows held by the hottest key, the top-1/median frequency ratio,
     and a skewed flag (hottest key > 4× the uniform share). One
-    map-side-combinable count per key column plus dimension-sized
-    rank windows; at 100 TB this runs as a profiling pass before
-    every new pipeline's first full-scale join.
+    map-side-combinable count per key column plus rank windows over
+    the frequency table; at 100 TB this runs as a profiling pass
+    before every new pipeline's first full-scale join.
+
+    KNOWN LIMIT (r7): the exact-median rank window is global
+    (no partitionBy), i.e. a single-partition sort of the frequency
+    table — fine for dimension-like keys, but a high-cardinality key
+    (l_orderkey: one row per order) makes that table corpus-sized
+    and the sort serial (~half this query's sf10 wall). The scale
+    path is a range-partitioned sort with per-partition rank offsets
+    or approx_percentile for the median; kept exact here because the
+    DuckDB oracle pins exact medians.
 
     The fixture's keys are uniform-ish, so the flags read false —
     the point is the measurement contract, and the exact medians use
