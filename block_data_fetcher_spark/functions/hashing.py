@@ -106,6 +106,34 @@ def minhash_signature(hashes: Column) -> Column:
 LSH_BUCKET_CAP = 1024  # max bucket members paired via in-memory array
 
 
+def _first_collision(sa: Column, sb: Column, band_idx: Column) -> Column:
+    """True iff ``band_idx`` is the FIRST band in which the two
+    signatures collide. A pair colliding in k bands is generated k
+    times (once per band bucket); keeping only the first occurrence
+    dedups the candidate set MAP-SIDE, from data each emitter already
+    holds (both full signatures plus its own band index) — where a
+    trailing ``distinct()`` would shuffle the entire candidate-pair
+    set (713M rows at sf100, the single largest exchange in the dedup
+    family) just to drop the multi-band repeats.
+
+    ``eqNullSafe`` mirrors groupBy's null-equals-null bucket
+    semantics: an all-NULL-signature pair (empty document) groups
+    into the same bucket in EVERY band, so its first collision is
+    band 0, exactly what this predicate reports."""
+
+    def bands_differ(j: Column) -> Column:
+        eq = F.lit(True)
+        for r in range(BAND_ROWS):
+            eq = eq & F.get(sa, j * BAND_ROWS + r).eqNullSafe(
+                F.get(sb, j * BAND_ROWS + r)
+            )
+        return ~eq
+
+    return F.when(band_idx == 0, F.lit(True)).otherwise(
+        F.forall(F.sequence(F.lit(0), band_idx - 1), bands_differ)
+    )
+
+
 def minhash_pairs(docs: DataFrame, bucket_cap: int = LSH_BUCKET_CAP) -> DataFrame:
     """MinHash+LSH candidate pairs over any (doc_id, text) DataFrame:
     shingle → minhash(8) → band(4×2) → bucket-group → within-bucket
@@ -132,7 +160,15 @@ def minhash_pairs(docs: DataFrame, bucket_cap: int = LSH_BUCKET_CAP) -> DataFram
     identical pair set, so the split is a pure physical choice. The
     window, the small-bucket groupBy, and both join inputs all hang
     off ONE exchange on (band_idx, band) — signatures are computed
-    once, and Spark's ReuseExchange collapses the reads."""
+    once, and Spark's ReuseExchange collapses the reads.
+
+    Multi-band repeats are dropped map-side (:func:`_first_collision`
+    — each emitter holds both signatures, so "am I the first band
+    where this pair collides?" is a row-local predicate). The r7
+    alternative, a trailing ``distinct()``, shuffled the ENTIRE
+    candidate-pair set — the candidate graph is output-quadratic
+    (713M pairs at sf100), so that exchange dominated the whole dedup
+    family at scale."""
     sig = docs.select(
         "doc_id", minhash_signature(shingle_hashes(F.col("text"))).alias("sig")
     )
@@ -168,7 +204,12 @@ def minhash_pairs(docs: DataFrame, bucket_cap: int = LSH_BUCKET_CAP) -> DataFram
         F.transform(
             ms,
             lambda a, i: F.transform(
-                F.slice(ms, i + F.lit(2), F.size(ms)),
+                F.filter(
+                    F.slice(ms, i + F.lit(2), F.size(ms)),
+                    lambda b: _first_collision(
+                        a["sig"], b["sig"], F.col("band_idx")
+                    ),
+                ),
                 lambda b: F.struct(
                     a["doc_id"].alias("doc_a"),
                     b["doc_id"].alias("doc_b"),
@@ -195,6 +236,11 @@ def minhash_pairs(docs: DataFrame, bucket_cap: int = LSH_BUCKET_CAP) -> DataFram
     big_pairs = (
         left.join(right, on=["band_idx", "band"], how="inner")
         .where(F.col("doc_a") < F.col("doc_b"))
+        .where(
+            _first_collision(
+                F.col("sig_a"), F.col("sig_b"), F.col("band_idx")
+            )
+        )
         .select(
             "doc_a",
             "doc_b",
@@ -202,10 +248,11 @@ def minhash_pairs(docs: DataFrame, bucket_cap: int = LSH_BUCKET_CAP) -> DataFram
         )
     )
 
-    return (
-        small_pairs.unionByName(big_pairs)
-        .distinct()  # a pair may collide in several bands
-    )
+    # A pair colliding in several bands is emitted only by its FIRST
+    # colliding band (map-side :func:`_first_collision` in both
+    # paths), so the union IS the distinct candidate set — no
+    # pair-set-wide dedup exchange.
+    return small_pairs.unionByName(big_pairs)
 
 
 def _sig_sim(sa: Column, sb: Column) -> Column:
@@ -516,28 +563,35 @@ def q_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_pairs(parallelize(docs, spark)).where(
         F.col("est_sim") >= 0.5
     )
-    return star_components(spark, docs.select("doc_id"), pairs)
+    return star_components(spark, docs.select("doc_id"), pairs, canonical=True)
 
 
 def star_components(
-    spark: SparkSession, nodes: DataFrame, pairs: DataFrame
+    spark: SparkSession,
+    nodes: DataFrame,
+    pairs: DataFrame,
+    canonical: bool = False,
 ) -> DataFrame:
     """Reusable alternating-star connected components (the q_cc_star
     loop, extracted): O(log diameter) rounds, safe for the long
     path-shaped match chains that stall O(diameter) label propagation
     (the sf1 entity-resolution failure mode — SNM windows chain
     near-duplicates hundreds deep). ``nodes``: (doc_id); ``pairs``:
-    (doc_a, doc_b). Returns (doc_id, cluster_id = component min)."""
+    (doc_a, doc_b). Returns (doc_id, cluster_id = component min).
+
+    ``canonical=True`` asserts the caller's pairs are already unique
+    with doc_a < doc_b (true for :func:`minhash_pairs`, whose
+    first-collision-band dedup makes its union a set) and skips the
+    canonicalization ``distinct()`` — at sf100 that exchange carried
+    the whole candidate graph a second time before round one."""
     spark = _iter_session(spark)
-    edges = (
-        pairs.select(
-            F.least("doc_a", "doc_b").alias("a"),
-            F.greatest("doc_a", "doc_b").alias("b"),
-        )
-        .where(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint(eager=True, storageLevel=ITER_STORAGE)
-    )
+    edges = pairs.select(
+        F.least("doc_a", "doc_b").alias("a"),
+        F.greatest("doc_a", "doc_b").alias("b"),
+    ).where(F.col("a") != F.col("b"))
+    if not canonical:
+        edges = edges.distinct()
+    edges = edges.localCheckpoint(eager=True, storageLevel=ITER_STORAGE)
     _size_rounds_to(spark, edges.count())
 
     def sym(e: DataFrame) -> DataFrame:

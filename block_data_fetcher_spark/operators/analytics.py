@@ -223,16 +223,27 @@ def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select(
         "event_type", "user_id", F.to_date("ts").alias("day")
     )
-    daily = ev.groupBy("event_type", "day").agg(
+    # Hierarchical distinct (r8): dedup the fact to (type, day, user)
+    # triples ONCE — map-side combined, three narrow columns — and
+    # derive everything from that frame. The r7 shape paired
+    # countDistinct with the sketch agg (Expand ×2 over the raw fact)
+    # AND re-scanned the fact for the exact branch; at sf100 those
+    # two fact-wide distinct shuffles were the 12× decade ratio. HLL
+    # insertion is idempotent, so sketches over deduped triples are
+    # state-identical, and count(*) over triples IS the per-day
+    # distinct count. Both consumers hang off the triples exchange
+    # (ReuseExchange), so the raw fact is scanned once.
+    triples = ev.distinct()
+    daily = triples.groupBy("event_type", "day").agg(
         F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"),
-        F.countDistinct("user_id").alias("day_users"),
+        F.count("*").alias("day_users"),
     )
     merged = daily.groupBy("event_type").agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
         F.count("*").alias("n_days"),
         F.max("day_users").alias("max_day_users"),
     )
-    exact = ev.groupBy("event_type").agg(
+    exact = triples.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_users")
     )
     return merged.join(exact, "event_type").select(

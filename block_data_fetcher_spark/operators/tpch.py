@@ -547,33 +547,53 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inside a multi-supplier finished order.
 
     Exercises the classic EXISTS + NOT EXISTS double correlation.
-    Spark-first decorrelation: ONE grouped pass per order computes
-    both `count(distinct supplier)` (the EXISTS side) and
-    `count(distinct supplier with a return)` (the NOT-EXISTS side);
-    qualifying orderkeys are order-sized and broadcast back to the
-    returned rows. No per-predicate self-joins of the fact table."""
+    Spark-first decorrelation, restructured in r8 for the sf100
+    spill profile (the r7 shape exchanged the FULL-WIDTH fact table
+    for an orders pre-join, then Expand-doubled it through a double
+    countDistinct — 60 GB of exchanges on one box):
+
+    - the fact table is touched ONCE, map-reduced immediately to the
+      (order, supplier, had-return) level — the only wide exchange
+      carries three narrow columns, partially aggregated map-side;
+    - both correlation counts come from a SECOND-level agg over that
+      frame (no Expand: count + count_if replace the two distincts,
+      exact because (order, supplier) is already unique);
+    - the orders status filter joins at the per-ORDER level (key-only
+      frames), not against fact rows;
+    - the waiting supplier itself is read back from the same
+      per-supplier frame (its exchange is reused, not rescanned) —
+      per lone order there is exactly one returning supplier, so
+      count(*) == countDistinct(orderkey).
+
+    No broadcast hint on the qualifying-orders side: it is
+    order-cardinality (millions at sf100) and arrives hash-
+    partitioned on the join key from its own aggregate, so the
+    sort-merge join is exchange-free on that side; AQE may still
+    elect a broadcast at small SF."""
     od_f = table(spark, sf_dir, "orders").where(
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey")
-    li = table(spark, sf_dir, "lineitem").join(
-        od_f, F.col("l_orderkey") == F.col("o_orderkey")
+    per_supp = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(F.col("l_returnflag") == "R").alias("has_ret"))
     )
-    per_order = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_ret_supp"),
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.count_if("has_ret").alias("n_ret_supp"),
     )
-    lone = per_order.where(
-        (F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1)
-    ).select("l_orderkey")
+    lone = (
+        per_order.where((F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1))
+        .join(od_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey")
+    )
     su = F.broadcast(table(spark, sf_dir, "supplier"))
     return (
-        li.where(F.col("l_returnflag") == "R")
-        .join(F.broadcast(lone), "l_orderkey")
+        per_supp.where("has_ret")
+        .join(lone, "l_orderkey")
         .join(su, F.col("l_suppkey") == su.s_suppkey)
         .groupBy("s_name")
-        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
         .limit(10)
     )
