@@ -883,14 +883,18 @@ def q_skew_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     the frequency table; at 100 TB this runs as a profiling pass
     before every new pipeline's first full-scale join.
 
-    KNOWN LIMIT (r7): the exact-median rank window is global
-    (no partitionBy), i.e. a single-partition sort of the frequency
-    table — fine for dimension-like keys, but a high-cardinality key
-    (l_orderkey: one row per order) makes that table corpus-sized
-    and the sort serial (~half this query's sf10 wall). The scale
-    path is a range-partitioned sort with per-partition rank offsets
-    or approx_percentile for the median; kept exact here because the
-    DuckDB oracle pins exact medians.
+    The r7 KNOWN LIMIT (global rank window = single-partition sort of
+    a corpus-sized frequency table for high-cardinality keys like
+    l_orderkey) is closed in r8 by a frequency-of-frequencies rollup:
+    the median OF COUNTS only needs the distribution of count VALUES,
+    so a second groupBy collapses the per-key table to (n, #keys with
+    that n) — a handful of rows at any corpus size (counts are small
+    integers; even a pathological key has ≤ |distinct n| ≪ |keys|
+    rows here). The cumulative-rank window then runs over that tiny
+    frame; the median stays EXACT (smallest n whose cumulative key
+    count reaches half), which the DuckDB oracle pins. Both
+    aggregations are map-side combinable; nothing corpus-sized is
+    ever sorted on one partition.
 
     The fixture's keys are uniform-ish, so the flags read false —
     the point is the measurement contract, and the exact medians use
@@ -912,16 +916,17 @@ def q_skew_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     outs = []
     for name, df in specs:
         freq = df.groupBy("k").agg(F.count("*").alias("n"))
+        fof = freq.groupBy("n").agg(F.count("*").alias("kn"))
         w_cum = (
-            Window.orderBy("n", "k")
+            Window.orderBy("n")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         w_all = Window.partitionBy()
-        ranked = freq.select(
+        ranked = fof.select(
             "n",
-            F.count("*").over(w_cum).alias("cum"),
-            F.count("*").over(w_all).alias("n_keys"),
-            F.sum("n").over(w_all).alias("n_rows"),
+            F.sum("kn").over(w_cum).alias("cum"),
+            F.sum("kn").over(w_all).alias("n_keys"),
+            F.sum(F.col("n") * F.col("kn")).over(w_all).alias("n_rows"),
             F.max("n").over(w_all).alias("top_n"),
         )
         med = ranked.where(F.col("cum") * 2 >= F.col("n_keys")).agg(
