@@ -119,54 +119,39 @@ def q_text_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ENTROPY = """
-get(transform(array(array_sort(filter(split(text, ' '), w -> w != ''))), ss ->
-  get(transform(array(concat(array(1),
-        filter(sequence(2, greatest(size(ss), 2)), i ->
-          i <= size(ss) AND NOT (get(ss, i - 1) <=> get(ss, i - 2))))), st ->
-    struct(
-      cast(size(ss) as bigint) AS n_tokens,
-      cast(size(st) as bigint) AS vocab,
-      aggregate(sequence(1, size(st)), cast(0.0 as double), (acc, k) ->
-        acc + (coalesce(get(st, k), size(ss) + 1) - element_at(st, k))
-            * ln(coalesce(get(st, k), size(ss) + 1) - element_at(st, k)))
-        AS clogc)), 0)), 0)
-"""
-
-
 def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document Shannon entropy of the token distribution — the
     lexical-diversity gate next to the repetition filter (low entropy
     = templated/repetitive text, a standard LLM-corpus quality
-    signal). H = ln(N) − Σ c·ln(c) / N over per-word counts c.
+    signal). Computed as H = ln(N) − Σ c·ln(c) / N over per-word
+    counts c, so ONE (doc, word) aggregate and one per-doc aggregate
+    suffice — no per-word probability column, both shuffles on doc_id.
 
-    ZERO-shuffle shape (r8): a per-document metric never needs the
-    corpus exchanged, so the per-word counts come from run lengths
-    over the doc's SORTED token array — run starts are the positions
-    where the sorted array changes value, c_k = next start − this
-    start — all inside one let-bound map-side expression (the
-    _WINNOW pattern). The r7 shape exploded every token and shuffled
-    the whole (doc, word) corpus on doc_id twice; at sf100 that was a
-    4× decade ratio where this is pure scan. 0-based ``get`` (NULL
-    out of range) instead of 1-based ``element_at`` keeps every probe
-    ANSI-safe without relying on AND short-circuiting; the trailing
-    NULL from ``get(st, k)`` past the last run doubles as the N+1
-    sentinel."""
+    MEASURED DEAD END (r8): a zero-shuffle rewrite (per-word counts
+    as run lengths over each doc's sorted token array, one map-side
+    higher-order expression) was 1.7× SLOWER at sf10 in interleaved
+    A/B — Spark evaluates HOF lambda bodies interpreted, per element,
+    while this exploded shape stays entirely inside whole-stage
+    codegen's hash aggregation; the exchange it saves is cheaper than
+    the codegen it gives up. Kept the shuffle shape (4×-per-decade
+    sublinear through sf100). On a network-bound cluster the
+    trade-off may invert; revisit only with a measured win there."""
     docs = table(spark, sf_dir, "documents")
-    e = F.expr(_ENTROPY)
-    n = F.col("n_tokens")
-    return (
-        docs.select("doc_id", e.alias("e"))
-        .select("doc_id", "e.n_tokens", "e.vocab", "e.clogc")
-        .where(n > 0)
-        .select(
-            "doc_id",
-            "n_tokens",
-            "vocab",
-            (
-                F.round(F.log(n) - F.col("clogc") / n + 1e-9, 4) + 0.0
-            ).alias("entropy"),
-        )
+    words = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+        .where(F.col("w") != "")
+    )
+    wc = words.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    n = F.sum("c")
+    return wc.groupBy("doc_id").agg(
+        n.cast("long").alias("n_tokens"),
+        F.count("*").alias("vocab"),
+        (
+            F.round(
+                F.log(n) - F.sum(F.col("c") * F.log("c")) / n + 1e-9, 4
+            )
+            + 0.0
+        ).alias("entropy"),
     )
 
 

@@ -560,10 +560,15 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
       exact because (order, supplier) is already unique);
     - the orders status filter joins at the per-ORDER level (key-only
       frames), not against fact rows;
-    - the waiting supplier itself is read back from the same
-      per-supplier frame (its exchange is reused, not rescanned) —
-      per lone order there is exactly one returning supplier, so
-      count(*) == countDistinct(orderkey).
+    - the waiting supplier's ID is captured INSIDE the per-order
+      aggregate (`max(has_ret ? supplier)` — exact because lone
+      orders have exactly one returning supplier), so the fact table
+      feeds ONE aggregation tree consumed once. A first r8 draft read
+      the supplier back from the per-supplier frame instead; the two
+      consumers picked up different pushed-down null filters, their
+      subtrees no longer canonicalized equal, ReuseExchange didn't
+      fire, and lineitem was scanned+aggregated twice — measurably
+      slower than r7. Plan-gated: exactly one lineitem scan.
 
     No broadcast hint on the qualifying-orders side: it is
     order-cardinality (millions at sf100) and arrives hash-
@@ -581,17 +586,16 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_order = per_supp.groupBy("l_orderkey").agg(
         F.count("*").alias("n_supp"),
         F.count_if("has_ret").alias("n_ret_supp"),
+        F.max(F.when(F.col("has_ret"), F.col("l_suppkey"))).alias("ret_supp"),
     )
     lone = (
         per_order.where((F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1))
         .join(od_f, F.col("l_orderkey") == F.col("o_orderkey"))
-        .select("l_orderkey")
+        .select("l_orderkey", "ret_supp")
     )
     su = F.broadcast(table(spark, sf_dir, "supplier"))
     return (
-        per_supp.where("has_ret")
-        .join(lone, "l_orderkey")
-        .join(su, F.col("l_suppkey") == su.s_suppkey)
+        lone.join(su, F.col("ret_supp") == su.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())

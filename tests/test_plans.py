@@ -755,3 +755,43 @@ def test_lsh_recall_no_all_pairs(spark, sf_dir):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoop" not in plan, plan
+
+
+def test_tpch_q21_single_fact_scan_no_expand(spark, sf_dir):
+    """r8 regression gate for the q21 restructure: the fact table must
+    feed exactly ONE scan (the first draft's two-consumer per_supp
+    frame picked up divergent pushed-down null filters, ReuseExchange
+    missed, and lineitem was scanned+aggregated twice), and the double
+    correlation must come from count/count_if over unique (order,
+    supplier) rows — never an Expand (double countDistinct)."""
+    df = _Q["q_tpch_q21"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "Expand" not in plan, plan
+
+
+def test_minhash_pairs_no_pair_set_exchange(spark, sf_dir):
+    """r8: multi-band candidate dedup is the map-side first-collision
+    predicate, so no Deduplicate/distinct aggregate may appear ABOVE
+    the pair union — the only exchange keyed on pair columns would be
+    a regression reintroducing the 713M-row sf100 shuffle."""
+    from block_data_fetcher_spark.catalog import table
+    from block_data_fetcher_spark.functions.hashing import minhash_pairs
+
+    df = minhash_pairs(table(spark, sf_dir, "documents"))
+    plan = formatted_plan(df)
+    assert "hashpartitioning(doc_a" not in plan, plan
+
+
+def test_skew_detect_median_window_is_value_sized(spark, sf_dir):
+    """r8: the exact-median rank window must run over the frequency-
+    of-frequencies rollup (keyed on the count value n), never over the
+    corpus-sized per-key table — two grouped aggregates feed each
+    branch before any window."""
+    df = _Q["q_skew_detect"](spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # per-key agg + fof agg: every Window sits above BOTH aggregates
+    first_window = plan.find("Window")
+    assert first_window != -1, plan
+    branch = plan[first_window:]
+    assert branch.count("Aggregate") >= 2, plan
