@@ -288,16 +288,21 @@ _REPETITION = """
 get(transform(array(split(text, ' ')), ws ->
   get(transform(array(
         if(size(ws) < 2, array(),
-           transform(sequence(1, size(ws) - 1),
-                     i -> concat_ws(' ', slice(ws, i, 2))))), gs ->
-    named_struct(
-      'dup_word_frac',
-        round(1.0d - size(array_distinct(ws)) / size(ws) + 1e-9, 4),
-      'top2_frac',
-        round(if(size(ws) < 2, 0.0d,
-                 array_max(transform(array_distinct(gs),
-                     g -> size(filter(gs, x -> x = g))))
-                 / (size(ws) - 1.0d)) + 1e-9, 4))), 0)), 0)
+           array_sort(transform(sequence(1, size(ws) - 1),
+                     i -> concat_ws(' ', slice(ws, i, 2)))))), sg ->
+    get(transform(array(concat(array(1),
+          filter(sequence(2, greatest(size(sg), 2)), i ->
+            i <= size(sg) AND NOT (get(sg, i - 1) <=> get(sg, i - 2))))),
+        st ->
+      named_struct(
+        'dup_word_frac',
+          round(1.0d - size(array_distinct(ws)) / size(ws) + 1e-9, 4),
+        'top2_frac',
+          round(if(size(ws) < 2, 0.0d,
+                   aggregate(sequence(1, size(st)), 0, (acc, k) ->
+                     greatest(acc, cast(coalesce(get(st, k), size(sg) + 1)
+                                        - element_at(st, k) as int)))
+                   / (size(ws) - 1.0d)) + 1e-9, 4))), 0)), 0)), 0)
 """
 
 _REPETITION_DUCK = """
@@ -326,7 +331,13 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Entirely map-side Catalyst expressions over the token array —
     zero shuffles, zero Python (plan-gated): at 100 TB this is a pure
-    scan-speed filter."""
+    scan-speed filter.
+
+    r8: the most-frequent-2-gram count is the LONGEST RUN in the
+    sorted gram array (run starts = positions where the sorted array
+    changes), O(n log n) per doc — the previous
+    count-each-distinct-gram scan was O(n·distinct) interpreted
+    per doc and dominated this query's wall (67 s at sf10)."""
     docs = table(spark, sf_dir, "documents")
     return (
         docs.withColumn("rep", F.expr(_REPETITION))

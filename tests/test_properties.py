@@ -244,6 +244,10 @@ def test_minhash_bucket_cap_equivalence(spark):
         for r in minhash_pairs(docs, bucket_cap=10**9).collect()
     )
     assert capped == uncapped
+    # r8 first-collision dedup: identical docs collide in ALL 4 bands,
+    # so any regression in the map-side multi-band dedup shows up here
+    # as repeated pairs.
+    assert len(capped) == len(set((a, b) for a, b, _ in capped))
     # the identical block is fully paired (C(120,2) pairs at sim 1.0)
     block = [p for p in capped if p[0] < 120 and p[1] < 120]
     assert len(block) == 120 * 119 // 2
@@ -967,3 +971,43 @@ def test_argmin_hybrid_vs_fold_fixture_near_tie_ensembles():
         f"gemm-hybrid vs exact-fold argmin disagreed on "
         f"{len(disagreements)} seeds: {disagreements[:10]}"
     )
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet=st.sampled_from("ab "), min_size=0, max_size=40),
+        min_size=1,
+        max_size=5,
+    )
+)
+@_settings
+def test_repetition_top2_equals_bruteforce(spark, texts):
+    """r8 sorted-run rewrite of the top-2-gram count: the longest run
+    in the sorted gram array must equal the brute-force max gram
+    frequency for arbitrary (highly repetitive) token streams."""
+    from collections import Counter
+
+    from block_data_fetcher_spark.functions.text import q_repetition_filter  # noqa: F401 (import parity)
+    from block_data_fetcher_spark.functions import text as T
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.dup_word_frac, r.top2_frac)
+        for r in docs.withColumn("rep", F.expr(T._REPETITION))
+        .select("doc_id", "rep.*")
+        .collect()
+    }
+    for i, t in enumerate(texts):
+        ws = t.split(" ")
+        grams = [" ".join(ws[j : j + 2]) for j in range(len(ws) - 1)]
+        want_dup = round(1.0 - len(set(ws)) / len(ws) + 1e-9, 4)
+        want_top2 = (
+            0.0
+            if len(ws) < 2
+            else round(
+                max(Counter(grams).values()) / (len(ws) - 1.0) + 1e-9, 4
+            )
+        )
+        assert got[i] == (want_dup, want_top2), (t, got[i])
