@@ -1011,3 +1011,20 @@ def test_repetition_top2_equals_bruteforce(spark, texts):
             )
         )
         assert got[i] == (want_dup, want_top2), (t, got[i])
+
+
+def test_minhash_empty_docs_pair_exactly_once(spark):
+    """Empty/1-token docs have all-NULL minhash signatures, which
+    groupBy buckets together in EVERY band (null-equals-null grouping).
+    The r8 first-collision predicate must mirror that semantics
+    (eqNullSafe) and emit the pair exactly once — from band 0."""
+    from block_data_fetcher_spark.functions.hashing import minhash_pairs
+
+    docs = spark.createDataFrame(
+        [(0, ""), (1, ""), (2, "a normal document with several tokens here")],
+        "doc_id long, text string",
+    )
+    pairs = [
+        (r.doc_a, r.doc_b, r.est_sim) for r in minhash_pairs(docs).collect()
+    ]
+    assert pairs == [(0, 1, 0.0)], pairs
