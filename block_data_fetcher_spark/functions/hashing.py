@@ -404,13 +404,31 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def min_label_components(
-    spark: SparkSession, nodes: DataFrame, pairs: DataFrame
+    spark: SparkSession,
+    nodes: DataFrame,
+    pairs: DataFrame,
+    max_rounds: int = 12,
 ) -> DataFrame:
     """Reusable min-label-propagation connected components (the
     q_dup_clusters loop, extracted so other match graphs — e.g. the
     entity-resolution SNM edges — can cluster with the same machinery).
     ``nodes``: (doc_id); ``pairs``: (doc_a, doc_b) undirected match
-    edges. Returns (doc_id, cluster_id = component min)."""
+    edges. Returns (doc_id, cluster_id = component min).
+
+    DIAMETER ESCAPE HATCH (r8): label propagation is O(diameter)
+    rounds, and at sf100 the LSH dup graph grew a component deeper
+    than the round budget (the exact failure mode the docstrings had
+    only predicted; the r7 code raised). Instead of raising, the loop
+    now CONTRACTS the graph by the partial labels — after k rounds
+    every component of diameter ≤ k has collapsed to a self-loop and
+    vanishes; only the deep components survive, with label values as
+    super-nodes — and finishes that (much smaller) residual graph
+    with the O(log d) alternating-star rounds. Labels only ever
+    decrease and the component minimum labels itself, so
+    star-min-of-labels == component-min-of-nodes: the escalated
+    result is EXACTLY the converged fixpoint, and the recursive-CTE
+    oracle is unchanged. Unit-pinned on a path graph 4× deeper than
+    the budget."""
     spark = _iter_session(spark)
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -448,7 +466,7 @@ def min_label_components(
     # multi-hop plans were tried and lose — per-round codegen compile
     # outweighs the saved actions at any SF where rounds are few.
     cur_sum = None
-    for _ in range(12):
+    for _ in range(max_rounds):
         new = propagate(labels).localCheckpoint(eager=False, storageLevel=ITER_STORAGE)
         row = new.agg(
             F.sum("cluster_id").alias("s"), F.sum("doc_id").alias("ident")
@@ -460,7 +478,37 @@ def min_label_components(
             break
         cur_sum = row.s
     else:
-        raise RuntimeError("dup_clusters: no fixpoint in 12 rounds")
+        # Round budget exhausted: a component deeper than max_rounds.
+        # Contract by the partial labels (collapsed components become
+        # self-loops and drop out) and finish the residual deep
+        # components with O(log d) star rounds.
+        la = labels.select(
+            F.col("doc_id").alias("src"), F.col("cluster_id").alias("la")
+        )
+        lb = labels.select(
+            F.col("doc_id").alias("dst"), F.col("cluster_id").alias("lb")
+        )
+        contracted = (
+            edges.join(la, "src")
+            .join(lb, "dst")
+            .where(F.col("la") != F.col("lb"))
+            .select(
+                F.least("la", "lb").alias("doc_a"),
+                F.greatest("la", "lb").alias("doc_b"),
+            )
+            .distinct()
+        )
+        super_nodes = labels.select(
+            F.col("cluster_id").alias("doc_id")
+        ).distinct()
+        star = star_components(
+            spark, super_nodes, contracted, canonical=True
+        ).select(
+            F.col("doc_id").alias("la"), F.col("cluster_id").alias("root")
+        )
+        return labels.join(star, labels.cluster_id == star.la).select(
+            "doc_id", F.col("root").alias("cluster_id")
+        )
     return labels
 
 

@@ -1028,3 +1028,35 @@ def test_minhash_empty_docs_pair_exactly_once(spark):
         (r.doc_a, r.doc_b, r.est_sim) for r in minhash_pairs(docs).collect()
     ]
     assert pairs == [(0, 1, 0.0)], pairs
+
+
+def test_min_label_escalates_past_round_budget(spark):
+    """r8 diameter escape hatch: a path graph 4x deeper than the round
+    budget must still land on the exact component minimum via the
+    contract-then-star escalation (the sf100 q_dup_clusters failure
+    mode), and isolated nodes must keep their own label."""
+    from block_data_fetcher_spark.functions.hashing import (
+        min_label_components,
+        star_components,
+    )
+
+    n = 40
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(n)] + [(999,)], "doc_id long"
+    )
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in min_label_components(spark, nodes, path, max_rounds=3).collect()
+    }
+    want = {i: 0 for i in range(n)}
+    want[999] = 999
+    assert got == want
+    # and it agrees with the pure star implementation
+    star = {
+        r.doc_id: r.cluster_id
+        for r in star_components(spark, nodes, path, canonical=True).collect()
+    }
+    assert star == want
