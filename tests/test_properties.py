@@ -767,11 +767,9 @@ def test_fuzzy_snm_invariants(spark, texts):
 def test_star_components_handles_long_paths(spark):
     """The regression behind the sf1 entity-resolution failure: on a
     PATH graph of length L, min-label propagation needs L rounds (and
-    raises at its cap) while alternating-star converges in O(log L)
-    — and both must agree with the ground truth on graphs where the
-    label loop still converges."""
-    import pytest
-
+    escalated at its cap since r8) while alternating-star converges
+    in O(log L) — and both must agree with the ground truth on graphs
+    where the label loop still converges."""
     from block_data_fetcher_spark.functions.hashing import (
         min_label_components,
         star_components,
@@ -790,9 +788,14 @@ def test_star_components_handles_long_paths(spark):
     want = {i: 0 for i in range(40)} | {i: i for i in range(40, 45)}
     assert got == want
 
-    # the label loop's documented failure mode on the same input
-    with pytest.raises(RuntimeError, match="no fixpoint"):
-        min_label_components(spark, nodes, pairs)
+    # the label loop's former failure mode on the same input: since r8
+    # it escalates (contract by partial labels, star-finish) instead
+    # of raising, and must land on the identical ground truth
+    lab = {
+        r["doc_id"]: r["cluster_id"]
+        for r in min_label_components(spark, nodes, pairs).collect()
+    }
+    assert lab == want
 
     # and agreement on a shallow graph (where both are valid)
     shallow = spark.createDataFrame(
