@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import parallelize, table
-from ..storage import ITER_STORAGE
+from ..storage import iter_checkpoint
 
 P = 1_000_000_007  # modulus for permutations (fits 63-bit products)
 # fixed permutation coefficients (a_i * h + b_i) % P, i = 0..7
@@ -384,14 +384,17 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     no row-diff join). Rounds are bounded by component diameter;
     LSH-bucket cliques keep that small (fixture max component = 4).
 
-    Each round's label frame is localCheckpoint-ed (lazily — the
-    round's convergence aggregate is the materializing action): lineage
-    truncates to the checkpoint instead of stacking 12 joins deep
-    (the r1 VERDICT lineage-growth item), and unlike persist() no
-    CacheManager entry outlives the call — blocks are freed by the
-    ContextCleaner when the caller drops the frame. On a real cluster
-    swap localCheckpoint for a reliable checkpoint dir (executor loss
-    loses local blocks). A pathological giant component calls for the
+    Each round's label frame is checkpointed via
+    ``storage.iter_checkpoint`` (lazily — the round's convergence
+    aggregate is the materializing action): lineage truncates to the
+    checkpoint instead of stacking 12 joins deep (the r1 VERDICT
+    lineage-growth item), and unlike persist() no CacheManager entry
+    outlives the call — blocks are freed by the ContextCleaner when
+    the caller drops the frame. The helper picks localCheckpoint only
+    on a pure-local master; on a distributed master it requires and
+    uses a reliable checkpoint dir (executor loss would otherwise
+    lose blocks with no lineage to rebuild them — r8 VERDICT item 3).
+    A pathological giant component calls for the
     large-star/small-star variant, which this loop's join shape
     extends to directly. The DuckDB oracle computes the same fixpoint
     as a recursive CTE over the identical edge SQL."""
@@ -439,12 +442,12 @@ def min_label_components(
         )
         # eager: materialized ONCE at full parallelism (the expensive
         # candidate build), reused every round from checkpoint blocks
-        .localCheckpoint(eager=True, storageLevel=ITER_STORAGE)
+        .transform(iter_checkpoint)
     )
     _size_rounds_to(spark, edges.count())
     labels = nodes.select(
         "doc_id", F.col("doc_id").alias("cluster_id")
-    ).localCheckpoint(eager=False, storageLevel=ITER_STORAGE)
+    ).transform(lambda d: iter_checkpoint(d, eager=False))
 
     def propagate(lab: DataFrame) -> DataFrame:
         nbr = (
@@ -467,7 +470,7 @@ def min_label_components(
     # outweighs the saved actions at any SF where rounds are few.
     cur_sum = None
     for _ in range(max_rounds):
-        new = propagate(labels).localCheckpoint(eager=False, storageLevel=ITER_STORAGE)
+        new = iter_checkpoint(propagate(labels), eager=False)
         row = new.agg(
             F.sum("cluster_id").alias("s"), F.sum("doc_id").alias("ident")
         ).first()
@@ -639,7 +642,7 @@ def star_components(
     ).where(F.col("a") != F.col("b"))
     if not canonical:
         edges = edges.distinct()
-    edges = edges.localCheckpoint(eager=True, storageLevel=ITER_STORAGE)
+    edges = iter_checkpoint(edges)
     _size_rounds_to(spark, edges.count())
 
     def sym(e: DataFrame) -> DataFrame:
@@ -689,7 +692,8 @@ def star_components(
     for _ in range(15):
         edges = star(
             star(edges, large=True, dedup=False), large=False
-        ).localCheckpoint(eager=False, storageLevel=ITER_STORAGE)
+        )
+        edges = iter_checkpoint(edges, eager=False)
         cur = signature(edges)
         if cur == prev:
             break

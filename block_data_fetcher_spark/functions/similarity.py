@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import parallelize, table
-from ..storage import ITER_STORAGE
+from ..storage import ITER_STORAGE, iter_checkpoint
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -966,7 +966,7 @@ def _kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a returned frame must not leave CacheManager entries behind
     # (they'd accumulate across a bench session; see the dup-clusters
     # lineage test)
-    final = _km_assign(em, cents).localCheckpoint(eager=True, storageLevel=ITER_STORAGE)
+    final = iter_checkpoint(_km_assign(em, cents))
     em.unpersist()
     return final
 

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..storage import ITER_STORAGE
+from ..storage import ITER_STORAGE, iter_checkpoint
 
 
 def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -836,8 +836,8 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_mode = Window.partitionBy("column").orderBy(
         F.desc("count"), F.asc("v")
     )
-    counts = pairs.groupBy("column", "v").count().localCheckpoint(storageLevel=ITER_STORAGE, 
-        eager=False
+    counts = iter_checkpoint(
+        pairs.groupBy("column", "v").count(), eager=False
     )  # reused by mode AND n_distinct — the one expensive shuffle
     mode_df = (
         counts.withColumn("rn", F.row_number().over(w_mode))
@@ -2755,17 +2755,26 @@ def q_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     alignment that needs imperative logic (merge_asof's galloping
     backward scan) rather than a join expression.
 
-    Scale shape: the cogroup key is a COARSE bucket (user_id mod 64),
+    Scale shape: the cogroup key is a COARSE bucket (user_id mod B),
     not user_id itself — per-key Python invocation overhead is the
     classic cogroup trap (one merge_asof call per user measured 6×
     slower than this), so each Arrow batch carries thousands of users
     and ONE vectorized `merge_asof(by="user_id")` aligns them all;
-    Python calls are O(buckets), state is bounded by a bucket's
-    history. Determinism: frames sort by (ts, event_id); merge_asof
+    Python calls are O(buckets). B is sized from the fixture
+    (`catalog.fixture_buckets`: max(64, bytes/32MB)), so per-bucket
+    pandas state is ~constant (a bucket's slice of the purchase+click
+    history, ≈32 MB parquet ≈ low-hundreds MB in Arrow) while the
+    task count grows with the data — a 1 TB events table gets ~32k
+    buckets instead of the pre-r9 constant 64 whose per-task state
+    grew linearly with the corpus. The bucket column never reaches
+    the output, so the oracle is bucket-count-invariant.
+    Determinism: frames sort by (ts, event_id); merge_asof
     backward picks the last row ≤ t per user, i.e. max (ts, event_id)
     — mirrored by the oracle's ORDER BY ts DESC, event_id DESC
     LIMIT 1 lateral."""
     import pandas as pd
+
+    from ..catalog import fixture_buckets
 
     # Two INDEPENDENT scans on purpose: deriving both cogroup sides
     # from one DataFrame shares attribute ids across the children, and
@@ -2773,7 +2782,8 @@ def q_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     # side's non-key columns (observed: right batches arrived with the
     # key column only at sf0.1). Fresh reads give each side its own
     # expression ids; the scan is the same parquet either way.
-    bucket = F.pmod(F.col("user_id"), F.lit(64)).alias("bucket")
+    n_buckets = fixture_buckets(sf_dir, "events")
+    bucket = F.pmod(F.col("user_id"), F.lit(n_buckets)).alias("bucket")
     purchases = (
         table(spark, sf_dir, "events")
         .where(F.col("event_type") == "purchase")

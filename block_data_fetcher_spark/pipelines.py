@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import parallelize, table
-from .storage import ITER_STORAGE
+from .storage import iter_checkpoint
 from .functions.hashing import minhash_pairs, minhash_pairs_sql
 from .functions.text import quality_score, quality_sql, token_count
 
@@ -64,7 +64,7 @@ def curate_corpus(docs: DataFrame) -> DataFrame:
         # accumulated across a 128-query bench session). At 100 TB this
         # is where the curated corpus would be checkpointed to storage
         # anyway (stage outputs are the pipeline's restart points).
-        .localCheckpoint(eager=False, storageLevel=ITER_STORAGE)
+        .transform(lambda d: iter_checkpoint(d, eager=False))
     )
 
     dupes = (
