@@ -62,6 +62,7 @@ LARGE_RESULT = {
     "q_bpe_encode",
     "q_audio_features",
     "q_minhash_lsh",
+    "q_minhash_clean",
     "q_simhash",
     "q_ngram_jaccard",
     "q_fingerprint",

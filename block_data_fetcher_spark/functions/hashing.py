@@ -271,6 +271,44 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_pairs(parallelize(table(spark, sf_dir, "documents"), spark))
 
 
+def q_minhash_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-aware near-dup composition (VERDICT r8 item 5):
+    corpus-frequency LINE removal **before** MinHash+LSH — the CCNet/
+    RefinedWeb ordering. Shared chrome (nav bars, cookie banners) makes
+    DIFFERENT documents band-collide, so LSH candidate counts on a
+    boilerplate-laden crawl are quadratic in the chrome's reach, not
+    the true near-dup rate — the production analog of the sf100
+    713M-pair explosion. Cleaning first removes exactly those spurious
+    candidates while every true near-dup pair survives (its similarity
+    lives in the content, not the chrome).
+
+    Pipeline: plant a cookie-banner-sized per-class chrome block (5
+    aligned 4-token pseudo-lines — ``web.plant_boilerplate``), detect
+    and strip corpus-frequent pseudo-lines (``web.strip_boilerplate``,
+    DF > N/20), then :func:`minhash_pairs` over the cleaned text. The
+    block is exactly 5 aligned pseudo-lines, so a correct cleaner
+    recovers the raw corpus — pinned by
+    tests/test_similarity_quality.py's dirty/clean candidate-count A/B
+    (dirty ≫ clean at every SF; the dirty count grows quadratically
+    with the corpus because a fifth of the crawl shares each class's
+    chrome min-hashes).
+
+    Scale: the added cost is one (line, doc_id) shuffle + a broadcast
+    removal join — linear; what it buys is the removal of the
+    quadratic spurious-candidate blowup downstream (sf10 A/B in
+    BASELINE.md). The DuckDB oracle recomputes the full composition
+    (clean SQL feeding :func:`minhash_pairs_sql`)."""
+    from .web import plant_boilerplate, strip_boilerplate
+
+    docs = parallelize(table(spark, sf_dir, "documents"), spark).select(
+        "doc_id", "text"
+    )
+    cleaned = strip_boilerplate(
+        plant_boilerplate(docs, n_lines=5), docs.count()
+    )
+    return minhash_pairs(cleaned)
+
+
 # Winnowing (Schleimer, Wilkerson, Aiken, SIGMOD '03): ORDERED 3-gram
 # hashes (winnowing is positional — the distinct shingle set used by
 # MinHash would destroy the window structure), then the min hash of
@@ -910,6 +948,46 @@ FROM pairs
 
 _MINHASH_SQL = minhash_pairs_sql("documents")
 
+# Boilerplate-cleaned corpus as a derived table: plant the per-class
+# 5-line chrome block (identical literals to web.plant_boilerplate
+# n_lines=5), detect corpus-frequent 4-token pseudo-lines, strip them,
+# and reassemble (doc_id, text) — independently recomputing the FULL
+# q_minhash_clean composition before the shared minhash SQL runs on it.
+_CHROME_SQL = " || ".join(
+    ["'subscribe to site' || CAST(doc_id % 5 AS VARCHAR) || ' now '"]
+    + [
+        f"'chrome{j} site' || CAST(doc_id % 5 AS VARCHAR) || ' banner now '"
+        for j in range(1, 5)
+    ]
+)
+
+_CLEAN_DOCS_SQL = f"""(
+  WITH aug AS (
+    SELECT doc_id, {_CHROME_SQL} || text AS text
+    FROM documents
+  ), toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM aug
+  ), chunks AS (
+    SELECT doc_id, i.i AS idx,
+           array_to_string(t[i.i * 4 + 1 : i.i * 4 + 4], ' ') AS line
+    FROM toks CROSS JOIN range(256) i(i)
+    WHERE i.i < CAST(ceil(len(t) / 4.0) AS INTEGER)
+  ), dfreq AS (
+    SELECT line, count(DISTINCT doc_id) AS df FROM chunks GROUP BY line
+  ), n AS (SELECT count(*) AS n_docs FROM documents),
+  boiler AS (
+    SELECT line FROM dfreq, n WHERE df * 20 > n_docs
+  )
+  SELECT doc_id,
+         coalesce(string_agg(line, ' ' ORDER BY idx)
+                    FILTER (WHERE line NOT IN (SELECT line FROM boiler)),
+                  '') AS text
+  FROM chunks
+  GROUP BY doc_id
+) cleaned_docs"""
+
+_MINHASH_CLEAN_SQL = minhash_pairs_sql(_CLEAN_DOCS_SQL)
+
 _SIMHASH_BIT_SUMS = ", ".join(
     f"list_sum(list_transform(hs, h -> ((h >> {j}) & 1) * 2 - 1)) AS s{j}"
     for j in range(SIMHASH_BITS)
@@ -1029,6 +1107,7 @@ ORACLE: dict[str, str] = {
     "q_lsh_verified": _LSH_VERIFIED_SQL,
     "q_dup_clusters": _DUP_CLUSTERS_SQL,
     "q_minhash_lsh": _MINHASH_SQL,
+    "q_minhash_clean": _MINHASH_CLEAN_SQL,
     "q_simhash": _SIMHASH_SQL,
     "q_ngram_jaccard": _NGRAM_JACCARD_SQL,
     "q_fingerprint": _FINGERPRINT_SQL,

@@ -95,6 +95,85 @@ _LD_CHUNK = 4  # tokens per pseudo-line
 _LD_DF_DENOM = 20  # boilerplate threshold: line in > N/20 docs
 
 
+def plant_boilerplate(docs: DataFrame, n_lines: int = 1) -> DataFrame:
+    """Fixture synthesis of web chrome: prepend ``n_lines`` per-class
+    4-token pseudo-lines (K = doc_id % 5). Line 0 is the classic
+    "subscribe to siteK now" header (q_line_dedup's fixture); lines
+    1+ are "chromeJ siteK banner now" — together a cookie-banner-sized
+    block. Every line is exactly one aligned pseudo-line, so a correct
+    corpus-frequency cleaner removes the block and nothing else."""
+    k = (F.col("doc_id") % 5).cast("string")
+    parts: list = []
+    for j in range(n_lines):
+        if j == 0:
+            parts += [F.lit("subscribe to site"), k, F.lit(" now ")]
+        else:
+            parts += [F.lit(f"chrome{j} site"), k, F.lit(" banner now ")]
+    parts.append(F.col("text"))
+    return docs.select("doc_id", F.concat(*parts).alias("text"))
+
+
+def chunk_lines(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, idx, line): aligned 4-token
+    pseudo-lines in document order — the unit of corpus-frequency
+    boilerplate detection (CCNet/RefinedWeb chunk analog for a corpus
+    whose text carries no newlines)."""
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    return toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size("t") / F.lit(_LD_CHUNK)).cast("int") - 1,
+                ),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("t"), i * _LD_CHUNK + 1, _LD_CHUNK)
+                ),
+            )
+        ).alias("idx", "line"),
+    )
+
+
+def strip_boilerplate(docs: DataFrame, n_docs: int) -> DataFrame:
+    """Corpus-frequency line removal as a reusable (doc_id, text) →
+    (doc_id, text) stage (VERDICT r8 item 5): lines with DF >
+    n_docs/20 are dropped from every document, documents reassembled
+    in order. This is the production pre-filter that belongs BEFORE
+    near-dup hashing — shared chrome makes DIFFERENT documents
+    band-collide, so LSH candidate counts on boilerplate-laden
+    corpora are output-quadratic in the chrome's reach, not the true
+    near-dup rate (the sf100 713M-pair explosion shape).
+
+    Scale: one (line, doc_id) shuffle for the DF count; the boiler set
+    is tiny by Zipf, so the removal join broadcasts; reassembly is a
+    per-doc sorted collect bounded by document length. ``n_docs`` is a
+    caller-supplied scalar (metadata-sized count job)."""
+    chunks = chunk_lines(docs)
+    dfreq = chunks.groupBy("line").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    boiler = dfreq.where(
+        F.col("df") * _LD_DF_DENOM > F.lit(n_docs)
+    ).select("line")
+    flagged = chunks.join(
+        F.broadcast(boiler.withColumn("is_b", F.lit(True))), "line", "left"
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("is_b").isNull(), F.struct("idx", "line"))
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+        ).alias("text"),
+    )
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level boilerplate line removal (the CCNet/RefinedWeb
     step: a LINE appearing in many documents is chrome — nav bars,
@@ -114,30 +193,8 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = parallelize(table(spark, sf_dir, "documents"), spark).select(
         "doc_id", "text"
     )
-    aug = docs.select(
-        "doc_id",
-        F.concat(
-            F.lit("subscribe to site"),
-            (F.col("doc_id") % 5).cast("string"),
-            F.lit(" now "),
-            F.col("text"),
-        ).alias("text"),
-    )
-    toks = aug.select("doc_id", F.split("text", " ").alias("t"))
-    chunks = toks.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(
-                    F.lit(0),
-                    F.ceil(F.size("t") / F.lit(_LD_CHUNK)).cast("int") - 1,
-                ),
-                lambda i: F.concat_ws(
-                    " ", F.slice(F.col("t"), i * _LD_CHUNK + 1, _LD_CHUNK)
-                ),
-            )
-        ).alias("idx", "line"),
-    )
+    aug = plant_boilerplate(docs)
+    chunks = chunk_lines(aug)
     n_docs = docs.count()  # scalar corpus size (metadata-sized)
     dfreq = chunks.groupBy("line").agg(
         F.count_distinct("doc_id").alias("df")

@@ -111,3 +111,36 @@ def test_dup_clusters_are_consistent_components(spark, sf_dir):
         members.setdefault(c, []).append(d)
     for c, ds in members.items():
         assert c == min(ds), (c, ds)
+
+
+def test_minhash_clean_removes_boilerplate_candidates(spark, sf_dir):
+    """r9 (VERDICT r8 item 5): line-dedup BEFORE near-dup hashing.
+    Three measurements over the same corpus:
+
+    * dirty  = minhash_pairs over the boilerplate-planted corpus —
+      shared per-class headers make different documents band-collide;
+    * clean  = q_minhash_clean (plant → corpus-DF strip → minhash);
+    * raw    = q_minhash_lsh over the original corpus.
+
+    The planted header is exactly one aligned pseudo-line, so a
+    correct cleaner must recover the raw candidate set exactly —
+    and the dirty set must be strictly larger (the spurious
+    chrome-induced candidates the composition exists to remove)."""
+    from block_data_fetcher_spark.catalog import parallelize, table
+    from block_data_fetcher_spark.functions.hashing import minhash_pairs
+    from block_data_fetcher_spark.functions.web import plant_boilerplate
+
+    docs = parallelize(table(spark, sf_dir, "documents"), spark).select(
+        "doc_id", "text"
+    )
+    dirty_n = minhash_pairs(plant_boilerplate(docs, n_lines=5)).count()
+    raw = {
+        (r.doc_a, r.doc_b)
+        for r in _Q["q_minhash_lsh"](spark, sf_dir).collect()
+    }
+    clean = {
+        (r.doc_a, r.doc_b)
+        for r in _Q["q_minhash_clean"](spark, sf_dir).collect()
+    }
+    assert clean == raw, "cleaning must recover the raw candidate set"
+    assert dirty_n > 5 * len(clean), (dirty_n, len(clean))
