@@ -714,3 +714,76 @@ def test_rpc_online_stream_respects_finality_lag(rpc_registered, spark, rpc_stub
     )
     assert slots == set(range(100, lagged_head + 1)) - {rpc_stub.NULL_SLOT}
     assert rpc_stub.hits.get("getSlot", 0) >= 1
+
+
+# --------------------------------------------------------------------------
+# OPT-IN live soak (VERDICT r8 item 8) — never part of the gates.
+# Set SPARK_GRAFT_LIVE_RPC_URL to a public Solana JSON-RPC endpoint
+# (e.g. https://api.mainnet-beta.solana.com) to validate the latest−20
+# finality lag against LIVE head movement over ~3 continuous polls —
+# the behavior the reference stubs at src/main.rs:123-148. The sandbox
+# has no egress, so this skips in CI; it exists for a real deployment
+# preflight.
+# --------------------------------------------------------------------------
+
+_LIVE_RPC = os.environ.get("SPARK_GRAFT_LIVE_RPC_URL", "")
+
+
+@pytest.mark.skipif(
+    not _LIVE_RPC, reason="set SPARK_GRAFT_LIVE_RPC_URL to run the live soak"
+)
+def test_rpc_live_continuous_soak(rpc_registered, spark):
+    """~3 processingTime polls against a live endpoint: every batch's
+    max processed slot must trail the live head by ≥ the 20-slot
+    finality lag at poll time, and the offset cursor must advance
+    monotonically as the chain head moves (~2.5 slots/sec on
+    mainnet)."""
+    import json as _json
+    import time as _time
+    import urllib.request
+
+    def live_head() -> int:
+        req = urllib.request.Request(
+            _LIVE_RPC,
+            data=_json.dumps(
+                {"jsonrpc": "2.0", "id": 1, "method": "getSlot", "params": []}
+            ).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=15) as resp:
+            return int(_json.loads(resp.read())["result"])
+
+    head0 = live_head()
+    start = head0 - 40  # recent, inside every node's retention
+    stream = (
+        spark.readStream.format("solana_rpc")
+        .option("mode", "online")
+        .option("url", _LIVE_RPC)
+        .option("start_slot", start)
+        .option("max_slots_per_trigger", 5)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("rpc_live_soak")
+        .outputMode("append")
+        .trigger(processingTime="5 seconds")
+        .start()
+    )
+    try:
+        maxes = []
+        for _ in range(3):  # ~3 polls
+            _time.sleep(6)
+            rows = spark.sql(
+                "SELECT max(slot) AS m FROM rpc_live_soak"
+            ).collect()
+            if rows and rows[0].m is not None:
+                maxes.append((rows[0].m, live_head()))
+    finally:
+        q.stop()
+    assert maxes, "no batches processed — endpoint unreachable or empty"
+    for max_slot, head in maxes:
+        assert max_slot <= head - 20, (
+            f"processed past the finality lag: {max_slot} > {head} - 20"
+        )
+    assert maxes[-1][0] >= maxes[0][0]  # cursor advances with the chain
