@@ -66,6 +66,12 @@ def iter_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
        unrecoverable-job landmine that detonates hours into a 100 TB
        run.
 
+    No persist-before-checkpoint is needed on the reliable path:
+    Spark 4's ``Dataset.checkpoint`` computes the input exactly once
+    (verified empirically with an accumulator probe — 100 evals for a
+    100-row input, eager and lazy alike), unlike the raw
+    ``RDD.checkpoint`` whose write recomputes unpersisted lineage.
+
     Every iterative operator in the engine routes through here; do not
     call ``localCheckpoint`` directly in loop bodies."""
     spark = df.sparkSession
