@@ -439,21 +439,47 @@ def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("hamming") <= _NEAR_HAMMING)
     )
     # expansion: broadcast the H^2-bounded hash-pair table, stream the
-    # D-scale (id, hash) map through it twice — no doc-side broadcast
-    x, y = hashes.alias("x"), hashes.alias("y")
+    # D-scale (id, hash) map through it twice — no doc-side broadcast.
+    #
+    # The y-side equi-join key is SALTED (r9, found by the first full
+    # sf100 run): the output of this join is quadratic per hash value
+    # (every same-class doc pair), but AQE coalesces partitions by
+    # INPUT size — at sf100 the whole 4e11-row expansion landed in ONE
+    # input-balanced task that then ran for ~45 minutes while 31 cores
+    # idled. Salting x by media_id and replicating y across the salt
+    # range splits the OUTPUT evenly at the cost of a K-fold larger
+    # (still skinny, id+hash) y-side shuffle — the standard answer for
+    # output-heavy expansion joins, sized from the fixture like every
+    # other bucket count (catalog.fixture_buckets floor 32).
+    from ..catalog import fixture_buckets
+
+    n_salt = fixture_buckets(sf_dir, "documents", floor=32)
+    x = hashes.select(
+        F.col("media_id").alias("x_id"),
+        F.col("hash").alias("x_hash"),
+        F.pmod(F.col("media_id"), F.lit(n_salt)).alias("x_salt"),
+    )
+    y = hashes.crossJoin(
+        spark.range(n_salt).select(F.col("id").alias("y_salt"))
+    ).select(
+        F.col("media_id").alias("y_id"),
+        F.col("hash").alias("y_hash"),
+        "y_salt",
+    )
     return (
-        x.join(F.broadcast(hash_pairs), F.col("x.hash") == F.col("ha"))
+        x.join(F.broadcast(hash_pairs), F.col("x_hash") == F.col("ha"))
         .join(
             y,
-            (F.col("y.hash") == F.col("hb"))
+            (F.col("y_hash") == F.col("hb"))
+            & (F.col("y_salt") == F.col("x_salt"))
             & (
                 (F.col("ha") != F.col("hb"))
-                | (F.col("x.media_id") < F.col("y.media_id"))
+                | (F.col("x_id") < F.col("y_id"))
             ),
         )
         .select(
-            F.least("x.media_id", "y.media_id").alias("id_a"),
-            F.greatest("x.media_id", "y.media_id").alias("id_b"),
+            F.least("x_id", "y_id").alias("id_a"),
+            F.greatest("x_id", "y_id").alias("id_b"),
             "hamming",
         )
     )

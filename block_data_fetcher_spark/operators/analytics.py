@@ -2905,10 +2905,28 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: each recursion step is one equi-join of the (pruned) order
     list against the previous frontier; depth is bounded by the max
     chain length in the window, and rows never exceed the input. The
-    oracle runs the IDENTICAL statement."""
-    from ..catalog import load
+    oracle runs the IDENTICAL statement.
+
+    Row-limit sizing (r9, found by the first full sf100 run): Spark's
+    ``spark.sql.cteRecursionRowLimit`` guards runaway recursion with a
+    DEFAULT of 1M cumulative rows — but this recursion's cumulative
+    volume is exactly the window's order count (each order appears at
+    one rn step), i.e. it scales with the DATA, and sf100's ~5.6M
+    Q1-1995 orders tripped the default. The guard that actually
+    protects against non-termination is the DEPTH limit (default 100,
+    kept: per-customer chain length is fixture-invariant because
+    per-key group sizes stay constant as the corpus grows). The row
+    limit is therefore sized to the fixture: orders-file bytes are a
+    safe over-estimate of the window's row count."""
+    from ..catalog import fixture_buckets, load
 
     load(spark, sf_dir, register_views=True)
+    # ~45 bytes/row parquet → bytes/8 comfortably exceeds the row
+    # count; floor keeps the default guard at small fixtures.
+    row_limit = max(
+        1_000_000, fixture_buckets(sf_dir, "orders", floor=1, bytes_per_bucket=8)
+    )
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(row_limit))
     return spark.sql(_RECURSIVE_SQL)
 
 

@@ -114,6 +114,21 @@ def _stream_partitions(sf_dir: str) -> int:
     return min(32, max(8, int(size // (4 << 20))))
 
 
+def _await_bounded(q, name: str, timeout: int = 3600) -> None:
+    """availableNow triggers are self-terminating; the timeout is a
+    deadlock guard, not a budget — and it must FAIL LOUDLY. Returning
+    after a silent timeout would let the caller read a PARTIALLY
+    FILLED sink/path: a wrong answer, not an error (r9 audit while
+    fixing the sf100 dedup-state OOM; the old 300 s guard sat above
+    every sf10 stream but below a 100M-event state build)."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise RuntimeError(
+            f"stream {name} still running after {timeout} s — refusing "
+            "to read a partial result"
+        )
+
+
 def _run_to_memory(
     df: DataFrame, name: str, mode: str, partitions: int = 8
 ) -> DataFrame:
@@ -131,10 +146,28 @@ def _run_to_memory(
     6M-event sf10 state stage of cores. On a real cluster the same
     knob is sized to |executors| at stream START (it is frozen into
     the checkpoint, deliberately — state cannot be re-sharded by
-    config after the fact)."""
+    config after the fact).
+
+    State store provider: RocksDB, engine-wide (r9, found by the first
+    full sf100 run): the default HDFSBackedStateStoreProvider keeps
+    EVERY key of every active state-store version in JVM heap, so
+    q_stream_dedup's 100M-key dedup state at sf100 OOMed the context —
+    the watermark bounds state only across triggers, and an
+    availableNow read of one large file is one trigger holding the
+    whole horizon. RocksDB keeps state in native memory with disk
+    spill (and on a cluster, ~per-executor-bounded block cache), which
+    is the production posture for any state that scales with the data
+    — dedup keys, stream-stream join buffers, session windows. The
+    conf is captured per-query at start(), so setting it here covers
+    every catalog stream without touching a global."""
     spark = df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
     try:
         sink = f"{name}_{uuid.uuid4().hex[:8]}"
         q = (
@@ -145,7 +178,7 @@ def _run_to_memory(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_bounded(q, name)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(sink)
@@ -520,7 +553,7 @@ def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = stream_upsert(
             ev, path, keys=["user_id"], order=["ts", "event_id"]
         )
-        q.awaitTermination(300)
+        _await_bounded(q, "stream_job")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     out = spark.read.parquet(path).select(
@@ -578,7 +611,7 @@ def q_stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_bounded(q, "stream_job")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     out = spark.read.parquet(path).select(
@@ -625,7 +658,7 @@ def q_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         q = stream_upsert(ev, path, keys=["key"], order=["ts", "event_id"])
-        q.awaitTermination(300)
+        _await_bounded(q, "stream_job")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     out = (
@@ -772,7 +805,7 @@ def q_stream_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_bounded(q, "stream_job")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
@@ -863,7 +896,7 @@ def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_bounded(q, "stream_job")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
