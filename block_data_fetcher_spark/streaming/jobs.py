@@ -184,6 +184,41 @@ def _run_to_memory(
     return spark.table(sink)
 
 
+def _run_to_parquet(df: DataFrame, name: str, partitions: int = 8) -> DataFrame:
+    """Run an append-mode stream to a parquet FILE sink and return a
+    scan of the result path — for the streams whose output is
+    O(input). The memory sink variant (:func:`_run_to_memory`)
+    materializes the whole result on the driver heap, which is exactly
+    wrong for row-scale output (sf100: q_stream_dedup's ~100M-row
+    result OOMed the context through the sink AFTER RocksDB had fixed
+    the state store). Same shuffle-partition sizing and RocksDB state
+    policy as the memory runner."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        out = tempfile.mkdtemp(prefix=f"sink_{name}_") + "/out"
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", out)
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+            )
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_bounded(q, name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(out)
+
+
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST1/ST4: 1-hour tumbling event-time windows with a watermark
     (the 20-slot finality lag analog)."""
@@ -198,12 +233,23 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST6: in-stream duplicate suppression within the watermark —
-    the streaming half of UPSERT idempotence."""
+    the streaming half of UPSERT idempotence.
+
+    Sink choice (r9, second sf100 lesson from the same query): this is
+    the one catalog stream whose OUTPUT is O(input) — a memory sink
+    materializes every deduped row on the DRIVER heap, which is what
+    actually OOMed sf100's 100M-event run once RocksDB had fixed the
+    state side. Row-scale stream output lands in a parquet FILE sink
+    (the production shape: dedup feeds a table, not a collect); the
+    returned frame is a scan of that path. Aggregate-shaped streams
+    keep the memory sink — their results are bounded by construction."""
     ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
     dedup = ev.dropDuplicatesWithinWatermark(["event_id"]).select(
         "event_id", "user_id", "event_type"
     )
-    return _run_to_memory(dedup, "stream_dedup", "append", _stream_partitions(sf_dir))
+    return _run_to_parquet(
+        dedup, "stream_dedup", _stream_partitions(sf_dir)
+    )
 
 
 def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
