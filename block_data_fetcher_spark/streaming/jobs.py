@@ -219,6 +219,45 @@ def _run_to_parquet(df: DataFrame, name: str, partitions: int = 8) -> DataFrame:
     return spark.read.parquet(out)
 
 
+def _run_complete_to_parquet(
+    df: DataFrame, name: str, partitions: int = 8
+) -> DataFrame:
+    """Complete-mode runner for aggregates whose RESULT table is
+    data-scale (sf100: q_stream_session's ~tens-of-millions of session
+    rows overflowed spark.driver.maxResultSize through the memory
+    sink). The file sink rejects complete mode, so each trigger's full
+    result snapshot is written distributed via foreachBatch +
+    overwrite — the last trigger leaves the final table; no row ever
+    lands on the driver."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        out = tempfile.mkdtemp(prefix=f"sink_{name}_") + "/out"
+
+        def write_snapshot(batch_df: DataFrame, _bid: int) -> None:
+            batch_df.write.mode("overwrite").parquet(out)
+
+        q = (
+            df.writeStream.foreachBatch(write_snapshot)
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+            )
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_bounded(q, name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(out)
+
+
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST1/ST4: 1-hour tumbling event-time windows with a watermark
     (the 20-slot finality lag analog)."""
@@ -444,10 +483,17 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(_F.count("*").alias("lifetime_events"))
     )
     ev = events_stream(spark, sf_dir)
-    joined = ev.join(_F.broadcast(profile), "user_id", "left").select(
+    # No broadcast HINT (r9 sf100 fix): the per-user profile is
+    # users-scale — forcing broadcast serialized a ~10M-row dim on the
+    # driver at sf100 and OOMed the context. Unhinted, Catalyst
+    # broadcasts when the side is under the threshold (every small
+    # fixture) and shuffles otherwise — "broadcast when small" is a
+    # planner decision, not a query author's promise. Output is
+    # O(stream), so it lands in a parquet sink, not driver memory.
+    joined = ev.join(profile, "user_id", "left").select(
         "event_id", "user_id", "event_type", "lifetime_events"
     )
-    return _run_to_memory(joined, "stream_static_join", "append", _stream_partitions(sf_dir))
+    return _run_to_parquet(joined, "stream_static_join", _stream_partitions(sf_dir))
 
 
 def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -491,7 +537,8 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AND p_ts <= c_ts + interval 30 minutes"
         ),
     ).select("click_id", "purchase_id", "c_user", "value")
-    return _run_to_memory(joined, "stream_stream_join", "append", _stream_partitions(sf_dir))
+    # Output is one row per funnel match — data-scale: file sink.
+    return _run_to_parquet(joined, "stream_stream_join", _stream_partitions(sf_dir))
 
 
 def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -570,7 +617,8 @@ def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "leftOuter",
     ).select("click_id", "c_user", "c_ts", "purchase_id", "value")
-    return _run_to_memory(joined, "stream_stream_left_join", "append", _stream_partitions(sf_dir))
+    # Output is one row per click — data-scale: file sink.
+    return _run_to_parquet(joined, "stream_stream_left_join", _stream_partitions(sf_dir))
 
 
 def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1049,7 +1097,9 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt",
         )
     )
-    return _run_to_memory(agg, "stream_session", "complete", _stream_partitions(sf_dir))
+    # Result table is data-scale (one row per session): complete-mode
+    # snapshot written distributed, never collected (r9 sf100 fix).
+    return _run_complete_to_parquet(agg, "stream_session", _stream_partitions(sf_dir))
 
 
 # ---------------------------------------------------------------------------
