@@ -23,8 +23,16 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from block_data_fetcher_spark import api  # noqa: E402
+from block_data_fetcher_spark import api, scratch  # noqa: E402
 from block_data_fetcher_spark.session import get_spark  # noqa: E402
+from block_data_fetcher_spark.streaming import jobs as streaming_jobs  # noqa: E402
+
+# Scratch hygiene floor (the sf100 ENOSPC lesson): when free disk under
+# the repo drops below this, completed queries' scratch output is
+# dropped mid-session. Kept conditional — unconditional clearing would
+# also destroy the kmeans/IVF materialize-once caches that the
+# similarity family deliberately shares across queries.
+MIN_FREE_BYTES = 24 << 30
 
 # Queries whose result is O(input) rows: drain with count() instead of
 # collecting everything to the driver.
@@ -102,6 +110,9 @@ LARGE_RESULT = {
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # Drop run dirs orphaned by killed processes before starting a long
+    # session; live concurrent runs keep fresh mtimes and are untouched.
+    scratch.sweep_stale()
     spark = get_spark("bdf-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -205,6 +216,21 @@ def main() -> None:
         except Exception as e:  # record failures as -1, keep benching
             sys.stderr.write(f"{name} FAILED: {e}\n")
             timings[name] = -1.0
+        # Per-query scratch hygiene: stream sink/checkpoint temp dirs
+        # are never shared across queries — drop them now. The engine
+        # scratch root (storage/format sinks + the shared kmeans/IVF
+        # caches) is only dropped under disk pressure: ten sf100
+        # storage-family queries each leave an events-sized table
+        # behind, which is what ENOSPC'd the first decade proof.
+        streaming_jobs.clear_stream_scratch()
+        try:
+            import shutil
+
+            if shutil.disk_usage(sf_dir).free < MIN_FREE_BYTES:
+                scratch.clear_scratch(spark)
+                sys.stderr.write("scratch cleared (low disk)\n")
+        except OSError:
+            pass
     total = round(time.perf_counter() - t_all, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

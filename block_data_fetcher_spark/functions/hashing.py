@@ -303,9 +303,30 @@ def q_minhash_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = parallelize(table(spark, sf_dir, "documents"), spark).select(
         "doc_id", "text"
     )
-    cleaned = strip_boilerplate(
-        plant_boilerplate(docs, n_lines=5), docs.count()
+    aug = plant_boilerplate(docs, n_lines=5)
+    # The DuckDB oracle unrolls the pseudo-line chunking with CROSS
+    # JOIN range(_CLEAN_MAX_CHUNKS) while the Spark side is unbounded
+    # (ADVICE r9): a document longer than the bound would silently
+    # diverge. The fixture generator bounds documents at ~100 tokens
+    # (TESTDATA.md; chrome adds 20), so the bound is generous — and a
+    # corpus that ever exceeds it fails LOUDLY here instead.
+    over = F.size(F.split("text", " ")) > F.lit(_CLEAN_MAX_CHUNKS * _CHUNK_TOKENS)
+    aug = aug.select(
+        "doc_id",
+        F.when(
+            over,
+            F.raise_error(
+                F.lit(
+                    "q_minhash_clean: document exceeds the oracle's "
+                    f"{_CLEAN_MAX_CHUNKS}-chunk unroll bound — raise "
+                    "_CLEAN_MAX_CHUNKS in functions/hashing.py"
+                )
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
     )
+    cleaned = strip_boilerplate(aug, docs.count())
     return minhash_pairs(cleaned)
 
 
@@ -444,6 +465,13 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return min_label_components(spark, docs.select("doc_id"), pairs)
 
 
+# Last min_label_components run in this process: round count, whether
+# the contract-then-star escape fired, and why ("converged" | "stalled"
+# — the adaptive convergence-rate trigger | "budget"). Read by tests
+# and the scale scripts; purely observational.
+LAST_CC_STATS: dict[str, object] = {}
+
+
 def min_label_components(
     spark: SparkSession,
     nodes: DataFrame,
@@ -499,6 +527,11 @@ def min_label_components(
                 F.col("cluster_id"),
                 F.coalesce("nbr_min", F.col("cluster_id")),
             ).alias("cluster_id"),
+            # frontier size — the convergence-RATE signal the adaptive
+            # escape reads; rides the round's aggregate for free
+            (F.col("nbr_min") < F.col("cluster_id"))
+            .cast("long")
+            .alias("chg"),
         )
 
     # The identity sum rides the first round's aggregate instead of
@@ -506,51 +539,79 @@ def min_label_components(
     # complete convergence test). One hop per round: deeper fused
     # multi-hop plans were tried and lose — per-round codegen compile
     # outweighs the saved actions at any SF where rounds are few.
+    #
+    # ADAPTIVE ESCAPE (r10, VERDICT r9 item 6): waiting for the full
+    # 12-round budget cost sf100 1574 s vs q_cc_star's 397 s — eight
+    # full-graph rounds grinding down a deep chain one hop each. The
+    # measured signal: on bounded-diameter (clique-ish LSH) graphs the
+    # changed-label count COLLAPSES geometrically per round, while on
+    # a deep path it stays ~flat (each unconverged node improves by
+    # one hop every round). So when a round retires less than half
+    # the previous frontier, the residue is diameter-dominated and
+    # the O(log d) contract-then-star finish is strictly cheaper than
+    # continuing — escape NOW instead of at the budget. The escape is
+    # exact from ANY partial label state (see docstring), so the
+    # trigger point is purely a cost choice; every shipped fixture
+    # converges before the signal can fire (round-count pinned in
+    # tests).
     cur_sum = None
-    for _ in range(max_rounds):
+    prev_changed = None
+    reason = "budget"
+    for rnd in range(max_rounds):
         new = iter_checkpoint(propagate(labels), eager=False)
         row = new.agg(
-            F.sum("cluster_id").alias("s"), F.sum("doc_id").alias("ident")
+            F.sum("cluster_id").alias("s"),
+            F.sum("doc_id").alias("ident"),
+            F.sum("chg").alias("nc"),
         ).first()
         if cur_sum is None:
             cur_sum = row.ident
-        labels = new
+        labels = new.select("doc_id", "cluster_id")
         if row.s == cur_sum:
+            LAST_CC_STATS.update(
+                rounds=rnd + 1, escaped=False, reason="converged"
+            )
+            return labels
+        if prev_changed is not None and (row.nc or 0) * 2 > prev_changed:
+            reason = "stalled"
+            LAST_CC_STATS.update(rounds=rnd + 1, escaped=True, reason=reason)
             break
+        prev_changed = row.nc or 0
         cur_sum = row.s
     else:
         # Round budget exhausted: a component deeper than max_rounds.
-        # Contract by the partial labels (collapsed components become
-        # self-loops and drop out) and finish the residual deep
-        # components with O(log d) star rounds.
-        la = labels.select(
-            F.col("doc_id").alias("src"), F.col("cluster_id").alias("la")
+        LAST_CC_STATS.update(rounds=max_rounds, escaped=True, reason=reason)
+    # Deep components survive: contract the graph by the partial
+    # labels (collapsed components become self-loops and drop out)
+    # and finish the (much smaller) residual with O(log d) star
+    # rounds.
+    la = labels.select(
+        F.col("doc_id").alias("src"), F.col("cluster_id").alias("la")
+    )
+    lb = labels.select(
+        F.col("doc_id").alias("dst"), F.col("cluster_id").alias("lb")
+    )
+    contracted = (
+        edges.join(la, "src")
+        .join(lb, "dst")
+        .where(F.col("la") != F.col("lb"))
+        .select(
+            F.least("la", "lb").alias("doc_a"),
+            F.greatest("la", "lb").alias("doc_b"),
         )
-        lb = labels.select(
-            F.col("doc_id").alias("dst"), F.col("cluster_id").alias("lb")
-        )
-        contracted = (
-            edges.join(la, "src")
-            .join(lb, "dst")
-            .where(F.col("la") != F.col("lb"))
-            .select(
-                F.least("la", "lb").alias("doc_a"),
-                F.greatest("la", "lb").alias("doc_b"),
-            )
-            .distinct()
-        )
-        super_nodes = labels.select(
-            F.col("cluster_id").alias("doc_id")
-        ).distinct()
-        star = star_components(
-            spark, super_nodes, contracted, canonical=True
-        ).select(
-            F.col("doc_id").alias("la"), F.col("cluster_id").alias("root")
-        )
-        return labels.join(star, labels.cluster_id == star.la).select(
-            "doc_id", F.col("root").alias("cluster_id")
-        )
-    return labels
+        .distinct()
+    )
+    super_nodes = labels.select(
+        F.col("cluster_id").alias("doc_id")
+    ).distinct()
+    star = star_components(
+        spark, super_nodes, contracted, canonical=True
+    ).select(
+        F.col("doc_id").alias("la"), F.col("cluster_id").alias("root")
+    )
+    return labels.join(star, labels.cluster_id == star.la).select(
+        "doc_id", F.col("root").alias("cluster_id")
+    )
 
 
 def _iter_session(spark: SparkSession) -> SparkSession:
@@ -961,6 +1022,14 @@ _CHROME_SQL = " || ".join(
     ]
 )
 
+# Oracle chunk-unroll bound: the Spark side chunks documents without
+# limit, the SQL unroll must cover every chunk or silently diverge
+# (ADVICE r9). 1024 chunks = 4096 tokens, ~40x the fixture generator's
+# ~100-token document bound; q_minhash_clean raise_errors on any
+# document past it so a fixture change can never diverge quietly.
+_CLEAN_MAX_CHUNKS = 1024
+_CHUNK_TOKENS = 4  # pseudo-line width, = web._LD_CHUNK
+
 _CLEAN_DOCS_SQL = f"""(
   WITH aug AS (
     SELECT doc_id, {_CHROME_SQL} || text AS text
@@ -970,7 +1039,7 @@ _CLEAN_DOCS_SQL = f"""(
   ), chunks AS (
     SELECT doc_id, i.i AS idx,
            array_to_string(t[i.i * 4 + 1 : i.i * 4 + 4], ' ') AS line
-    FROM toks CROSS JOIN range(256) i(i)
+    FROM toks CROSS JOIN range({_CLEAN_MAX_CHUNKS}) i(i)
     WHERE i.i < CAST(ceil(len(t) / 4.0) AS INTEGER)
   ), dfreq AS (
     SELECT line, count(DISTINCT doc_id) AS df FROM chunks GROUP BY line

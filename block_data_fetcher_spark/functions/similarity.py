@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import parallelize, table
+from ..scratch import scratch_dir
 from ..storage import ITER_STORAGE, iter_checkpoint
 
 
@@ -206,7 +207,7 @@ def q_embed_near_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
     sem = _semdedup_final(spark, sf_dir)
-    cents = _lloyd_cents(sf_dir, "_sem")
+    cents = _lloyd_cents(spark, sf_dir, "_sem")
     ids = np.array([c for c, _ in cents])
     C = np.array([cx for _, cx in cents], dtype=np.float64)
 
@@ -449,7 +450,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the identical Lloyd trajectory via unrolled CTEs; ties
     break toward the lower cell id in both engines."""
     assign = _ivf_assign(spark, sf_dir)
-    cents = _lloyd_cents(sf_dir, "_ivf")
+    cents = _lloyd_cents(spark, sf_dir, "_ivf")
     qvec = [float(v) for v in assign.where(F.col("vec_id") == 0).select("x").head()[0]]
     probe_cells = _ivf_probes(qvec, cents, N_PROBE)
     qlit = F.lit(qvec)  # ONE array literal: 64 CreateArray children would each be a codegen node (~0.5s extra Janino compile per query shape)
@@ -492,13 +493,8 @@ def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     assign = _ivf_assign(spark, sf_dir)
-    cents = _lloyd_cents(sf_dir, "_ivf")
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        "spark-warehouse",
-        "storage",
-        "ivf_index",
-    )
+    cents = _lloyd_cents(spark, sf_dir, "_ivf")
+    path = scratch_dir(spark, "storage", "ivf_index")
     (
         assign.select("vec_id", "x", F.col("cluster").alias("cell"))
         .repartition("cell")
@@ -895,17 +891,16 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KMEANS_BUILT: set[str] = set()
 
 
-def _kmeans_assign_path(sf_dir: str) -> str:
+def _kmeans_assign_path(spark: SparkSession, sf_dir: str) -> str:
+    # Session-keyed via scratch_dir (VERDICT r9 finding 1): the
+    # materialize-once cache is per-process anyway (_KMEANS_BUILT), so
+    # keying the path by the session's run id costs nothing within a
+    # bench run and makes concurrent processes collision-free.
     import os
     import re
 
     tag = re.sub(r"\W+", "_", os.path.abspath(sf_dir)).strip("_")
-    return os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        "spark-warehouse",
-        "storage",
-        f"kmeans_assign_{tag}",
-    )
+    return scratch_dir(spark, "storage", f"kmeans_assign_{tag}")
 
 
 def _kmeans_final(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -920,7 +915,7 @@ def _kmeans_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster once, join the assignment everywhere."""
     import os
 
-    path = _kmeans_assign_path(sf_dir)
+    path = _kmeans_assign_path(spark, sf_dir)
     if path in _KMEANS_BUILT and os.path.isdir(path):
         return spark.read.parquet(path)
     final = _kmeans_lloyd(spark, sf_dir)
@@ -1126,11 +1121,11 @@ def _sem_k(n: int) -> int:
 _LLOYD_CENTS: dict[str, list[tuple[int, list[float]]]] = {}
 
 
-def _lloyd_cents(sf_dir: str, tag: str) -> list[tuple[int, list[float]]]:
+def _lloyd_cents(spark: SparkSession, sf_dir: str, tag: str) -> list[tuple[int, list[float]]]:
     import json
     import os
 
-    path = _kmeans_assign_path(sf_dir) + tag
+    path = _kmeans_assign_path(spark, sf_dir) + tag
     if path not in _LLOYD_CENTS:
         with open(os.path.join(path, "_cents.json")) as f:
             _LLOYD_CENTS[path] = [(int(c), [float(v) for v in cx]) for c, cx in json.load(f)]
@@ -1138,6 +1133,25 @@ def _lloyd_cents(sf_dir: str, tag: str) -> list[tuple[int, list[float]]]:
 
 
 IVF_TRAIN_PER_CENTROID = 256  # FAISS's max_points_per_centroid guidance
+# Hard ceiling on the driver-side training collect (VERDICT r9 item 7):
+# without it, 256·K grows unboundedly with K — at K=√N on 2e9 vectors
+# that is ~8M×64 doubles ≈ 4 GB on the driver. 2^18 is the FAISS-sized
+# absolute cap (faiss clips clustering input the same way); past it
+# each centroid trains on <256 samples, which costs some quantization
+# quality (slightly less balanced cells → longer candidate tails), not
+# correctness — assignment is always the full corpus, and the recall
+# gates (q_ann_recall / q_lsh_recall, tests/test_similarity_quality.py)
+# pin the floor. Every shipped fixture sits far below the cap, so
+# training there is byte-identical with or without it.
+IVF_TRAIN_MAX_SAMPLES = 1 << 18
+
+
+def ivf_train_bound(k: int) -> int:
+    """Training-sample bound for a fixed-K trainer: 256 per centroid,
+    capped at IVF_TRAIN_MAX_SAMPLES, never below K (the init needs K
+    distinct sample vectors). Shared by the Spark trainer and the
+    DuckDB oracle constructor so the two can never disagree."""
+    return max(k, min(IVF_TRAIN_PER_CENTROID * k, IVF_TRAIN_MAX_SAMPLES))
 
 
 def _lloyd_final(spark: SparkSession, sf_dir: str, k_of, tag: str) -> DataFrame:
@@ -1177,7 +1191,7 @@ def _lloyd_final(spark: SparkSession, sf_dir: str, k_of, tag: str) -> DataFrame:
 
     from pyspark.sql import types as T
 
-    path = _kmeans_assign_path(sf_dir) + tag
+    path = _kmeans_assign_path(spark, sf_dir) + tag
     if path in _KMEANS_BUILT and os.path.isdir(path):
         return spark.read.parquet(path)
 
@@ -1212,7 +1226,8 @@ def _lloyd_final(spark: SparkSession, sf_dir: str, k_of, tag: str) -> DataFrame:
 
     if isinstance(k_of, int):
         k = k_of
-        bound = IVF_TRAIN_PER_CENTROID * k
+        bound = ivf_train_bound(k)
+        assert bound <= max(k, IVF_TRAIN_MAX_SAMPLES)  # driver-collect cap
         # Deterministic SPREAD sample, not a vec_id prefix (ADVICE r5:
         # on production data ordered by label/time the first 256·K ids
         # are a biased slice, undermining cell balance — FAISS
@@ -1282,16 +1297,26 @@ def _lloyd_final(spark: SparkSession, sf_dir: str, k_of, tag: str) -> DataFrame:
         cents = [(int(r["vec_id"]), [float(v) for v in r["x"]]) for r in init]
         for _ in range(KM_ITERS):
             a = _assign(cents)
+            # one row PER CLUSTER (not per cluster x dim): at K=sqrt(N)
+            # on 2e9 vectors the flat (cluster, pos, m) collect is
+            # ~2.8M driver Rows; packing each centroid into one sorted
+            # array keeps the collect at K rows (VERDICT r9 item 7)
             means = (
                 a.select("cluster", F.posexplode("x").alias("pos", "val"))
                 .groupBy("cluster", "pos")
                 .agg(F.round(F.avg("val"), 6).alias("m"))
+                .groupBy("cluster")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "m"))
+                    ).alias("pm")
+                )
                 .collect()
             )
-            by_c: dict[int, dict[int, float]] = {}
-            for r in means:
-                by_c.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
-            cents = [(c, [by_c[c][i] for i in range(DIM)]) for c in sorted(by_c)]
+            cents = [
+                (int(r["cluster"]), [float(p["m"]) for p in r["pm"]])
+                for r in sorted(means, key=lambda r: r["cluster"])
+            ]
     # the parquet write IS the lineage truncation (no extra
     # localCheckpoint pass — callers only ever see the table scan)
     _assign(cents).write.mode("overwrite").parquet(path)
@@ -1442,7 +1467,7 @@ _SEMDEDUP_SQL = (
 _IVF_SQL = (
     "WITH "
     + _kmeans_ctes(
-        str(N_CENTROIDS), train_bound=IVF_TRAIN_PER_CENTROID * N_CENTROIDS
+        str(N_CENTROIDS), train_bound=ivf_train_bound(N_CENTROIDS)
     )
     + f""", probe AS (
   SELECT c AS cell FROM (
@@ -1606,7 +1631,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast query side and two row_number windows over the same qid
     partitioning); candidates never materialize separately."""
     assign = _ivf_assign(spark, sf_dir)
-    cents = _lloyd_cents(sf_dir, "_ivf")
+    cents = _lloyd_cents(spark, sf_dir, "_ivf")
     q_rows = sorted(
         assign.where(F.col("vec_id") < 5).select("vec_id", "x").collect(),
         key=lambda r: r["vec_id"],

@@ -121,6 +121,13 @@ def get_spark(
         .config("spark.driver.memory", default_driver_mem())
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Reliable checkpoints (iter_checkpoint's distributed path) are
+        # per-RDD directories that otherwise accumulate for the app's
+        # lifetime; with reference tracking they're GC'd when the
+        # checkpointed frame goes out of scope — a long bench session
+        # runs hundreds of iterative label frames through one dir
+        # (ADVICE r9).
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     return builder.getOrCreate()
 
@@ -157,6 +164,13 @@ def tune(spark: SparkSession) -> SparkSession:
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
         )
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        # q_recursive_cte raises the cumulative-row recursion guard to
+        # its fixture-sized bound; the conf must stay live until THAT
+        # query's lazy plan executes (a try/finally inside the query
+        # would restore it before the caller collects), so the reset
+        # happens here — the next catalog entry built on the session
+        # restores the 1M default before its own plan runs (ADVICE r9).
+        spark.conf.unset("spark.sql.cteRecursionRowLimit")
     except Exception:
         pass  # conf may be immutable on some deployments; defaults are fine
     return spark

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..scratch import scratch_dir
 
 # The fixture `ts` is TIMESTAMP_NTZ (parquet ns, no zone): text writers
 # format it through `timestampNTZFormat` — setting only `timestampFormat`
@@ -36,12 +37,6 @@ from ..catalog import table
 _TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
 _SCHEMA = "event_id long, event_type string, value double, ts timestamp_ntz"
 
-# Anchor scratch output to the repo (not the caller's cwd — the
-# external driver may invoke the catalog from anywhere).
-_WAREHOUSE = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "spark-warehouse",
-)
 
 
 def _roundtrip_agg(df: DataFrame) -> DataFrame:
@@ -72,7 +67,7 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → CSV (header, ISO timestamps) → read with explicit
     schema → aggregate. Matching the parquet-side oracle proves the
     CSV path loses nothing."""
-    path = os.path.join(_WAREHOUSE, "formats", "events_csv")
+    path = scratch_dir(spark, "formats", "events_csv")
     _events_slice(spark, sf_dir).write.mode("overwrite").option(
         "header", "true"
     ).option("timestampFormat", _TS_FMT).option(
@@ -93,7 +88,7 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → JSON lines → read with explicit schema → aggregate.
     The same shape the reference's RPC responses arrive in (one JSON
     document per record)."""
-    path = os.path.join(_WAREHOUSE, "formats", "events_jsonl")
+    path = scratch_dir(spark, "formats", "events_jsonl")
     _events_slice(spark, sf_dir).write.mode("overwrite").option(
         "timestampFormat", _TS_FMT
     ).option("timestampNTZFormat", _TS_FMT).json(path)
@@ -113,7 +108,7 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORC carries types natively, so unlike the text formats no
     timestampFormat contract is needed — the roundtrip proves
     binary-columnar interchange is lossless end to end."""
-    path = os.path.join(_WAREHOUSE, "formats", "events_orc")
+    path = scratch_dir(spark, "formats", "events_orc")
     _events_slice(spark, sf_dir).write.mode("overwrite").orc(path)
     back = spark.read.schema(_SCHEMA).orc(path)
     return _roundtrip_agg(back)
@@ -125,7 +120,7 @@ def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the XML feeds enterprise stacks still emit; the same
     timestampNTZFormat contract as CSV/JSON pins the NTZ column
     through the text representation."""
-    path = os.path.join(_WAREHOUSE, "formats", "events_xml")
+    path = scratch_dir(spark, "formats", "events_xml")
     _events_slice(spark, sf_dir).write.mode("overwrite").format("xml").option(
         "rootTag", "events"
     ).option("rowTag", "event").option("timestampFormat", _TS_FMT).option(

@@ -25,6 +25,8 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from .scratch import scratch_dir
 from pyspark.storagelevel import StorageLevel
 
 # Storage level for iterative-loop state frames (CC edge sets, BFS
@@ -81,7 +83,15 @@ def iter_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     except Exception:  # very old APIs: fall through to master check
         ckpt_dir = None
     if not ckpt_dir:
-        conf_dir = sc.getConf().get("spark.checkpoint.dir", None)
+        # Runtime conf first (a live spark.conf.set("spark.checkpoint.
+        # dir", ...) — sc.getConf() is a SNAPSHOT of the conf at context
+        # creation and never sees it; ADVICE r9), then the startup conf.
+        try:
+            conf_dir = spark.conf.get("spark.checkpoint.dir", None)
+        except Exception:
+            conf_dir = None
+        if not conf_dir:
+            conf_dir = sc.getConf().get("spark.checkpoint.dir", None)
         if conf_dir:
             sc.setCheckpointDir(conf_dir)
             ckpt_dir = conf_dir
@@ -410,12 +420,7 @@ def q_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .catalog import table
 
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "spark-warehouse",
-        "storage",
-        "events_by_date",
-    )
+    path = scratch_dir(spark, "storage", "events_by_date")
     ev = with_event_date(table(spark, sf_dir, "events"))
     write_partitioned(
         repartition_for_write(ev, ["event_date"]), path, ["event_date"]
@@ -495,12 +500,7 @@ def q_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .catalog import table
 
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "spark-warehouse",
-        "storage",
-        "events_gdpr",
-    )
+    path = scratch_dir(spark, "storage", "events_gdpr")
     ev = with_event_date(table(spark, sf_dir, "events"))
     write_partitioned(repartition_for_write(ev, ["event_date"]), path, ["event_date"])
 
@@ -536,12 +536,7 @@ def q_zorder_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .catalog import table
 
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "spark-warehouse",
-        "storage",
-        "events_zorder",
-    )
+    path = scratch_dir(spark, "storage", "events_zorder")
     ev = table(spark, sf_dir, "events")
     zk = zorder_key(
         [
@@ -583,18 +578,16 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .catalog import table
 
-    # External tables at repo-anchored locations: the in-memory session
-    # catalog forgets tables across processes while their directories
-    # survive (saveAsTable refuses to reuse a live location), and a
-    # MANAGED table would land in the launching process's
-    # cwd/spark-warehouse — outside this repo when the external driver
-    # runs from elsewhere. Drop stale entries + directories, then pin
-    # the data under the repo with explicit paths.
-    base = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "spark-warehouse",
-        "storage",
-    )
+    # External tables at session-keyed repo locations (scratch_dir):
+    # the in-memory session catalog forgets tables across processes
+    # while their directories survive (saveAsTable refuses to reuse a
+    # live location), and a MANAGED table would land in the launching
+    # process's cwd/spark-warehouse — outside this repo when the
+    # external driver runs from elsewhere. Drop stale entries +
+    # directories, then pin the data under this run's scratch root.
+    # (Table NAMES need no run key: each process has its own in-memory
+    # catalog, so concurrent sessions can't see each other's entries.)
+    base = scratch_dir(spark, "storage")
     for name in ("bdf_orders_bkt", "bdf_lineitem_bkt"):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         shutil.rmtree(os.path.join(base, name), ignore_errors=True)
@@ -662,12 +655,7 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from events, proving both snapshots are exact."""
     import os
 
-    base = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "spark-warehouse",
-        "storage",
-        "user_totals_versioned",
-    )
+    base = scratch_dir(spark, "storage", "user_totals_versioned")
     manifests = build_versioned_table(spark, sf_dir, base)
     out = None
     for version, files in manifests.items():
@@ -770,12 +758,7 @@ def q_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     invariant real VACUUM implementations get wrong first."""
     import os
 
-    base = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "spark-warehouse",
-        "storage",
-        "user_totals_vacuum",
-    )
+    base = scratch_dir(spark, "storage", "user_totals_vacuum")
     manifests = build_versioned_table(spark, sf_dir, base)
     n_expired = vacuum_versions(base, manifests, keep=2)
     snap = spark.read.parquet(*manifests[2])
@@ -840,11 +823,7 @@ def q_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .catalog import table
 
-    base = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "spark-warehouse",
-        "storage",
-    )
+    base = scratch_dir(spark, "storage")
     frag, packed = os.path.join(base, "events_frag"), os.path.join(
         base, "events_compacted"
     )
@@ -882,12 +861,7 @@ def q_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .catalog import table
 
-    base = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "spark-warehouse",
-        "storage",
-        "events_evolving_spec",
-    )
+    base = scratch_dir(spark, "storage", "events_evolving_spec")
     ev = with_event_date(table(spark, sf_dir, "events"))
     split = F.lit(PE_SPLIT).cast("date")
     old = ev.where(F.col("event_date") < split)
@@ -1122,12 +1096,7 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .catalog import table
 
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "spark-warehouse",
-        "storage",
-        "events_evolving",
-    )
+    path = scratch_dir(spark, "storage", "events_evolving")
     ev = table(spark, sf_dir, "events")
     gen1 = ev.where(F.col("event_id") % 2 == 0).select(
         "event_id", "user_id", "value"

@@ -66,13 +66,108 @@ _EVENTS_RAW_SCHEMA = StructType(
 )
 
 
-def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Multi-batch split threshold (VERDICT r9 item 5): below this the
+# events file streams as ONE availableNow micro-batch (every driver
+# fixture — sf0.001..0.1 — so oracles see single-batch semantics
+# unchanged); at/above it (sf10 ≈ 120 MB, sf100 ≈ 1.2 GB) the source is
+# re-landed as time-ordered slices so bounded runs take SEVERAL
+# micro-batches and watermark eviction actually runs — without the
+# split, RocksDB absorbed the full 100M-event horizon in one trigger
+# and "state is bounded by the watermark" was never exercised at the
+# decade. BDF_STREAM_SPLIT_FORCE=1 engages it at any size (tests).
+_SPLIT_THRESHOLD = 64 << 20
+
+
+def _split_slices(size: int) -> int:
+    return min(16, max(4, size // _SPLIT_THRESHOLD + 1))
+
+
+def _split_events_source(spark: SparkSession, sf_dir: str) -> str:
+    """Re-land events.parquet as time-DISJOINT, time-ORDERED slice
+    files (the realistic landing-zone shape: one file per arrival
+    interval). ``repartitionByRange(n, "ts")`` gives n disjoint ts
+    ranges with balanced row counts in part-file-name order; mtimes
+    are then forced strictly increasing in that order, because the
+    file stream source admits files oldest-mtime-first — so each
+    micro-batch is exactly one slice and cross-batch event-time
+    disorder is ZERO. That invariant is what keeps results identical
+    to the single-batch run: no row ever arrives below the watermark
+    (numRowsDroppedByWatermark == 0, asserted in tests), state for
+    passed horizons is evicted batch by batch.
+
+    Materialized once per session run under scratch (shared by every
+    split-reading stream in a bench session)."""
+    import re
+    import time
+
+    from ..scratch import scratch_dir
+
+    src = os.path.join(sf_dir, "events.parquet")
+    size = _events_file_size(sf_dir)
+    n = _split_slices(size)
+    tag = re.sub(r"\W+", "_", os.path.abspath(sf_dir)).strip("_")
+    out = scratch_dir(spark, "stream_src", f"events_{tag}_{n}")
+    if not os.path.isfile(os.path.join(out, "_SUCCESS")):
+        (
+            spark.read.schema(_EVENTS_RAW_SCHEMA)
+            .parquet(src)
+            .repartitionByRange(n, "ts")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        parts = sorted(
+            f
+            for f in os.listdir(out)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        base = time.time() - 2 * len(parts)
+        for j, f in enumerate(parts):
+            os.utime(os.path.join(out, f), (base + j, base + j))
+    return out
+
+
+def _events_file_size(sf_dir: str) -> int:
+    path = os.path.join(sf_dir, "events.parquet")
+    try:
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _dirs, files in os.walk(path)
+                for f in files
+                if not f.startswith(("_", "."))
+            )
+        return os.path.getsize(path)
+    except OSError:
+        return 0
+
+
+def events_stream(
+    spark: SparkSession, sf_dir: str, split: bool = False
+) -> DataFrame:
     """File-source stream over the events parquet — the batch-analog
-    micro-batch source (reference ST1)."""
+    micro-batch source (reference ST1).
+
+    ``split=True`` (the state-scaling append streams: dedup and the
+    stream-stream joins) streams data-scale fixtures as multiple
+    time-ordered micro-batches — see :func:`_split_events_source`.
+    Update-mode stateful queries must NOT opt in: their oracle pins
+    final-table equality with the batch twin, and a multi-batch run
+    correctly emits one row PER UPDATE per key — right streaming
+    semantics, different query."""
     # The file source requires a directory: stream the sf_dir and
     # glob-filter to the events file. Watermarks demand TIMESTAMP
     # (LTZ), not NTZ — cast under the pinned-UTC session, which maps
     # each naive micros value to the same instant the oracle sees.
+    if split and (
+        _events_file_size(sf_dir) >= _SPLIT_THRESHOLD
+        or os.environ.get("BDF_STREAM_SPLIT_FORCE") == "1"
+    ):
+        return (
+            spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+            .option("maxFilesPerTrigger", 1)  # one time slice per batch
+            .parquet(_split_events_source(spark, sf_dir))
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
     return (
         spark.readStream.schema(_EVENTS_RAW_SCHEMA)
         .option("maxFilesPerTrigger", 1)  # ST2 rate-limit analog
@@ -114,6 +209,73 @@ def _stream_partitions(sf_dir: str) -> int:
     return min(32, max(8, int(size // (4 << 20))))
 
 
+# Temp sink/checkpoint dirs created by this process — removed at
+# interpreter exit (ADVICE r9: mkdtemp dirs accumulated for the life of
+# the box) and clearable between bench queries via clear_stream_scratch.
+_STREAM_SCRATCH: list[str] = []
+_ATEXIT_ARMED = False
+
+
+def _mkdtemp(prefix: str) -> str:
+    """tempfile.mkdtemp (per-process unique — already concurrency-safe)
+    plus lifecycle tracking so stream scratch doesn't leak."""
+    global _ATEXIT_ARMED
+    d = tempfile.mkdtemp(prefix=prefix)
+    _STREAM_SCRATCH.append(d)
+    if not _ATEXIT_ARMED:
+        import atexit
+
+        atexit.register(clear_stream_scratch)
+        _ATEXIT_ARMED = True
+    return d
+
+
+def clear_stream_scratch() -> None:
+    """Remove every sink/checkpoint temp dir this process created.
+    Callers (bench.py between queries) must have fully drained any
+    DataFrame returned by a stream runner first — those frames scan
+    the sink path lazily."""
+    import shutil
+
+    while _STREAM_SCRATCH:
+        shutil.rmtree(_STREAM_SCRATCH.pop(), ignore_errors=True)
+
+
+# Per-query progress stats from the LAST run in this process, keyed by
+# runner name: micro-batch count, late rows dropped by the watermark,
+# peak state rows, state rows evicted. This is how the multi-batch
+# split proves eviction actually ran (VERDICT r9 item 5) — tests and
+# the scale scripts read it right after draining the returned frame.
+STREAM_STATS: dict[str, dict[str, int]] = {}
+
+
+def _record_stream_stats(q, name: str) -> None:
+    n_batches = dropped = removed = 0
+    peak_state = 0
+    try:
+        for p in q.recentProgress:
+            if p is None:
+                continue
+            if isinstance(p, str):  # some API versions expose JSON strings
+                import json as _json
+
+                p = _json.loads(p)
+            if (p.get("numInputRows") or 0) > 0:
+                n_batches += 1
+            for so in p.get("stateOperators") or []:
+                dropped += so.get("numRowsDroppedByWatermark") or 0
+                removed += so.get("numRowsRemoved") or 0
+                peak_state = max(peak_state, so.get("numRowsTotal") or 0)
+    except Exception:
+        return
+    STREAM_STATS[name] = {
+        "n_batches": n_batches,
+        "rows_dropped_late": dropped,
+        "state_rows_peak": peak_state,
+        "state_rows_removed": removed,
+    }
+
+
 def _await_bounded(q, name: str, timeout: int = 3600) -> None:
     """availableNow triggers are self-terminating; the timeout is a
     deadlock guard, not a budget — and it must FAIL LOUDLY. Returning
@@ -127,6 +289,7 @@ def _await_bounded(q, name: str, timeout: int = 3600) -> None:
             f"stream {name} still running after {timeout} s — refusing "
             "to read a partial result"
         )
+    _record_stream_stats(q, name)
 
 
 def _run_to_memory(
@@ -174,7 +337,7 @@ def _run_to_memory(
             df.writeStream.format("memory")
             .queryName(sink)
             .outputMode(mode)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+            .option("checkpointLocation", _mkdtemp(prefix=f"ckpt_{name}_"))
             .trigger(availableNow=True)
             .start()
         )
@@ -182,6 +345,24 @@ def _run_to_memory(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(sink)
+
+
+def _read_sink_or_empty(spark: SparkSession, out: str, schema) -> DataFrame:
+    """Read a file-sink path back; a legitimately EMPTY stream result
+    commits no data files, where a bare spark.read.parquet dies on
+    schema inference (ADVICE r9) — the memory-sink runners returned an
+    empty table with schema, so the file-sink runners must too. The
+    watermark is gone by now; strip event-time metadata so downstream
+    unions compare equal either way."""
+    import glob as _glob
+
+    has_data = any(
+        not os.path.basename(f).startswith(("_", "."))
+        for f in _glob.glob(os.path.join(out, "*"))
+    )
+    if has_data:
+        return spark.read.parquet(out)
+    return spark.createDataFrame([], schema)
 
 
 def _run_to_parquet(df: DataFrame, name: str, partitions: int = 8) -> DataFrame:
@@ -202,12 +383,12 @@ def _run_to_parquet(df: DataFrame, name: str, partitions: int = 8) -> DataFrame:
         "RocksDBStateStoreProvider",
     )
     try:
-        out = tempfile.mkdtemp(prefix=f"sink_{name}_") + "/out"
+        out = _mkdtemp(prefix=f"sink_{name}_") + "/out"
         q = (
             df.writeStream.format("parquet")
             .option("path", out)
             .option(
-                "checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+                "checkpointLocation", _mkdtemp(prefix=f"ckpt_{name}_")
             )
             .outputMode("append")
             .trigger(availableNow=True)
@@ -216,7 +397,7 @@ def _run_to_parquet(df: DataFrame, name: str, partitions: int = 8) -> DataFrame:
         _await_bounded(q, name)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.read.parquet(out)
+    return _read_sink_or_empty(spark, out, df.schema)
 
 
 def _run_complete_to_parquet(
@@ -238,7 +419,7 @@ def _run_complete_to_parquet(
         "RocksDBStateStoreProvider",
     )
     try:
-        out = tempfile.mkdtemp(prefix=f"sink_{name}_") + "/out"
+        out = _mkdtemp(prefix=f"sink_{name}_") + "/out"
 
         def write_snapshot(batch_df: DataFrame, _bid: int) -> None:
             batch_df.write.mode("overwrite").parquet(out)
@@ -246,7 +427,7 @@ def _run_complete_to_parquet(
         q = (
             df.writeStream.foreachBatch(write_snapshot)
             .option(
-                "checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+                "checkpointLocation", _mkdtemp(prefix=f"ckpt_{name}_")
             )
             .outputMode("complete")
             .trigger(availableNow=True)
@@ -255,7 +436,7 @@ def _run_complete_to_parquet(
         _await_bounded(q, name)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.read.parquet(out)
+    return _read_sink_or_empty(spark, out, df.schema)
 
 
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -282,7 +463,9 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the production shape: dedup feeds a table, not a collect); the
     returned frame is a scan of that path. Aggregate-shaped streams
     keep the memory sink — their results are bounded by construction."""
-    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    ev = events_stream(spark, sf_dir, split=True).withWatermark(
+        "ts", "1 hour"
+    )
     dedup = ev.dropDuplicatesWithinWatermark(["event_id"]).select(
         "event_id", "user_id", "event_type"
     )
@@ -510,7 +693,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate as a self-join) is pinned row-for-row in
     tests/test_streaming.py."""
     clicks = (
-        events_stream(spark, sf_dir)
+        events_stream(spark, sf_dir, split=True)
         .where(F.col("event_type") == "click")
         .select(
             F.col("user_id").alias("c_user"),
@@ -520,7 +703,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("c_ts", "1 hour")
     )
     buys = (
-        events_stream(spark, sf_dir)
+        events_stream(spark, sf_dir, split=True)
         .where(F.col("event_type") == "purchase")
         .select(
             F.col("user_id").alias("p_user"),
@@ -589,7 +772,7 @@ def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     are never null-emitted — inherent to the semantics, mirrored by
     the oracle's watermark predicate."""
     clicks = (
-        events_stream(spark, sf_dir)
+        events_stream(spark, sf_dir, split=True)
         .where(F.col("event_type") == "click")
         .select(
             F.col("user_id").alias("c_user"),
@@ -599,7 +782,7 @@ def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("c_ts", "1 hour")
     )
     buys = (
-        events_stream(spark, sf_dir)
+        events_stream(spark, sf_dir, split=True)
         .where(F.col("event_type") == "purchase")
         .select(
             F.col("user_id").alias("p_user"),
@@ -640,7 +823,7 @@ def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_stream(spark, sf_dir).select(
         "user_id", "event_id", "event_type", "value", "ts"
     )
-    path = tempfile.mkdtemp(prefix="stream_upsert_") + "/latest_by_user"
+    path = _mkdtemp(prefix="stream_upsert_") + "/latest_by_user"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
@@ -683,7 +866,7 @@ def q_stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..etl.load import merge_aggregate
 
     ev = events_stream(spark, sf_dir).select("event_type", "value")
-    path = tempfile.mkdtemp(prefix="stream_mergeagg_") + "/agg_by_type"
+    path = _mkdtemp(prefix="stream_mergeagg_") + "/agg_by_type"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
 
@@ -700,7 +883,7 @@ def q_stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = (
             ev.writeStream.foreachBatch(write_batch)
             .option(
-                "checkpointLocation", tempfile.mkdtemp(prefix="ckpt_mergeagg_")
+                "checkpointLocation", _mkdtemp(prefix="ckpt_mergeagg_")
             )
             .trigger(availableNow=True)
             .start()
@@ -747,7 +930,7 @@ def q_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("U"))
         .alias("op"),
     )
-    path = tempfile.mkdtemp(prefix="stream_cdc_") + "/cdc_snapshot"
+    path = _mkdtemp(prefix="stream_cdc_") + "/cdc_snapshot"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
@@ -803,7 +986,7 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
-    root = tempfile.mkdtemp(prefix="stream_late_")
+    root = _mkdtemp(prefix="stream_late_")
     for name, part, mtime in (
         ("a_ontime", F.col("event_id") % 10 != 0, 1_000_000_000),
         (
@@ -874,7 +1057,7 @@ def q_stream_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_stream(spark, sf_dir).select(
         "event_type", _qm_bin(F.col("value")).alias("bin")
     )
-    path = tempfile.mkdtemp(prefix="stream_quantile_") + "/hist_by_type"
+    path = _mkdtemp(prefix="stream_quantile_") + "/hist_by_type"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
 
@@ -894,7 +1077,7 @@ def q_stream_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = (
             ev.writeStream.foreachBatch(write_batch)
             .option(
-                "checkpointLocation", tempfile.mkdtemp(prefix="ckpt_squant_")
+                "checkpointLocation", _mkdtemp(prefix="ckpt_squant_")
             )
             .trigger(availableNow=True)
             .start()
@@ -961,7 +1144,7 @@ def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..etl.load import _atomic_swap
 
     ev = events_stream(spark, sf_dir).select("event_type", "user_id")
-    root = tempfile.mkdtemp(prefix="stream_hll_")
+    root = _mkdtemp(prefix="stream_hll_")
     path = root + "/hll_by_type"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -986,7 +1169,7 @@ def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         q = (
             ev.writeStream.foreachBatch(write_batch)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_hll_"))
+            .option("checkpointLocation", _mkdtemp(prefix="ckpt_hll_"))
             .trigger(availableNow=True)
             .start()
         )

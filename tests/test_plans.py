@@ -427,7 +427,7 @@ def test_kmeans_assignment_materialized_once_and_reused(spark, sf_dir, tmp_path)
 
     from block_data_fetcher_spark.functions import similarity as sim
 
-    path = sim._kmeans_assign_path(sf_dir)
+    path = sim._kmeans_assign_path(spark, sf_dir)
     sim._KMEANS_BUILT.discard(path)  # force a fresh build
     _Q["q_kmeans"](spark, sf_dir).collect()
     assert os.path.isdir(path)
@@ -833,4 +833,11 @@ def test_cogroup_asof_buckets_sized_from_fixture(spark, sf_dir):
     plan = formatted_plan(df)
     assert "FlatMapCoGroupsInPandas" in plan, plan
     n = fixture_buckets(sf_dir, "events")
-    assert f"pmod(user_id#" in plan or f"% {n}" in plan or str(n) in plan, plan
+    # The CONCRETE fixture-derived count must appear as the pmod/modulo
+    # divisor — a bare `pmod(user_id#` matched any bucketing at all, so
+    # a revert to a constant count passed unnoticed (ADVICE r9).
+    import re
+
+    assert re.search(rf"pmod\(user_id#\d+L?, {n}\)", plan) or re.search(
+        rf"user_id(#\d+L?)? % {n}\b", plan
+    ), f"bucket divisor {n} not pinned in plan:\n{plan}"

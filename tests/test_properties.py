@@ -1063,3 +1063,66 @@ def test_min_label_escalates_past_round_budget(spark):
         for r in star_components(spark, nodes, path, canonical=True).collect()
     }
     assert star == want
+
+
+def test_min_label_adaptive_escape_fires_early_on_path(spark):
+    """r10 (VERDICT r9 item 6): on a diameter-dominated graph the
+    escape must fire from the MEASURED convergence-rate signal (a
+    round retiring less than half the previous frontier), well before
+    the round budget — not at it — and still land on the exact
+    component minimum."""
+    from block_data_fetcher_spark.functions import hashing
+    from block_data_fetcher_spark.functions.hashing import (
+        min_label_components,
+    )
+
+    n = 60
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(n)] + [(999,)], "doc_id long"
+    )
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in min_label_components(spark, nodes, path).collect()
+    }
+    want = {i: 0 for i in range(n)}
+    want[999] = 999
+    assert got == want
+    stats = dict(hashing.LAST_CC_STATS)
+    assert stats["escaped"] and stats["reason"] == "stalled", stats
+    # a 59-deep path under a 12-round budget: the rate signal must cut
+    # the label-prop phase to a handful of rounds
+    assert stats["rounds"] <= 4, stats
+
+
+def test_min_label_shallow_graph_converges_without_escape(spark):
+    """The adaptive signal must NOT fire on the bounded-diameter
+    (LSH-clique-shaped) graphs the fixtures produce — cliques retire
+    their whole frontier in one round."""
+    from block_data_fetcher_spark.functions import hashing
+    from block_data_fetcher_spark.functions.hashing import (
+        min_label_components,
+    )
+
+    # two 4-cliques plus an isolated node
+    edges = [
+        (a, b)
+        for grp in ([0, 1, 2, 3], [10, 11, 12, 13])
+        for a in grp
+        for b in grp
+        if a < b
+    ]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    nodes = spark.createDataFrame(
+        [(i,) for i in [0, 1, 2, 3, 10, 11, 12, 13, 99]], "doc_id long"
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in min_label_components(spark, nodes, pairs).collect()
+    }
+    want = {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 12: 10, 13: 10, 99: 99}
+    assert got == want
+    stats = dict(hashing.LAST_CC_STATS)
+    assert not stats["escaped"] and stats["reason"] == "converged", stats

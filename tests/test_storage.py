@@ -414,12 +414,9 @@ def test_time_travel_cow_reuses_unchanged_bucket_files(spark, sf_dir):
     from block_data_fetcher_spark import storage
 
     storage.q_time_travel(spark, sf_dir).collect()
-    base = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(storage.__file__))),
-        "spark-warehouse",
-        "storage",
-        "user_totals_versioned",
-    )
+    from block_data_fetcher_spark.scratch import scratch_dir
+
+    base = scratch_dir(spark, "storage", "user_totals_versioned")
     with open(os.path.join(base, "manifest.json")) as f:
         manifests = json.load(f)
     v1, v2 = set(manifests["1"]), set(manifests["2"])
@@ -437,7 +434,9 @@ def test_compaction_file_counts_and_plan(spark, sf_dir):
     from block_data_fetcher_spark.catalog import table
     from block_data_fetcher_spark.storage import compact_table, list_data_files
 
-    base = os.path.join(os.path.dirname(__file__), "..", "spark-warehouse", "storage")
+    from block_data_fetcher_spark.scratch import scratch_dir
+
+    base = scratch_dir(spark, "storage")
     frag = os.path.join(base, "t_frag")
     packed = os.path.join(base, "t_packed")
     ev = table(spark, sf_dir, "events")
@@ -511,12 +510,9 @@ def test_partition_evolution_prunes_both_specs(spark, sf_dir):
     import block_data_fetcher_spark.storage as storage_mod
 
     api.queries()["q_partition_evolution"](spark, sf_dir).collect()
-    root = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(storage_mod.__file__))),
-        "spark-warehouse",
-        "storage",
-        "events_evolving_spec",
-    )
+    from block_data_fetcher_spark.scratch import scratch_dir
+
+    root = scratch_dir(spark, "storage", "events_evolving_spec")
     from pyspark.sql import functions as F
 
     daily = spark.read.parquet(os.path.join(root, "daily")).where(
