@@ -105,19 +105,43 @@ def main() -> int:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--out", default=None)
     ap.add_argument("--only", default=None, help="comma-separated query names")
+    ap.add_argument(
+        "--master",
+        default=None,
+        help="Spark master override, e.g. local-cluster[2,2,2048] for the "
+        "multi-node gate (VERDICT r9 item 2). Default: local[$SPARK_GRAFT_CPUS].",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
 
+    master = args.master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
     # Vanilla session, like the driver: no engine confs beyond what a
     # query sets for itself at read time.
-    spark = (
-        SparkSession.builder.master(
-            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
-        )
+    builder = (
+        SparkSession.builder.master(master)
         .appName("driver-gate-replica")
-        .getOrCreate()
     )
+    if master.startswith("local-cluster"):
+        # Multi-node needs: the package importable by EXECUTOR python
+        # workers (they don't inherit the driver's sys.path insert),
+        # and headroom on the driver for the result collects.
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        prev = os.environ.get("PYTHONPATH", "")
+        os.environ["PYTHONPATH"] = f"{repo}:{prev}" if prev else repo
+        builder = builder.config(
+            "spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"]
+        ).config("spark.driver.memory", "6g")
+    spark = builder.getOrCreate()
+    if master.startswith("local-cluster"):
+        # Iterative operators refuse to run on a distributed master
+        # without a reliable checkpoint dir (iter_checkpoint's fail-fast
+        # contract) — the shared local fs stands in for HDFS here.
+        import tempfile
+
+        spark.sparkContext.setCheckpointDir(
+            tempfile.mkdtemp(prefix="bdf_gate_ckpt_")
+        )
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as entry
