@@ -88,7 +88,13 @@ class LakehouseTable(ABC):
         op = (
             F.when(F.col("_row_o").isNull(), F.lit("insert"))
             .when(F.col("_row_n").isNull(), F.lit("delete"))
-            .when(F.col("_row_o") != F.col("_row_n"), F.lit("update_postimage"))
+            .when(
+                # null-safe struct compare: a field moving to/from NULL
+                # is an update, where plain != would return NULL and
+                # silently drop the row from the feed
+                ~F.col("_row_o").eqNullSafe(F.col("_row_n")),
+                F.lit("update_postimage"),
+            )
         )
         row = F.coalesce(F.col("_row_n"), F.col("_row_o"))
         return (

@@ -152,3 +152,18 @@ def test_parquet_manifest_atomic_and_cow_safe(spark, sf_dir, tmp_path):
     # v1's files survived because v3 references them
     assert t.read(3).count() == ev.where("event_id < 50").count()
     assert reclaimed == 0  # nothing was exclusively dead
+
+
+def test_changes_detects_null_transitions(spark, tmp_path):
+    """A field moving to/from NULL is an update: the diff uses a
+    null-safe struct compare (plain != returns NULL there and would
+    silently drop the row from the CDC feed)."""
+    t = lakehouse.ParquetManifestTable(spark, str(tmp_path / "t"))
+    v1 = t.commit(
+        spark.createDataFrame([(1, 10.0), (2, None), (3, 3.0)], "k int, v double")
+    )
+    v2 = t.commit(
+        spark.createDataFrame([(1, None), (2, 20.0), (3, 3.0)], "k int, v double")
+    )
+    ch = {r["k"]: r["op"] for r in t.changes(["k"], v1, v2).collect()}
+    assert ch == {1: "update_postimage", 2: "update_postimage"}
