@@ -162,9 +162,19 @@ _CLUSTER_SCRIPT = textwrap.dedent(
     """
 )
 
-# Representative iterative queries: label-prop CC (the r8 escape-hatch
-# code path) and alternating-star CC — both loop over iter_checkpoint.
-_CLUSTER_QUERIES = ["q_dup_clusters", "q_cc_star"]
+# Representative queries per multi-node risk class: the two iterative
+# CC loops (reliable checkpoint), a RocksDB-backed stream with a file
+# sink, an Arrow/pandas path, and a scratch-keyed format sink. The
+# ENTIRE 253-query gate replica runs on this master out of band —
+# `python scripts/driver_gate.py --master local-cluster[2,2,2048]`,
+# recorded as GATE_CLUSTER_r10.json (253/253, 0 failed).
+_CLUSTER_QUERIES = [
+    "q_dup_clusters",
+    "q_cc_star",
+    "q_stream_dedup",
+    "q_media_features",
+    "q_csv_roundtrip",
+]
 
 
 def test_iterative_queries_on_local_cluster(spark, sf_dir):
