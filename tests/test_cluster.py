@@ -138,8 +138,12 @@ def test_cogroup_asof_bucket_count_scales(monkeypatch, spark, sf_dir):
 
 _CLUSTER_SCRIPT = textwrap.dedent(
     """
-    import json, sys, tempfile
+    import json, os, sys, tempfile
     sys.path.insert(0, {repo!r})
+    # executor python workers don't inherit the driver's sys.path —
+    # without PYTHONPATH every pandas-UDF task dies on import and the
+    # master eventually removes the app as crash-looping
+    os.environ["PYTHONPATH"] = {repo!r} + os.pathsep + os.environ.get("PYTHONPATH", "")
     from pyspark.sql import SparkSession
     from block_data_fetcher_spark import api
 
@@ -149,6 +153,7 @@ _CLUSTER_SCRIPT = textwrap.dedent(
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
         .getOrCreate()
     )
     spark.sparkContext.setCheckpointDir(tempfile.mkdtemp(prefix="bdf-ckpt-"))
