@@ -200,6 +200,7 @@ def main() -> None:
         pass
 
     timings: dict[str, float] = {}
+    stream_stats: dict[str, dict] = {}
     t_all = time.perf_counter()
     for name in sorted(queries):
         fn = queries[name]
@@ -216,6 +217,12 @@ def main() -> None:
         except Exception as e:  # record failures as -1, keep benching
             sys.stderr.write(f"{name} FAILED: {e}\n")
             timings[name] = -1.0
+        # Snapshot streaming progress metrics (micro-batch count,
+        # late drops, state peak/evicted) so scale runs carry the
+        # eviction evidence in the artifact, not just in test logs.
+        if name.startswith("q_stream") and streaming_jobs.STREAM_STATS:
+            for k, v in streaming_jobs.STREAM_STATS.items():
+                stream_stats.setdefault(k, v)
         # Per-query scratch hygiene: stream sink/checkpoint temp dirs
         # are never shared across queries — drop them now. The engine
         # scratch root (storage/format sinks + the shared kmeans/IVF
@@ -240,6 +247,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "stream_stats": stream_stats,
         "sf": sf_val,
         # r7: r5's sf10 history line silently carried a 28-query failed
         # tail (-1 markers only) that the round-6 wall-clock comparison
