@@ -190,17 +190,22 @@ def _sssp_oracle() -> str:
     """Unrolled Bellman-Ford rounds: d{r+1}(v) = least(d{r}(v),
     min over in-edges of d{r}(u) + w) — `least` skips NULLs in both
     engines, so unreached nodes stay NULL until relaxed."""
+    # Every CTE is MATERIALIZED (r10): each round references d{r}
+    # TWICE, and DuckDB inlines plain CTEs — the 4-join edge
+    # derivation re-executed 2^rounds times took the first sf0.1 gate
+    # to a 97 GB OOM kill. Materialization makes the oracle linear in
+    # rounds, exactly like the Spark side's persisted edge frame.
     ctes = [
-        f"e AS (SELECT src, dst, 1 + (src * 31 + dst * 17) % 97 AS w"
+        f"e AS MATERIALIZED (SELECT src, dst, 1 + (src * 31 + dst * 17) % 97 AS w"
         f" FROM ({_EDGES_SQL}) WHERE src <> dst)",
-        "nodes AS (SELECT DISTINCT src AS node FROM e"
+        "nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e"
         " UNION SELECT DISTINCT dst FROM e)",
-        "d0 AS (SELECT node, CASE WHEN node = 0 THEN 0 END AS dist"
+        "d0 AS MATERIALIZED (SELECT node, CASE WHEN node = 0 THEN 0 END AS dist"
         " FROM nodes)",
     ]
     for r in range(SSSP_ROUNDS):
         ctes.append(
-            f"""d{r + 1} AS (
+            f"""d{r + 1} AS MATERIALIZED (
               SELECT n.node,
                      least(n.dist,
                            (SELECT min(d.dist + e.w) FROM d{r} d
@@ -219,7 +224,7 @@ def _sssp_oracle() -> str:
 ORACLE: dict[str, str] = {
     "q_shortest_path": _sssp_oracle(),
     "q_triangle_count": f"""
-        WITH e AS ({_EDGES_SQL}),
+        WITH e AS MATERIALIZED ({_EDGES_SQL}),
         und AS (
           SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
           FROM e WHERE src <> dst
@@ -239,7 +244,7 @@ ORACLE: dict[str, str] = {
         FROM corners GROUP BY node ORDER BY node
     """,
     "q_bfs_reach": f"""
-        WITH RECURSIVE e AS ({_EDGES_SQL}),
+        WITH RECURSIVE e AS MATERIALIZED ({_EDGES_SQL}),
         walk(node, dist) AS (
           SELECT n_nationkey, 0 FROM nation WHERE n_regionkey = 0
           UNION ALL

@@ -18,6 +18,12 @@ from block_data_fetcher_spark.catalog import TABLES
 
 def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # Cap the oracle engine: DuckDB runs IN-PROCESS, so one runaway
+    # oracle plan otherwise grows the gate process until the kernel
+    # OOM-kills the entire sweep (r10: the first sf0.1 gate died at
+    # 97 GB anon RSS). With the cap the offending QUERY errors loudly
+    # and the sweep records it; every legitimate oracle fits easily.
+    con.execute("SET memory_limit='24GB'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
