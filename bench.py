@@ -33,6 +33,9 @@ from block_data_fetcher_spark.streaming import jobs as streaming_jobs  # noqa: E
 # also destroy the kmeans/IVF materialize-once caches that the
 # similarity family deliberately shares across queries.
 MIN_FREE_BYTES = 24 << 30
+# Trigger shuffle-file GC earlier: the largest single-query spill
+# (sf100 TPC-H Q3's sort-merge exchanges) needs ~50 GB headroom.
+SHUFFLE_GC_FREE_BYTES = 56 << 30
 
 # Queries whose result is O(input) rows: drain with count() instead of
 # collecting everything to the driver.
@@ -106,6 +109,29 @@ LARGE_RESULT = {
     # driver Arrow while the engine computed in 4.4 s)
     "q_spatial_nn",
 }
+
+
+def _write_detail(timings, stream_stats, sf_val, subset, partial=False):
+    d = {
+        "metric": "catalog_wall_clock",
+        "queries": dict(timings),
+        "stream_stats": dict(stream_stats),
+        "sf": sf_val,
+        "n_failed": sum(1 for v in timings.values() if v < 0),
+    }
+    if partial:
+        d["partial"] = True
+    if subset is not None:
+        d["subset"] = True
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    try:
+        with open(path + ".tmp", "w") as f:
+            json.dump(d, f, indent=1, sort_keys=True)
+        os.replace(path + ".tmp", path)
+    except OSError:
+        pass
 
 
 def main() -> None:
@@ -199,6 +225,8 @@ def main() -> None:
     except Exception:
         pass
 
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     timings: dict[str, float] = {}
     stream_stats: dict[str, dict] = {}
     t_all = time.perf_counter()
@@ -233,15 +261,28 @@ def main() -> None:
         try:
             import shutil
 
-            if shutil.disk_usage(sf_dir).free < MIN_FREE_BYTES:
+            free = shutil.disk_usage(sf_dir).free
+            if free < SHUFFLE_GC_FREE_BYTES:
+                # A single-JVM catalog pass accumulates every query's
+                # shuffle files under spark.local.dir until the
+                # ShuffleDependency objects are GC'd (r10: ~19 GB by
+                # query 221, which starved q_tpch_q3's sf100 SMJ spill
+                # into an ENOSPC JVM death). Nothing references the
+                # previous queries' frames anymore — one JVM System.gc
+                # lets the ContextCleaner reclaim them.
+                spark.sparkContext._jvm.System.gc()
+                sys.stderr.write("jvm gc (low disk)\n")
+            if free < MIN_FREE_BYTES:
                 scratch.clear_scratch(spark)
                 sys.stderr.write("scratch cleared (low disk)\n")
         except OSError:
             pass
+        # Incremental artifact: a pass that dies at query N (ENOSPC,
+        # OOM-kill) still leaves the full per-query map on disk — the
+        # summary/history line stays completion-only.
+        _write_detail(timings, stream_stats, sf_val, subset, partial=True)
     total = round(time.perf_counter() - t_all, 3)
 
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     detail = {
         "metric": "catalog_wall_clock",
         "value": total,
