@@ -273,7 +273,10 @@ def main() -> None:
                 spark.sparkContext._jvm.System.gc()
                 sys.stderr.write("jvm gc (low disk)\n")
             if free < MIN_FREE_BYTES:
-                scratch.clear_scratch(spark)
+                # spare the kmeans materialize-once caches (retraining
+                # them costs ~minutes at data scale); the storage-family
+                # sink tables beside them are dead weight once drained
+                scratch.clear_scratch(spark, keep_substr=("kmeans_assign",))
                 sys.stderr.write("scratch cleared (low disk)\n")
         except OSError:
             pass

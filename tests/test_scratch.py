@@ -146,3 +146,28 @@ def test_empty_stream_file_sink_returns_schema(spark):
     out = _read_sink_or_empty(spark, empty_dir, schema)
     assert out.schema == schema
     assert out.count() == 0
+
+
+def test_clear_scratch_selective_keep(spark, monkeypatch):
+    """Disk-pressure clearing spares the materialize-once caches: paths
+    containing a keep fragment survive (with their parents), everything
+    else under the run root is removed."""
+    from block_data_fetcher_spark import scratch
+
+    monkeypatch.setenv("BDF_RUN_ID", "selective_clear")
+    keep = scratch.scratch_dir(spark, "storage", "kmeans_assign_x")
+    drop1 = scratch.scratch_dir(spark, "storage", "bdf_lineitem_bkt")
+    drop2 = scratch.scratch_dir(spark, "formats", "events_csv")
+    for d in (keep, drop1, drop2):
+        os.makedirs(d, exist_ok=True)
+        open(os.path.join(d, "part-0.parquet"), "w").write("x")
+
+    scratch.clear_scratch(spark, keep_substr=("kmeans_assign",))
+    assert os.path.isfile(os.path.join(keep, "part-0.parquet"))
+    assert not os.path.exists(drop1)
+    assert not os.path.exists(drop2)
+    # formats/ was emptied and pruned entirely
+    assert not os.path.exists(os.path.dirname(drop2))
+
+    scratch.clear_scratch(spark)  # full clear removes the rest
+    assert not os.path.exists(scratch.scratch_root(spark))
