@@ -24,8 +24,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from block_data_fetcher_spark import api, scratch  # noqa: E402
+from block_data_fetcher_spark.functions import hashing  # noqa: E402
 from block_data_fetcher_spark.session import get_spark  # noqa: E402
 from block_data_fetcher_spark.streaming import jobs as streaming_jobs  # noqa: E402
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 
 # Scratch hygiene floor (the sf100 ENOSPC lesson): when free disk under
 # the repo drops below this, completed queries' scratch output is
@@ -111,21 +114,40 @@ LARGE_RESULT = {
 }
 
 
-def _write_detail(timings, stream_stats, sf_val, subset, partial=False):
+def _provenance(spark) -> dict:
+    """Execution-mode stamp for every bench/gate artifact (r10 VERDICT
+    item 2: GATE_CLUSTER_r10.json could not prove it ran multi-node —
+    no master, run id, or session conf in the JSON)."""
+    import multiprocessing
+    import socket
+
+    sc = spark.sparkContext
+    return {
+        "master": sc.master,
+        "run_id": os.environ.get("BDF_RUN_ID") or sc.applicationId,
+        "spark_version": spark.version,
+        "host": socket.gethostname(),
+        "host_cpus": multiprocessing.cpu_count(),
+    }
+
+
+def _write_detail(
+    timings, stream_stats, cc_stats, sf_val, subset, prov, partial=False
+):
     d = {
         "metric": "catalog_wall_clock",
         "queries": dict(timings),
         "stream_stats": dict(stream_stats),
+        "cc_stats": dict(cc_stats),
         "sf": sf_val,
         "n_failed": sum(1 for v in timings.values() if v < 0),
+        **prov,
     }
     if partial:
         d["partial"] = True
     if subset is not None:
         d["subset"] = True
-    path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
+    path = os.path.join(REPO_ROOT, "BENCH_DETAIL.json")
     try:
         with open(path + ".tmp", "w") as f:
             json.dump(d, f, indent=1, sort_keys=True)
@@ -227,11 +249,14 @@ def main() -> None:
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    prov = _provenance(spark)
     timings: dict[str, float] = {}
     stream_stats: dict[str, dict] = {}
+    cc_stats: dict[str, dict] = {}
     t_all = time.perf_counter()
     for name in sorted(queries):
         fn = queries[name]
+        hashing.LAST_CC_STATS.clear()
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)
@@ -251,6 +276,13 @@ def main() -> None:
         if name.startswith("q_stream") and streaming_jobs.STREAM_STATS:
             for k, v in streaming_jobs.STREAM_STATS.items():
                 stream_stats.setdefault(k, v)
+        # Connected-components convergence telemetry (r10 VERDICT item
+        # 7): rounds / escaped / reason per CC-family query rides the
+        # artifact so sf100 convergence regressions are visible without
+        # a rerun. LAST_CC_STATS is cleared before each query, so a
+        # non-empty dict here is attributable to THIS query.
+        if hashing.LAST_CC_STATS:
+            cc_stats[name] = dict(hashing.LAST_CC_STATS)
         # Per-query scratch hygiene: stream sink/checkpoint temp dirs
         # are never shared across queries — drop them now. The engine
         # scratch root (storage/format sinks + the shared kmeans/IVF
@@ -261,7 +293,12 @@ def main() -> None:
         try:
             import shutil
 
-            free = shutil.disk_usage(sf_dir).free
+            # Gauge the volume the managed space actually lives on —
+            # spark.local.dir shuffle files and the warehouse scratch
+            # sit under the repo, not necessarily the fixture mount
+            # (ADVICE r10: keying off sf_dir reads the wrong volume
+            # when fixtures are mounted elsewhere).
+            free = shutil.disk_usage(REPO_ROOT).free
             if free < SHUFFLE_GC_FREE_BYTES:
                 # A single-JVM catalog pass accumulates every query's
                 # shuffle files under spark.local.dir until the
@@ -278,32 +315,45 @@ def main() -> None:
                 # sink tables beside them are dead weight once drained
                 scratch.clear_scratch(spark, keep_substr=("kmeans_assign",))
                 sys.stderr.write("scratch cleared (low disk)\n")
-        except OSError:
-            pass
+        except Exception as e:  # best-effort by design: a py4j error
+            # from a dying JVM must not abort the remaining pass
+            # (ADVICE r10: System.gc() raises Py4JError, not OSError)
+            sys.stderr.write(f"hygiene skipped: {e}\n")
         # Incremental artifact: a pass that dies at query N (ENOSPC,
         # OOM-kill) still leaves the full per-query map on disk — the
         # summary/history line stays completion-only.
-        _write_detail(timings, stream_stats, sf_val, subset, partial=True)
+        _write_detail(
+            timings, stream_stats, cc_stats, sf_val, subset, prov,
+            partial=True,
+        )
     total = round(time.perf_counter() - t_all, 3)
 
+    # r10 VERDICT item 5: the headline wall INCLUDES harness work
+    # (stream-metrics collection, scratch clearing, source splitting) —
+    # r10's 268 s read as an 18% regression until per-query sums showed
+    # 0.989×. Record the split explicitly so round-over-round
+    # comparison stays honest.
+    query_sec = round(sum(v for v in timings.values() if v >= 0), 3)
     detail = {
         "metric": "catalog_wall_clock",
         "value": total,
         "unit": "sec",
+        "query_sec": query_sec,
+        "harness_overhead_sec": round(total - query_sec, 3),
         "queries": timings,
         "stream_stats": stream_stats,
+        "cc_stats": cc_stats,
         "sf": sf_val,
         # r7: r5's sf10 history line silently carried a 28-query failed
         # tail (-1 markers only) that the round-6 wall-clock comparison
         # missed — surface the count at the top level so any failed run
         # is loud in round-over-round diffs.
         "n_failed": sum(1 for v in timings.values() if v < 0),
+        **prov,
     }
     if subset is not None:
         detail["subset"] = True
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
+    detail_path = os.path.join(REPO_ROOT, "BENCH_DETAIL.json")
     try:
         with open(detail_path, "w") as f:
             json.dump(detail, f, indent=1, sort_keys=True)
@@ -316,10 +366,7 @@ def main() -> None:
     try:
         stamp = {"ts": time.strftime("%Y-%m-%dT%H:%M:%S"), **detail}
         with open(
-            os.path.join(
-                os.path.dirname(os.path.abspath(__file__)),
-                "BENCH_HISTORY.jsonl",
-            ),
+            os.path.join(REPO_ROOT, "BENCH_HISTORY.jsonl"),
             "a",
         ) as f:
             f.write(json.dumps(stamp, sort_keys=True) + "\n")
@@ -333,6 +380,8 @@ def main() -> None:
         "metric": "catalog_wall_clock",
         "value": total,
         "unit": "sec",
+        "query_sec": query_sec,
+        "harness_overhead_sec": round(total - query_sec, 3),
         "sf": sf_val,
         "n_queries": len(timings),
         "n_failed": len(failed),

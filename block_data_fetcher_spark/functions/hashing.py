@@ -569,18 +569,25 @@ def min_label_components(
         labels = new.select("doc_id", "cluster_id")
         if row.s == cur_sum:
             LAST_CC_STATS.update(
-                rounds=rnd + 1, escaped=False, reason="converged"
+                rounds=rnd + 1, escaped=False, reason="converged",
+                algo="label_prop",
             )
             return labels
         if prev_changed is not None and (row.nc or 0) * 2 > prev_changed:
             reason = "stalled"
-            LAST_CC_STATS.update(rounds=rnd + 1, escaped=True, reason=reason)
+            LAST_CC_STATS.update(
+                rounds=rnd + 1, escaped=True, reason=reason,
+                algo="label_prop",
+            )
             break
         prev_changed = row.nc or 0
         cur_sum = row.s
     else:
         # Round budget exhausted: a component deeper than max_rounds.
-        LAST_CC_STATS.update(rounds=max_rounds, escaped=True, reason=reason)
+        LAST_CC_STATS.update(
+            rounds=max_rounds, escaped=True, reason=reason,
+            algo="label_prop",
+        )
     # Deep components survive: contract the graph by the partial
     # labels (collapsed components become self-loops and drop out)
     # and finish the (much smaller) residual with O(log d) star
@@ -788,13 +795,23 @@ def star_components(
         return (row.n, row.h)
 
     prev = signature(edges)
-    for _ in range(15):
+    for rnd in range(15):
         edges = star(
             star(edges, large=True, dedup=False), large=False
         )
         edges = iter_checkpoint(edges, eager=False)
         cur = signature(edges)
         if cur == prev:
+            if LAST_CC_STATS.get("algo") == "label_prop":
+                # Running as the contract-then-star FINISHER of an
+                # escaped label-prop pass: keep that pass's stats
+                # (tests pin them) and append the residual's rounds.
+                LAST_CC_STATS.update(star_rounds=rnd + 1)
+            else:
+                LAST_CC_STATS.update(
+                    rounds=rnd + 1, escaped=False, reason="converged",
+                    algo="star",
+                )
             break
         prev = cur
     else:

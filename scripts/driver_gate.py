@@ -195,11 +195,22 @@ def main() -> int:
             n_fail += 1
             print(f"FAIL {name}: {rec}", file=sys.stderr)
 
+    # Execution-mode provenance (r10 VERDICT item 2: the multi-node
+    # gate artifact was indistinguishable from a single-JVM run).
+    import multiprocessing
+    import socket
+
     summary = {
         "sf_dir": args.sf_dir,
         "n_queries": len(names),
         "n_failed": n_fail,
         "wall_sec": round(time.time() - t0, 1),
+        "master": spark.sparkContext.master,
+        "run_id": os.environ.get("BDF_RUN_ID")
+        or spark.sparkContext.applicationId,
+        "spark_version": spark.version,
+        "host": socket.gethostname(),
+        "host_cpus": multiprocessing.cpu_count(),
         "queries": results,
     }
     if args.out:
