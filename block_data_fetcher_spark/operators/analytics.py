@@ -2919,7 +2919,16 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     limit is therefore sized to the fixture: orders-file bytes are a
     safe over-estimate of the window's row count."""
     from ..catalog import fixture_buckets, load
+    from ..session import scoped
 
+    # Session CLONE (VERDICT r10 wrong-item 1): the raised row limit
+    # must not weaken the SHARED session's runaway-recursion guard for
+    # every later query in the process. A try/finally restore can't
+    # work here — the returned DataFrame is lazy and the limit is read
+    # at execution time — so the override lives on a clone the plan
+    # keeps a reference to, the same pattern as the optimizer-conf
+    # queries (session.scoped docstring).
+    spark = scoped(spark)
     load(spark, sf_dir, register_views=True)
     # ~45 bytes/row parquet → bytes/8 comfortably exceeds the row
     # count; floor keeps the default guard at small fixtures.

@@ -841,3 +841,25 @@ def test_cogroup_asof_buckets_sized_from_fixture(spark, sf_dir):
     assert re.search(rf"pmod\(user_id#\d+L?, {n}\)", plan) or re.search(
         rf"user_id(#\d+L?)? % {n}\b", plan
     ), f"bucket divisor {n} not pinned in plan:\n{plan}"
+
+
+def test_recursive_cte_row_limit_does_not_leak(spark, sf_dir):
+    """VERDICT r10 wrong-item 1: q_recursive_cte raises
+    spark.sql.cteRecursionRowLimit to fixture size; that override must
+    live on a session CLONE — the SHARED session's runaway-recursion
+    guard stays at its default for every later query in the process."""
+    key = "spark.sql.cteRecursionRowLimit"
+    before = spark.conf.get(key)
+    df = _Q["q_recursive_cte"](spark, sf_dir)
+    # Execute (the limit is read at execution time — a build-time-only
+    # check would pass even with the old leaking spelling).
+    assert df.count() > 0
+    assert spark.conf.get(key) == before, (
+        f"{key} leaked onto the shared session: {spark.conf.get(key)!r}"
+    )
+    # At tiny fixtures the sized limit EQUALS the 1M default, so the
+    # conf comparison alone can't distinguish leak from no-leak — pin
+    # the mechanism too: the plan must be bound to a session clone.
+    assert df.sparkSession is not spark, (
+        "q_recursive_cte must bind its plan to a session clone"
+    )
