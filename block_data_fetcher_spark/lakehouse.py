@@ -216,6 +216,29 @@ class DeltaTableAdapter(LakehouseTable):
     # pragma: no cover on every method — exercised only where Delta is
     # installed; the parity test (tests/test_lakehouse.py) runs them
     # verbatim there.
+
+    # Expiry floor marker: Delta's history() keeps listing vacuumed-out
+    # versions (the log shrinks on its own logRetention schedule, not
+    # on vacuum), so the LakehouseTable contract — versions() lists
+    # only still-READABLE snapshots — needs implementation-private
+    # metadata, exactly like ParquetManifestTable's _manifest.json.
+    @property
+    def _floor_path(self) -> str:  # pragma: no cover
+        return os.path.join(self.base, "_bdf_expire_floor.json")
+
+    def _floor(self) -> int:  # pragma: no cover
+        try:
+            with open(self._floor_path) as f:
+                return int(json.load(f)["floor"])
+        except (OSError, ValueError, KeyError):
+            return 0
+
+    def _write_floor(self, v: int) -> None:  # pragma: no cover
+        tmp = self._floor_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"floor": v}, f)
+        os.replace(tmp, self._floor_path)
+
     def commit(self, df: DataFrame) -> int:  # pragma: no cover
         df.write.format("delta").mode("overwrite").option(
             "overwriteSchema", "true"
@@ -223,6 +246,12 @@ class DeltaTableAdapter(LakehouseTable):
         return self.versions()[-1]
 
     def read(self, version: int | None = None) -> DataFrame:  # pragma: no cover
+        if version is not None and version not in self.versions():
+            # expired snapshots raise the SAME error class as the
+            # parquet impl — a versionAsOf read below the vacuum floor
+            # would otherwise fail deep in the scan (or, worse, succeed
+            # against partially-deleted files)
+            raise KeyError(f"version {version} expired or never committed")
         r = self.spark.read.format("delta")
         if version is not None:
             r = r.option("versionAsOf", version)
@@ -232,21 +261,86 @@ class DeltaTableAdapter(LakehouseTable):
         from delta.tables import DeltaTable
 
         hist = DeltaTable.forPath(self.spark, self.base).history()
-        return sorted(r["version"] for r in hist.select("version").collect())
+        floor = self._floor()
+        return sorted(
+            r["version"]
+            for r in hist.select("version").collect()
+            if r["version"] >= floor
+        )
 
     def expire(self, keep: int) -> int:  # pragma: no cover
+        """Count-based expiry over Delta's duration-based vacuum
+        (ADVICE r10 medium: ``vacuum(0)`` deleted every file outside
+        the LATEST snapshot, breaking time travel for KEPT versions).
+
+        The retention horizon is derived from commit timestamps: a
+        data file is deleted by ``vacuum(h)`` only if its tombstone
+        (the commit that removed it from the snapshot) is older than
+        ``now - h``. Files referenced EXCLUSIVELY by expired versions
+        are tombstoned AT OR BEFORE the oldest-kept (floor) commit;
+        files a KEPT version still needs are tombstoned by LATER kept
+        commits — so the cutoff sits strictly between the floor
+        commit's timestamp and the next kept commit's. When the two
+        share a timestamp (same-millisecond commits), the cutoff
+        degrades to the floor timestamp itself: boundary tombstones
+        then survive, erring on the keep side of the contract."""
+        import datetime
+
         from delta.tables import DeltaTable
 
         dt = DeltaTable.forPath(self.spark, self.base)
-        before = len(self.versions())
-        # Delta expires by retention duration, not count; translate by
-        # vacuuming everything older than the newest `keep` commits'
-        # timestamps. retentionCheck off is required for short horizons.
-        self.spark.conf.set(
-            "spark.databricks.delta.retentionDurationCheck.enabled", "false"
-        )
-        dt.vacuum(0)
-        return max(0, before - keep)
+        vs = self.versions()
+        if keep <= 0 or len(vs) <= keep:
+            return 0
+        idx = len(vs) - keep
+        floor_version = vs[idx]
+        ts = {
+            r["version"]: r["timestamp"]
+            for r in dt.history().select("version", "timestamp").collect()
+        }
+        floor_ts = ts[floor_version]
+        if floor_ts.tzinfo is None:
+            now = datetime.datetime.now()
+        else:  # pyspark returns tz-aware under spark.sql.session.timeZone
+            now = datetime.datetime.now(tz=floor_ts.tzinfo)
+        if keep == 1:
+            # keep == latest only: every tombstone belongs to an
+            # expired version — horizon 0 IS the contract here (the
+            # r10 bug was applying it to every keep).
+            cutoff = now
+        else:
+            nxt_ts = ts[vs[idx + 1]]
+            cutoff = (
+                floor_ts + (nxt_ts - floor_ts) / 2
+                if nxt_ts > floor_ts
+                else floor_ts
+            )
+        hours = max(0.0, (now - cutoff).total_seconds() / 3600.0)
+
+        # Short horizons trip Delta's safety check; disable it for the
+        # vacuum ONLY and restore the caller's conf (the r10 adapter
+        # leaked enabled=false into the shared session permanently).
+        key = "spark.databricks.delta.retentionDurationCheck.enabled"
+        try:
+            prev = self.spark.conf.get(key)
+        except Exception:
+            prev = None
+        self.spark.conf.set(key, "false")
+        try:
+            # DRY RUN enumerates the files the real vacuum will delete
+            # (OSS caps the returned list at 1000 paths — the count is
+            # a floor at pathological fan-out, never an over-report).
+            reclaimed = self.spark.sql(
+                f"VACUUM delta.`{self.base}` RETAIN {hours} HOURS DRY RUN"
+            ).count()
+            dt.vacuum(hours)
+        finally:
+            if prev is None:
+                self.spark.conf.unset(key)
+            else:
+                self.spark.conf.set(key, prev)
+        self._write_floor(floor_version)
+        return reclaimed
 
 
 def open_table(

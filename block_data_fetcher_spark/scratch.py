@@ -53,11 +53,17 @@ def scratch_root(spark: SparkSession) -> str:
 def scratch_dir(spark: SparkSession, *parts: str) -> str:
     """A session-keyed scratch path; parent dirs are NOT created (Spark
     writers create their own output dirs).  Registers the run root for
-    removal at interpreter exit."""
+    removal at interpreter exit — UNLESS the run id was pinned via
+    ``BDF_RUN_ID``: that env var exists for deliberate cross-process
+    sharing, where the first process to exit must not rmtree the shared
+    root out from under still-running peers (ADVICE r10 — the same
+    mid-read clobber class this module fixes). Shared roots are
+    reclaimed by :func:`sweep_stale` / :func:`clear_scratch` instead."""
     root = scratch_root(spark)
     if root not in _registered:
         _registered.add(root)
-        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        if not os.environ.get("BDF_RUN_ID"):
+            atexit.register(shutil.rmtree, root, ignore_errors=True)
     return os.path.join(root, *parts)
 
 

@@ -362,7 +362,17 @@ def _read_sink_or_empty(spark: SparkSession, out: str, schema) -> DataFrame:
     )
     if has_data:
         return spark.read.parquet(out)
-    return spark.createDataFrame([], schema)
+    # Rebuild the fallback schema as spark.read.parquet would return
+    # it — all-nullable, no field metadata (ADVICE r10: passing the
+    # streaming schema verbatim kept watermark metadata and original
+    # nullability, so empty vs non-empty runs of the SAME query
+    # yielded different schemas).
+    from pyspark.sql.types import StructField, StructType
+
+    plain = StructType(
+        [StructField(f.name, f.dataType, True) for f in schema]
+    )
+    return spark.createDataFrame([], plain)
 
 
 def _run_to_parquet(df: DataFrame, name: str, partitions: int = 8) -> DataFrame:

@@ -101,13 +101,26 @@ def test_lakehouse_expire_keeps_survivors_exact(spark, sf_dir, tmp_path, impl):
     v3_df = ev.where("event_id % 4 <= 2")
     v3 = t.commit(v3_df)
 
+    ck = "spark.databricks.delta.retentionDurationCheck.enabled"
+    ck_before = spark.conf.get(ck, None)
+    vs_before = t.versions()
     reclaimed = t.expire(keep=2)
-    if impl == "parquet":
-        assert reclaimed > 0
-        assert t.versions() == [2, 3]
-        with pytest.raises(KeyError):
-            t.read(1)
-    # the surviving snapshot still reads exactly
+    # expire must not leak its safety-check override into the session
+    assert spark.conf.get(ck, None) == ck_before
+    # Contract parity for BOTH impls (ADVICE r10 medium: the delta
+    # adapter's vacuum(0) broke time travel for KEPT versions and the
+    # parity test never noticed because these asserts were
+    # parquet-only): exactly the newest two versions survive, expired
+    # reads raise KeyError, and files exclusive to the expired
+    # version were reclaimed.
+    assert reclaimed > 0
+    assert t.versions() == vs_before[-2:]
+    with pytest.raises(KeyError):
+        t.read(vs_before[0])
+    # BOTH survivors still read exactly (the kept-but-not-latest one
+    # is what a latest-snapshot-only vacuum silently destroys)
+    v2_kept = t.versions()[0]
+    assert t.read(v2_kept).count() == ev.where("event_id % 4 <= 1").count()
     assert sorted(tuple(r) for r in t.read(v3).collect()) == sorted(
         tuple(r) for r in v3_df.collect()
     )

@@ -147,6 +147,30 @@ def test_empty_stream_file_sink_returns_schema(spark):
     assert out.schema == schema
     assert out.count() == 0
 
+    # ADVICE r10: the empty branch must return the schema AS
+    # spark.read.parquet would — all-nullable, field metadata
+    # stripped — so empty and non-empty runs of the same query
+    # union/compare equal. Streaming schemas arrive with event-time
+    # watermark metadata and original nullability; neither survives
+    # a parquet round-trip.
+    from pyspark.sql.types import TimestampType
+
+    marked = StructType(
+        [
+            StructField(
+                "ts",
+                TimestampType(),
+                nullable=False,
+                metadata={"spark.watermarkDelayMs": 600000},
+            ),
+            StructField("n", LongType(), nullable=False),
+        ]
+    )
+    out2 = _read_sink_or_empty(spark, empty_dir, marked)
+    for f in out2.schema.fields:
+        assert f.nullable, f
+        assert f.metadata == {}, f
+
 
 def test_clear_scratch_selective_keep(spark, monkeypatch):
     """Disk-pressure clearing spares the materialize-once caches: paths
@@ -171,3 +195,26 @@ def test_clear_scratch_selective_keep(spark, monkeypatch):
 
     scratch.clear_scratch(spark)  # full clear removes the rest
     assert not os.path.exists(scratch.scratch_root(spark))
+
+
+def test_shared_run_id_skips_atexit_reaping(spark, monkeypatch):
+    """ADVICE r10: BDF_RUN_ID exists for deliberate cross-process
+    sharing of one scratch root — the first process to exit must NOT
+    atexit-rmtree it out from under still-running peers. Only
+    applicationId-keyed (process-private) roots register exit-time
+    removal."""
+    from block_data_fetcher_spark import scratch
+
+    calls = []
+    monkeypatch.setattr(
+        scratch.atexit, "register", lambda *a, **k: calls.append(a)
+    )
+    monkeypatch.setenv("BDF_RUN_ID", "shared_run_xyz")
+    scratch._registered.discard(scratch.scratch_root(spark))
+    scratch.scratch_dir(spark, "storage", "x")
+    assert not calls, "shared BDF_RUN_ID root must not be atexit-reaped"
+
+    monkeypatch.delenv("BDF_RUN_ID")
+    scratch._registered.discard(scratch.scratch_root(spark))
+    scratch.scratch_dir(spark, "storage", "y")
+    assert len(calls) == 1, "process-private root must register atexit"
