@@ -17,6 +17,12 @@ touching pipeline code:
   error on construction and its parity tests skip; on a cluster with
   Delta on the classpath the same tests run against both
   implementations.
+* :class:`IcebergTableAdapter` — the identical interface over Apache
+  Iceberg (classpath-gated the same way), proving the interface isn't
+  shaped around one engine: Delta needed a timestamp-horizon
+  translation for count-based expiry, Iceberg has it natively
+  (``retain_last``) but needs a private version→snapshot-id map
+  because its snapshot ids carry no commit order.
 
 Scale posture: commits are metadata-plus-new-files (never rewrite
 history), reads of old versions are manifest lookups, ``expire`` only
@@ -343,14 +349,144 @@ class DeltaTableAdapter(LakehouseTable):
         return reclaimed
 
 
+class IcebergTableAdapter(LakehouseTable):
+    """The same interface over Apache Iceberg (classpath-gated like
+    :class:`DeltaTableAdapter`; this sandbox ships neither runtime).
+    ``cite: Apache Iceberg public API — SparkCatalog (hadoop type),
+    VERSION AS OF snapshot reads, snapshots metadata table,
+    system.expire_snapshots procedure.``
+
+    Mapping the contract onto Iceberg's model:
+
+    * **commit** — ``writeTo(...).createOrReplace()`` under a
+      hadoop-type SparkCatalog whose warehouse is ``base``; each commit
+      is one new snapshot.
+    * **versions** — Iceberg snapshot ids are random longs (no commit
+      ordering), so the adapter keeps its own monotonically-increasing
+      version → snapshot-id map in a side manifest, the SAME
+      private-metadata pattern as :class:`ParquetManifestTable` and
+      the Delta floor marker. ``versions()`` intersects the map with
+      the live ``.snapshots`` metadata table, so expired snapshots
+      drop out exactly when Iceberg forgets them.
+    * **read(v)** — ``VERSION AS OF <snapshot-id>``; expired or
+      unknown versions raise ``KeyError`` like the other impls.
+    * **expire(keep)** — the ``system.expire_snapshots`` procedure
+      with ``retain_last => keep, older_than => now``: count-based
+      retention is NATIVE here (no timestamp-horizon translation like
+      Delta needs); the procedure's result row reports the deleted
+      data-file count, which is the return value.
+    """
+
+    CATALOG = "bdf_iceberg"
+
+    def __init__(self, spark: SparkSession, base: str):
+        try:
+            spark.sparkContext._jvm.java.lang.Class.forName(
+                "org.apache.iceberg.spark.SparkCatalog"
+            )
+        except Exception as e:  # pragma: no cover — not in sandbox
+            raise RuntimeError(
+                "IcebergTableAdapter needs the iceberg-spark-runtime "
+                "jar on the classpath (spark-submit --packages "
+                "org.apache.iceberg:iceberg-spark-runtime-...)"
+            ) from e
+        self.spark = spark
+        self.base = base
+        os.makedirs(base, exist_ok=True)
+        # hadoop-type catalog rooted at base; runtime-settable, and
+        # idempotent re-set for a second adapter over the same base
+        spark.conf.set(
+            f"spark.sql.catalog.{self.CATALOG}",
+            "org.apache.iceberg.spark.SparkCatalog",
+        )
+        spark.conf.set(f"spark.sql.catalog.{self.CATALOG}.type", "hadoop")
+        spark.conf.set(f"spark.sql.catalog.{self.CATALOG}.warehouse", base)
+
+    # pragma: no cover on every method below — exercised only where
+    # the Iceberg runtime is installed; the parity tests run them
+    # verbatim there.
+    @property
+    def _ident(self) -> str:  # pragma: no cover
+        return f"{self.CATALOG}.db.t"
+
+    @property
+    def _map_path(self) -> str:  # pragma: no cover
+        return os.path.join(self.base, "_bdf_versions.json")
+
+    def _vmap(self) -> dict[str, int]:  # pragma: no cover
+        try:
+            with open(self._map_path) as f:
+                return {k: int(v) for k, v in json.load(f).items()}
+        except (OSError, ValueError):
+            return {}
+
+    def _write_vmap(self, m: dict[str, int]) -> None:  # pragma: no cover
+        tmp = self._map_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._map_path)
+
+    def _live_snapshot_ids(self) -> set[int]:  # pragma: no cover
+        return {
+            r["snapshot_id"]
+            for r in self.spark.sql(
+                f"SELECT snapshot_id FROM {self._ident}.snapshots"
+            ).collect()
+        }
+
+    def commit(self, df: DataFrame) -> int:  # pragma: no cover
+        df.writeTo(self._ident).createOrReplace()
+        snap = self.spark.sql(
+            f"SELECT snapshot_id FROM {self._ident}.snapshots "
+            "ORDER BY committed_at DESC, snapshot_id LIMIT 1"
+        ).collect()[0]["snapshot_id"]
+        m = self._vmap()
+        version = max((int(v) for v in m), default=0) + 1
+        m[str(version)] = snap
+        self._write_vmap(m)
+        return version
+
+    def read(self, version: int | None = None) -> DataFrame:  # pragma: no cover
+        if version is None:
+            return self.spark.read.table(self._ident)
+        m = self._vmap()
+        snap = m.get(str(version))
+        if snap is None or snap not in self._live_snapshot_ids():
+            raise KeyError(f"version {version} expired or never committed")
+        return self.spark.sql(
+            f"SELECT * FROM {self._ident} VERSION AS OF {snap}"
+        )
+
+    def versions(self) -> list[int]:  # pragma: no cover
+        live = self._live_snapshot_ids()
+        return sorted(
+            int(v) for v, snap in self._vmap().items() if snap in live
+        )
+
+    def expire(self, keep: int) -> int:  # pragma: no cover
+        vs = self.versions()
+        if keep <= 0 or len(vs) <= keep:
+            return 0
+        row = self.spark.sql(
+            f"CALL {self.CATALOG}.system.expire_snapshots("
+            f"table => 'db.t', "
+            f"older_than => TIMESTAMP '9999-01-01 00:00:00', "
+            f"retain_last => {keep})"
+        ).collect()[0]
+        return int(row["deleted_data_files_count"])
+
+
 def open_table(
     spark: SparkSession, base: str, impl: str | None = None
 ) -> LakehouseTable:
-    """Factory: ``impl`` = "parquet" (default) | "delta", overridable
-    via ``BDF_LAKEHOUSE_IMPL`` — the env gate mirrors the RPC soak's."""
+    """Factory: ``impl`` = "parquet" (default) | "delta" | "iceberg",
+    overridable via ``BDF_LAKEHOUSE_IMPL`` — the env gate mirrors the
+    RPC soak's."""
     choice = (impl or os.environ.get("BDF_LAKEHOUSE_IMPL") or "parquet").lower()
     if choice == "delta":
         return DeltaTableAdapter(spark, base)
+    if choice == "iceberg":
+        return IcebergTableAdapter(spark, base)
     if choice == "parquet":
         return ParquetManifestTable(spark, base)
     raise ValueError(f"unknown lakehouse impl {choice!r}")

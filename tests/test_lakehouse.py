@@ -23,6 +23,22 @@ def _has_delta() -> bool:
         return False
 
 
+_ICEBERG_ON_CLASSPATH: bool | None = None
+
+
+def _has_iceberg(spark) -> bool:
+    global _ICEBERG_ON_CLASSPATH
+    if _ICEBERG_ON_CLASSPATH is None:
+        try:
+            spark.sparkContext._jvm.java.lang.Class.forName(
+                "org.apache.iceberg.spark.SparkCatalog"
+            )
+            _ICEBERG_ON_CLASSPATH = True
+        except Exception:
+            _ICEBERG_ON_CLASSPATH = False
+    return _ICEBERG_ON_CLASSPATH
+
+
 def _impl_params():
     params = [pytest.param("parquet", id="parquet")]
     params.append(
@@ -34,11 +50,20 @@ def _impl_params():
             ),
         )
     )
+    params.append(pytest.param("iceberg", id="iceberg"))
     return params
+
+
+def _skip_unless_available(spark, impl) -> None:
+    # iceberg's gate needs a live JVM, so it can't be a collection-time
+    # skipif mark like delta's import check
+    if impl == "iceberg" and not _has_iceberg(spark):
+        pytest.skip("iceberg-spark-runtime not on classpath")
 
 
 @pytest.mark.parametrize("impl", _impl_params())
 def test_lakehouse_commit_read_time_travel(spark, sf_dir, tmp_path, impl):
+    _skip_unless_available(spark, impl)
     t = lakehouse.open_table(spark, str(tmp_path / "t"), impl=impl)
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
         "event_id", "user_id", "event_type", "value"
@@ -60,6 +85,7 @@ def test_lakehouse_commit_read_time_travel(spark, sf_dir, tmp_path, impl):
 
 @pytest.mark.parametrize("impl", _impl_params())
 def test_lakehouse_changes_cdc(spark, sf_dir, tmp_path, impl):
+    _skip_unless_available(spark, impl)
     from pyspark.sql import functions as F
 
     t = lakehouse.open_table(spark, str(tmp_path / "t"), impl=impl)
@@ -92,6 +118,7 @@ def test_lakehouse_changes_cdc(spark, sf_dir, tmp_path, impl):
 
 @pytest.mark.parametrize("impl", _impl_params())
 def test_lakehouse_expire_keeps_survivors_exact(spark, sf_dir, tmp_path, impl):
+    _skip_unless_available(spark, impl)
     t = lakehouse.open_table(spark, str(tmp_path / "t"), impl=impl)
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
         "event_id", "value"
@@ -139,8 +166,11 @@ def test_lakehouse_factory_env_gate(spark, tmp_path, monkeypatch):
         monkeypatch.setenv("BDF_LAKEHOUSE_IMPL", "delta")
         with pytest.raises(RuntimeError, match="delta-spark"):
             lakehouse.open_table(spark, str(tmp_path / "c"))
+    if not _has_iceberg(spark):
+        with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+            lakehouse.open_table(spark, str(tmp_path / "e"), impl="iceberg")
     with pytest.raises(ValueError):
-        lakehouse.open_table(spark, str(tmp_path / "d"), impl="iceberg")
+        lakehouse.open_table(spark, str(tmp_path / "d"), impl="hudi")
 
 
 def test_parquet_manifest_atomic_and_cow_safe(spark, sf_dir, tmp_path):
