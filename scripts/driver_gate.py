@@ -158,10 +158,13 @@ def main() -> int:
     t0 = time.time()
     for name in names:
         rec: dict = {}
+        spark_wall = None
+        t_q = time.time()
         try:
             sdf = queries[name](spark, args.sf_dir)
             s_cols = [c.lower() for c in sdf.columns]
             s_rows = [tuple(r) for r in sdf.collect()]
+            spark_wall = round(time.time() - t_q, 3)
             sql = oracles.get(name)
             if sql is None:
                 rec = {
@@ -190,6 +193,13 @@ def main() -> int:
             rec["err"] = None
         except Exception as e:  # noqa: BLE001 — sweep must finish
             rec = {"match": False, "err": f"{type(e).__name__}: {e}"}
+        # Spark-side wall (build + collect, excluding the DuckDB
+        # oracle where the query succeeded): lets a multi-node gate's
+        # per-query costs sit next to the local[32] numbers (r10
+        # VERDICT item 4). Failures time up to the raise.
+        rec["spark_wall_sec"] = (
+            spark_wall if spark_wall is not None else round(time.time() - t_q, 3)
+        )
         results[name] = rec
         if not rec.get("match"):
             n_fail += 1
