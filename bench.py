@@ -29,6 +29,11 @@ from block_data_fetcher_spark.session import get_spark  # noqa: E402
 from block_data_fetcher_spark.streaming import jobs as streaming_jobs  # noqa: E402
 
 REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+# Artifact destination override (tests point it at a tmp dir so a
+# pytest run can never clobber a concurrently-running real bench's
+# incremental BENCH_DETAIL.json — the same hermeticity rule as
+# scratch.py's run-keyed sinks).
+OUT_DIR = os.environ.get("SPARK_GRAFT_OUT_DIR") or REPO_ROOT
 
 # Scratch hygiene floor (the sf100 ENOSPC lesson): when free disk under
 # the repo drops below this, completed queries' scratch output is
@@ -147,7 +152,7 @@ def _write_detail(
         d["partial"] = True
     if subset is not None:
         d["subset"] = True
-    path = os.path.join(REPO_ROOT, "BENCH_DETAIL.json")
+    path = os.path.join(OUT_DIR, "BENCH_DETAIL.json")
     try:
         with open(path + ".tmp", "w") as f:
             json.dump(d, f, indent=1, sort_keys=True)
@@ -353,7 +358,7 @@ def main() -> None:
     }
     if subset is not None:
         detail["subset"] = True
-    detail_path = os.path.join(REPO_ROOT, "BENCH_DETAIL.json")
+    detail_path = os.path.join(OUT_DIR, "BENCH_DETAIL.json")
     try:
         with open(detail_path, "w") as f:
             json.dump(detail, f, indent=1, sort_keys=True)
@@ -366,7 +371,7 @@ def main() -> None:
     try:
         stamp = {"ts": time.strftime("%Y-%m-%dT%H:%M:%S"), **detail}
         with open(
-            os.path.join(REPO_ROOT, "BENCH_HISTORY.jsonl"),
+            os.path.join(OUT_DIR, "BENCH_HISTORY.jsonl"),
             "a",
         ) as f:
             f.write(json.dumps(stamp, sort_keys=True) + "\n")
