@@ -471,6 +471,20 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and the scale scripts; purely observational.
 LAST_CC_STATS: dict[str, object] = {}
 
+# Stall trigger: escape to contract-then-star when a label round
+# retires less than a 1/CC_STALL_DECAY fraction of the previous
+# frontier. r10 shipped 2 (strictly "less than half") and the sf100
+# single pass measured the consequence: the dup graph's frontier decays
+# at ~1.7×/round for six rounds before the trigger fired — 928 s vs
+# q_cc_star's 433 s (2.14×, just over the ≤2× criterion). Geometric
+# collapse on bounded-diameter LSH-clique graphs is far steeper than 4×
+# (the fixtures retire the whole frontier in one round), so requiring
+# ≥4× decay to KEEP propagating fires the escape ~3 rounds earlier on
+# diameter-dominated graphs while still never firing on graphs that
+# converge outright. The escape is exact from any partial state, so
+# this constant is purely a cost dial.
+CC_STALL_DECAY = 4
+
 
 def min_label_components(
     spark: SparkSession,
@@ -573,7 +587,10 @@ def min_label_components(
                 algo="label_prop",
             )
             return labels
-        if prev_changed is not None and (row.nc or 0) * 2 > prev_changed:
+        if (
+            prev_changed is not None
+            and (row.nc or 0) * CC_STALL_DECAY > prev_changed
+        ):
             reason = "stalled"
             LAST_CC_STATS.update(
                 rounds=rnd + 1, escaped=True, reason=reason,
