@@ -138,7 +138,56 @@ def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip_agg(back)
 
 
+def q_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → line-oriented plain text (one record per line,
+    tab-delimited ``doc_id \\t lang \\t text``) → ``spark.read.text``
+    → parse → aggregate. The raw-corpus landing shape (C4/OSCAR-style
+    one-document-per-line dumps) that a training-data pipeline
+    ingests before any columnar conversion.
+
+    Record framing: the writer TRANSLATE-s tabs/newlines/CRs inside
+    the body to spaces (1:1, length-preserving — the oracle's
+    ``length(text)`` is unchanged) so one record is exactly one line
+    and the two delimiter splits are unambiguous; the reader splits
+    with ``limit=3`` so any residual delimiter bytes stay in the
+    body. Written UNCOMPRESSED deliberately: at 100 TB a gzip text
+    dump is one unsplittable stream per file, so either leave raw or
+    use a splittable codec (bzip2) — the scan here stays
+    one-task-per-128MB-split either way."""
+    path = scratch_dir(spark, "formats", "docs_text")
+    docs = table(spark, sf_dir, "documents")
+    (
+        docs.select(
+            F.concat_ws(
+                "\t",
+                F.col("doc_id").cast("string"),
+                F.col("lang"),
+                F.translate("text", "\t\n\r", "   "),
+            ).alias("value")
+        )
+        .write.mode("overwrite")
+        .text(path)
+    )
+    parts = F.split(F.col("value"), "\t", 3)
+    parsed = spark.read.text(path).select(
+        parts.getItem(0).cast("long").alias("doc_id"),
+        parts.getItem(1).alias("lang"),
+        parts.getItem(2).alias("text"),
+    )
+    return parsed.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("sum_chars"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
 ORACLE: dict[str, str] = {
+    "q_text_roundtrip": """
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+           max(doc_id) AS max_doc_id
+    FROM documents GROUP BY lang
+    """,
     "q_csv_roundtrip": _ROUNDTRIP_ORACLE,
     "q_jsonl_roundtrip": _ROUNDTRIP_ORACLE,
     "q_orc_roundtrip": _ROUNDTRIP_ORACLE,
