@@ -275,6 +275,14 @@ def main() -> None:
         except Exception as e:  # record failures as -1, keep benching
             sys.stderr.write(f"{name} FAILED: {e}\n")
             timings[name] = -1.0
+        # Release THIS query's plan before the next one runs: the loop
+        # variable otherwise pins query N's JVM DataFrame (and its
+        # materialized AQE shuffle stages) through the WHOLE of query
+        # N+1 — rebinding happens only after fn() returns — so a heavy
+        # query always runs with its predecessor's shuffle files
+        # undeletable (r11 sf100 post-mortem: q_tpch_q7 ENOSPC'd while
+        # ~25 GB of already-dead exchanges sat in blockmgr).
+        df = None  # noqa: F841 — deliberate reference drop
         # Snapshot streaming progress metrics (micro-batch count,
         # late drops, state peak/evicted) so scale runs carry the
         # eviction evidence in the artifact, not just in test logs.
@@ -311,9 +319,34 @@ def main() -> None:
                 # query 221, which starved q_tpch_q3's sf100 SMJ spill
                 # into an ENOSPC JVM death). Nothing references the
                 # previous queries' frames anymore — one JVM System.gc
-                # lets the ContextCleaner reclaim them.
+                # lets the ContextCleaner reclaim them. The reclaim is
+                # ASYNCHRONOUS (cleaner thread drains a reference
+                # queue), and the r11 single pass died on exactly that
+                # lag: the between-queries GC fired at 36 GB free, the
+                # next spiller launched immediately, and the dead
+                # exchanges were still on disk when it hit the floor.
+                # So under pressure, WAIT (bounded) for the cleanup to
+                # actually land before starting the next query: poll
+                # free space, stop as soon as the threshold is met or
+                # two consecutive polls show no further progress. The
+                # wait is harness time, not query time — it lands in
+                # harness_overhead_sec, keeping per-query walls honest.
                 spark.sparkContext._jvm.System.gc()
-                sys.stderr.write("jvm gc (low disk)\n")
+                deadline = time.monotonic() + 90
+                prev_free = free
+                stalls = 0
+                while (
+                    free < SHUFFLE_GC_FREE_BYTES
+                    and time.monotonic() < deadline
+                    and stalls < 2
+                ):
+                    time.sleep(3)
+                    free = shutil.disk_usage(REPO_ROOT).free
+                    stalls = stalls + 1 if free <= prev_free else 0
+                    prev_free = free
+                sys.stderr.write(
+                    f"jvm gc (low disk): {free >> 30} GB free after wait\n"
+                )
             if free < MIN_FREE_BYTES:
                 # spare the kmeans materialize-once caches (retraining
                 # them costs ~minutes at data scale); the storage-family
