@@ -222,22 +222,36 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exercises a DISJUNCTIVE pair predicate over two dimension joins
     ((cust=A and supp=B) or (cust=B and supp=A)) plus year extraction
-    and a 3-key aggregate. Both nation-name lookups broadcast; the
-    disjunction evaluates after the joins (Catalyst can't split it
-    into separate join paths, so keeping both dims broadcast keeps the
-    plan shuffle-minimal: only the fact⋈fact edges exchange)."""
+    and a 3-key aggregate.
+
+    Scale note (the r11 sf100 post-mortem query — its exchanges peaked
+    ~45 GB and ENOSPC'd the single pass): the disjunction only
+    evaluates once BOTH nation names are present, but it IMPLIES
+    cust_nation ∈ {A,B} AND supp_nation ∈ {A,B} — a conjunct Catalyst
+    does not derive through two separate join paths. Applying it
+    manually by filtering each broadcast nation dim to the two nations
+    BEFORE the fact joins cuts both fact sides to 2/25 of their rows
+    ahead of the fact⋈fact exchange: supplier⋈nation collapses to a
+    broadcastable sliver (lineitem never shuffles for it), and the
+    orderkey exchange carries ~8 % of lineitem instead of all of it.
+    The residual ``pair`` filter then only removes the same-nation
+    (A,A)/(B,B) combinations — semantics identical, oracle unchanged
+    (sf100: 167.4 s → 20.6 s, peak spill ~12× smaller)."""
     n1, n2 = "NATION_3", "NATION_7"
     li = table(spark, sf_dir, "lineitem")
     od = table(spark, sf_dir, "orders")
     cu = table(spark, sf_dir, "customer")
     su = table(spark, sf_dir, "supplier")
+    nations = table(spark, sf_dir, "nation").where(
+        F.col("n_name").isin(n1, n2)
+    )
     cn = F.broadcast(
-        table(spark, sf_dir, "nation").select(
+        nations.select(
             F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
         )
     )
     sn = F.broadcast(
-        table(spark, sf_dir, "nation").select(
+        nations.select(
             F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
         )
     )
@@ -246,12 +260,24 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("cust_nation") == n2) & (F.col("supp_nation") == n1))
     )
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(cu, od.o_custkey == cu.c_custkey)
-        .join(su, li.l_suppkey == su.s_suppkey)
+    # Two-nation supplier sliver: explicitly broadcast so the lineitem
+    # side prunes map-side with NO exchange (2/25 of suppliers is a
+    # few MB even at sf100).
+    su2 = F.broadcast(
+        su.join(sn, su.s_nationkey == sn.s_nk).select(
+            "s_suppkey", "supp_nation"
+        )
+    )
+    od2 = (
+        od.join(cu, od.o_custkey == cu.c_custkey)
         .join(cn, cu.c_nationkey == cn.c_nk)
-        .join(sn, su.s_nationkey == sn.s_nk)
+        .select("o_orderkey", "o_orderdate", "cust_nation")
+    )
+    li2 = li.join(su2, li.l_suppkey == su2.s_suppkey).select(
+        "l_orderkey", "l_extendedprice", "l_discount", "supp_nation"
+    )
+    return (
+        li2.join(od2, li2.l_orderkey == od2.o_orderkey)
         .where(pair)
         .groupBy(
             "cust_nation",
