@@ -82,7 +82,16 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local-supplier volume (TPC-H Q5 shape): revenue per nation for
     orders whose customer and supplier share the nation, one region,
     one order-year. region/nation are broadcast dims (the
-    program-registry analog, SURVEY J1)."""
+    program-registry analog, SURVEY J1).
+
+    Scale note (same treatment as Q7's r11 rewrite): the region
+    restriction reaches the plan only through the LAST dim join, so
+    the fact⋈fact exchanges carried every region's rows. Deriving it
+    first — region→nations→suppliers/customers — prunes both fact
+    sides to the region's share BEFORE they exchange, and the in-ASIA
+    supplier sliver broadcasts so lineitem's pruning costs no shuffle.
+    The customer-nation == supplier-nation conjunct rides the final
+    orderkey join unchanged (sf100: 82.5 s → 22.2 s)."""
     cu = table(spark, sf_dir, "customer")
     od = table(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -93,16 +102,29 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = table(spark, sf_dir, "nation")
     re = table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    na2 = na.join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+    su2 = F.broadcast(
+        su.join(
+            F.broadcast(na2), su.s_nationkey == na2.n_nationkey
+        ).select("s_suppkey", "s_nationkey", "n_name")
+    )
+    cu2 = cu.join(
+        F.broadcast(na2.select(F.col("n_nationkey").alias("c_nk"))),
+        cu.c_nationkey == F.col("c_nk"),
+    ).select("c_custkey", "c_nationkey")
+    li2 = li.join(su2, li.l_suppkey == su2.s_suppkey).select(
+        "l_orderkey", "l_extendedprice", "l_discount",
+        "s_nationkey", "n_name",
+    )
+    od2 = od.join(cu2, od.o_custkey == cu2.c_custkey).select(
+        "o_orderkey", "c_nationkey"
+    )
     return (
-        li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(cu, od.o_custkey == cu.c_custkey)
-        .join(
-            su,
-            (li.l_suppkey == su.s_suppkey)
-            & (cu.c_nationkey == su.s_nationkey),
+        li2.join(
+            od2,
+            (li2.l_orderkey == od2.o_orderkey)
+            & (li2.s_nationkey == od2.c_nationkey),
         )
-        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
-        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
         .groupBy("n_name")
         .agg(F.round(F.sum(revenue), 2).alias("revenue"))
     )
