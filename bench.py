@@ -335,14 +335,22 @@ def main() -> None:
                 deadline = time.monotonic() + 90
                 prev_free = free
                 stalls = 0
+                # The cleaner thread may take >6 s just to START
+                # deleting (ADVICE r11): the stall counter only ends
+                # the wait once reclamation has been observed at least
+                # once — before that, only the 90 s deadline applies.
+                progressed = False
                 while (
                     free < SHUFFLE_GC_FREE_BYTES
                     and time.monotonic() < deadline
-                    and stalls < 2
+                    and (not progressed or stalls < 2)
                 ):
                     time.sleep(3)
                     free = shutil.disk_usage(REPO_ROOT).free
-                    stalls = stalls + 1 if free <= prev_free else 0
+                    if free > prev_free:
+                        progressed, stalls = True, 0
+                    else:
+                        stalls += 1
                     prev_free = free
                 sys.stderr.write(
                     f"jvm gc (low disk): {free >> 30} GB free after wait\n"

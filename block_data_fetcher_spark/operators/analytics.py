@@ -3055,6 +3055,15 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("r"),
             )
         )
+        # Materialize each round's rank frame (same iter_checkpoint
+        # the CC family uses): without it the round-k broadcast
+        # subquery NESTS every earlier round's joins, and on a
+        # multi-executor master each broadcast build re-collects and
+        # re-serializes that whole chain through the driver —
+        # GATE_COMPARE_SF01_r11 measured 5.4× on local-cluster for
+        # exactly this. Per-round state is node-count-bounded, so the
+        # checkpoint is cheap at any scale.
+        ranks = iter_checkpoint(ranks)
     return ranks.select(
         F.col("node").alias("nationkey"), (F.round(F.col("r"), 6) + 0.0).alias("rank")
     )

@@ -129,6 +129,21 @@ def get_spark(
         # (ADVICE r9).
         .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
+    # SPARK_GRAFT_EXTRA_JARS (os.pathsep-separated paths) feeds
+    # spark.jars so the classpath gates in sources/formats.py and
+    # lakehouse.py attest jars the session will actually load — not
+    # merely that the operator set them. Only effective for the
+    # process's FIRST session (getOrCreate ignores configs on an
+    # existing one), same as every other builder conf above.
+    extra_jars = [
+        p
+        for p in os.environ.get("SPARK_GRAFT_EXTRA_JARS", "").split(
+            os.pathsep
+        )
+        if p
+    ]
+    if extra_jars:
+        builder = builder.config("spark.jars", ",".join(extra_jars))
     return builder.getOrCreate()
 
 

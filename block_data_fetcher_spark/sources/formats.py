@@ -156,12 +156,20 @@ def q_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-task-per-128MB-split either way."""
     path = scratch_dir(spark, "formats", "docs_text")
     docs = table(spark, sf_dir, "documents")
+    # concat_ws SKIPS null arguments (it does not emit an empty
+    # field), so a null doc_id or lang would shift the tab framing
+    # and the reader would silently mis-parse (lang becomes the
+    # body's first chunk). Coalesce the two leading fields to the
+    # classic "\\N" ext-file null marker and nullif it back on read;
+    # only the LAST field (text) may rely on concat_ws's drop
+    # behavior, where a missing trailer cannot shift anything.
+    null_mark = "\\N"
     (
         docs.select(
             F.concat_ws(
                 "\t",
-                F.col("doc_id").cast("string"),
-                F.col("lang"),
+                F.coalesce(F.col("doc_id").cast("string"), F.lit(null_mark)),
+                F.coalesce(F.col("lang"), F.lit(null_mark)),
                 F.translate("text", "\t\n\r", "   "),
             ).alias("value")
         )
@@ -170,8 +178,8 @@ def q_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     parts = F.split(F.col("value"), "\t", 3)
     parsed = spark.read.text(path).select(
-        parts.getItem(0).cast("long").alias("doc_id"),
-        parts.getItem(1).alias("lang"),
+        F.nullif(parts.getItem(0), F.lit(null_mark)).cast("long").alias("doc_id"),
+        F.nullif(parts.getItem(1), F.lit(null_mark)).alias("lang"),
         parts.getItem(2).alias("text"),
     )
     return parsed.groupBy("lang").agg(

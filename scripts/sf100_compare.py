@@ -50,8 +50,18 @@ def main() -> int:
     out = {
         "n_done": len(cur),
         "n_compared": len(shared),
-        "sum_cur_sec": round(sum(cur[k] for k in cur if cur[k] > 0), 1),
-        "sum_base_same_queries": round(sum(bq[k] for k in cur if k in bq), 1),
+        # Both headline sums cover the SAME query set (successes only,
+        # present in both runs) so a failed query can't deflate one
+        # side; the baseline seconds of any failures show separately.
+        "sum_cur_sec": round(
+            sum(cur[k] for k in cur if cur[k] > 0 and k in bq), 1
+        ),
+        "sum_base_same_queries": round(
+            sum(bq[k] for k in cur if cur[k] > 0 and k in bq), 1
+        ),
+        "failed_base_sec": round(
+            sum(bq[k] for k in cur if cur[k] < 0 and k in bq), 1
+        ),
         "ratio_median": (round(statistics.median(r[0] for r in ranked), 3)
                           if ranked else None),
         "top_ratios": [

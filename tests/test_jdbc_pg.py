@@ -1,0 +1,172 @@
+"""Integration smoke of the JDBC upsert sink against a REAL
+PostgreSQL (VERDICT r11 item 5): the container ships PostgreSQL 15
+binaries (initdb/pg_ctl/psql), so `etl/jdbc.py:jdbc_upsert` runs
+end-to-end against a live server and the reference's idempotent-rerun
+property (src/etl/load.rs:70-139 — re-running a batch leaves the table
+unchanged) is asserted on actual ON CONFLICT execution, not on a
+recorded statement string.
+
+Transport note: no Postgres JDBC driver jar is baked into the pyspark
+distribution and package installation is disallowed, so the two
+injectable legs carry bytes through `psql` over a unix socket —
+`write_staging` COPYs the deduplicated frame's rows, `run_sql` pipes
+the GENERATED statement verbatim. The statement under test is exactly
+what the production `java.sql.DriverManager` leg would execute; only
+the wire differs. On a deployment with the driver jar, drop both
+injections and the same upsert runs over executor JDBC.
+
+The server runs as `nobody` (postgres refuses root), trust-auth, unix
+socket only — no ports, no network.
+"""
+
+from __future__ import annotations
+
+import shutil
+import subprocess
+import tempfile
+
+import pytest
+
+PG_BIN = "/usr/local/bin"
+SETPRIV = shutil.which("setpriv")
+
+
+def _have_pg() -> bool:
+    return all(
+        shutil.which(b, path=PG_BIN) for b in ("initdb", "pg_ctl")
+    ) and bool(shutil.which("psql") and SETPRIV)
+
+
+def _as_nobody(*argv: str, **kw) -> subprocess.CompletedProcess:
+    return subprocess.run(
+        [SETPRIV, "--reuid=nobody", "--regid=nogroup", "--clear-groups", *argv],
+        capture_output=True,
+        text=True,
+        **kw,
+    )
+
+
+@pytest.fixture(scope="module")
+def pg():
+    if not _have_pg():
+        pytest.skip("postgres binaries / setpriv not available")
+    root = tempfile.mkdtemp(prefix="bdf_pg_")
+    data, sock = f"{root}/data", f"{root}/sock"
+    subprocess.run(["mkdir", "-p", data, sock], check=True)
+    subprocess.run(["chown", "-R", "nobody:nogroup", root], check=True)
+    r = _as_nobody(
+        f"{PG_BIN}/initdb", "-D", data, "-U", "pguser", "--auth=trust"
+    )
+    if r.returncode != 0:
+        shutil.rmtree(root, ignore_errors=True)
+        pytest.skip(f"initdb failed: {r.stderr[-300:]}")
+    r = _as_nobody(
+        f"{PG_BIN}/pg_ctl", "-D", data, "-l", f"{root}/log",
+        "-o",
+        f"-c listen_addresses='' -c unix_socket_directories={sock}",
+        "-w", "start",
+    )
+    if r.returncode != 0:
+        shutil.rmtree(root, ignore_errors=True)
+        pytest.skip(f"pg_ctl start failed: {r.stderr[-300:]}")
+    try:
+        yield {"sock": sock, "user": "pguser", "db": "postgres"}
+    finally:
+        _as_nobody(f"{PG_BIN}/pg_ctl", "-D", data, "-m", "fast", "-w", "stop")
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _psql(pg, sql: str, stdin: str | None = None) -> str:
+    r = subprocess.run(
+        [
+            "psql", "-h", pg["sock"], "-U", pg["user"], "-d", pg["db"],
+            "-v", "ON_ERROR_STOP=1", "-qAt", "-c", sql,
+        ],
+        input=stdin,
+        capture_output=True,
+        text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    return r.stdout.strip()
+
+
+def _pg_legs(pg):
+    """psql-backed (write_staging, run_sql) injection pair."""
+
+    def write_staging(df, staging: str) -> None:
+        rows = df.select("slot", "signature", "fee", "updated").collect()
+        _psql(
+            pg,
+            f'DROP TABLE IF EXISTS "{staging}"; '
+            f'CREATE TABLE "{staging}" '
+            "(slot bigint, signature text, fee double precision, "
+            "updated bigint)",
+        )
+        lines = "\n".join(
+            f"{r.slot}\t{r.signature}\t{r.fee}\t{r.updated}" for r in rows
+        )
+        _psql(pg, f'COPY "{staging}" FROM STDIN', stdin=lines + "\n")
+
+    def run_sql(sql: str) -> None:
+        _psql(pg, sql)
+
+    return write_staging, run_sql
+
+
+def _snapshot(pg) -> list[str]:
+    return _psql(
+        pg,
+        "SELECT slot, signature, fee, updated FROM transactions "
+        "ORDER BY signature",
+    ).splitlines()
+
+
+def test_jdbc_upsert_live_postgres_idempotent(spark, pg):
+    from block_data_fetcher_spark.etl.jdbc import jdbc_upsert
+
+    _psql(
+        pg,
+        "DROP TABLE IF EXISTS transactions; "
+        "CREATE TABLE transactions (slot bigint, signature text PRIMARY KEY, "
+        "fee double precision, updated bigint)",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "sigA", 1.0, 100),
+            (10, "sigA", 2.0, 200),  # same key, later `updated` — wins
+            (11, "sigB", 3.0, 100),
+        ],
+        "slot long, signature string, fee double, updated long",
+    )
+    write_staging, run_sql = _pg_legs(pg)
+
+    stmt = jdbc_upsert(
+        batch, url="", table="transactions", keys=["signature"],
+        order=["updated"], write_staging=write_staging, run_sql=run_sql,
+    )
+    assert 'ON CONFLICT ("signature") DO UPDATE' in stmt
+    first = _snapshot(pg)
+    assert first == ["10|sigA|2|200", "11|sigB|3|100"]
+
+    # the reference's idempotence contract: identical rerun, no change
+    jdbc_upsert(
+        batch, url="", table="transactions", keys=["signature"],
+        order=["updated"], write_staging=write_staging, run_sql=run_sql,
+    )
+    assert _snapshot(pg) == first
+
+    # cross-batch last-wins: a later batch updates in place, never dups
+    batch2 = spark.createDataFrame(
+        [(12, "sigA", 9.0, 300), (12, "sigC", 4.0, 300)],
+        "slot long, signature string, fee double, updated long",
+    )
+    jdbc_upsert(
+        batch2, url="", table="transactions", keys=["signature"],
+        order=["updated"], write_staging=write_staging, run_sql=run_sql,
+    )
+    assert _snapshot(pg) == [
+        "12|sigA|9|300",
+        "11|sigB|3|100",
+        "12|sigC|4|300",
+    ]
+    assert _psql(pg, "SELECT count(*) FROM transactions") == "3"

@@ -144,3 +144,44 @@ def test_minhash_clean_removes_boilerplate_candidates(spark, sf_dir):
     }
     assert clean == raw, "cleaning must recover the raw candidate set"
     assert dirty_n > 5 * len(clean), (dirty_n, len(clean))
+
+
+def test_centroid_collect_sqrt_bound(spark, sf_dir):
+    """VERDICT r11 item 7: the ONLY driver round-trip in the k-means /
+    semdedup / knn-join family is the per-iteration centroid
+    collect+rebroadcast, and its row count must stay <= the family's
+    sizing rule — max(8, floor(sqrt(N))) for the dynamic-K blocking
+    trajectory, N_CENTROIDS for fixed-K IVF. A centroid list that
+    tracked N (or cluster x dim rows — the r9 regression shape) would
+    make the driver the bottleneck at 1e9 vectors; the escape plan for
+    beyond sqrt(N)-collect scale (tree-aggregated broadcast-join
+    update) is documented at the collect site in _lloyd_final."""
+    import math
+
+    from block_data_fetcher_spark.catalog import table
+    from block_data_fetcher_spark.functions.similarity import (
+        N_CENTROIDS,
+        _lloyd_cents,
+        _sem_k,
+        _semdedup_final,
+        _ivf_assign,
+        ivf_train_bound,
+    )
+
+    n = table(spark, sf_dir, "embeddings").count()
+    cap = max(8, math.floor(math.sqrt(n)))
+
+    _semdedup_final(spark, sf_dir)  # ensure the "_sem" build exists
+    sem_cents = _lloyd_cents(spark, sf_dir, "_sem")
+    # drop-cluster rule can only shrink the list below the sizing rule
+    assert len(sem_cents) <= _sem_k(n) <= cap
+
+    _ivf_assign(spark, sf_dir)
+    ivf_cents = _lloyd_cents(spark, sf_dir, "_ivf")
+    assert len(ivf_cents) <= N_CENTROIDS
+
+    # fixed-K training collect: 256/centroid, hard 2^18 ceiling, never
+    # below K — the driver-side sample can't grow unboundedly with K
+    for k in (1, 8, 1 << 10, 1 << 12, 1 << 20):
+        b = ivf_train_bound(k)
+        assert k <= b <= max(k, 1 << 18)
