@@ -117,21 +117,27 @@ def main() -> int:
 
     master = args.master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
     # Vanilla session, like the driver: no engine confs beyond what a
-    # query sets for itself at read time.
+    # query sets for itself at read time — EXCEPT heap. The 1g default
+    # driver heap is a HARNESS limit, not a query property: a 254-query
+    # single-JVM pass accumulates ~20k stages of bookkeeping plus every
+    # query's result collect, and the r12 sf0.1 run OOM'd at query ~200
+    # (q_lsh_recall shuffle write) on the default. 6g matches what the
+    # local-cluster branch always used; any real driver process runs
+    # with a configured heap too.
     builder = (
         SparkSession.builder.master(master)
         .appName("driver-gate-replica")
+        .config("spark.driver.memory", "6g")
     )
     if master.startswith("local-cluster"):
         # Multi-node needs: the package importable by EXECUTOR python
-        # workers (they don't inherit the driver's sys.path insert),
-        # and headroom on the driver for the result collects.
+        # workers (they don't inherit the driver's sys.path insert).
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         prev = os.environ.get("PYTHONPATH", "")
         os.environ["PYTHONPATH"] = f"{repo}:{prev}" if prev else repo
         builder = builder.config(
             "spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"]
-        ).config("spark.driver.memory", "6g")
+        )
     spark = builder.getOrCreate()
     if master.startswith("local-cluster"):
         # Iterative operators refuse to run on a distributed master
