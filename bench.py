@@ -44,6 +44,22 @@ MIN_FREE_BYTES = 24 << 30
 # Trigger shuffle-file GC earlier: the largest single-query spill
 # (sf100 TPC-H Q3's sort-merge exchanges) needs ~50 GB headroom.
 SHUFFLE_GC_FREE_BYTES = 56 << 30
+# Last-resort shuffle hygiene (VERDICT r12 item 3): when the JVM GC
+# wait above still leaves the disk under the threshold, physically
+# unlink shuffle_* files older than this from the app's OWN blockmgr
+# dirs. The r12 sf100 decade pass proved both halves of the premise:
+# ~22 GB of shuffle files from queries 10+ positions back survived
+# every between-query System.gc (the ContextCleaner reclaims only
+# after the owning ShuffleDependency is collected, which a long
+# session defers indefinitely), and a live out-of-band sweep of
+# +45 min files at query ~200 freed 37 GB with zero FetchFailed for
+# the remaining 54 queries. The age bound keeps it safe by
+# construction: the sweep runs BETWEEN queries (no job in flight), no
+# single catalog query runs anywhere near 45 min, and cross-query
+# shared state (kmeans/IVF caches, iter_checkpoint blocks) lives in
+# parquet scratch / rdd_* blocks, never in shuffle files. If the JVM
+# later GCs the dependency it double-deletes a missing file — a no-op.
+STALE_SHUFFLE_AGE_SEC = 45 * 60
 
 # Queries whose result is O(input) rows: drain with count() instead of
 # collecting everything to the driver.
@@ -136,8 +152,52 @@ def _provenance(spark) -> dict:
     }
 
 
+def _blockmgr_dirs(spark) -> list:
+    """This app's block-manager local dirs (where shuffle_* files
+    live), via the JVM's DiskBlockManager; falls back to globbing the
+    temp dir for blockmgr-* if the py4j path is unavailable."""
+    try:
+        jdirs = (
+            spark.sparkContext._jvm.org.apache.spark.SparkEnv.get()
+            .blockManager()
+            .diskBlockManager()
+            .localDirs()
+        )
+        return [jdirs[i].getAbsolutePath() for i in range(len(jdirs))]
+    except Exception:
+        import glob
+        import tempfile
+
+        return glob.glob(os.path.join(tempfile.gettempdir(), "blockmgr-*"))
+
+
+def _sweep_stale_shuffle(spark) -> tuple[int, int]:
+    """Unlink shuffle_* files older than STALE_SHUFFLE_AGE_SEC from
+    this app's blockmgr dirs (see the constant's rationale). Returns
+    (files_removed, bytes_freed). Best-effort: a file the JVM deletes
+    mid-walk is skipped, never an error."""
+    cutoff = time.time() - STALE_SHUFFLE_AGE_SEC
+    n = freed = 0
+    for d in _blockmgr_dirs(spark):
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                if not f.startswith("shuffle_"):
+                    continue
+                p = os.path.join(root, f)
+                try:
+                    st = os.stat(p)
+                    if st.st_mtime < cutoff:
+                        os.unlink(p)
+                        n += 1
+                        freed += st.st_size
+                except OSError:
+                    continue
+    return n, freed
+
+
 def _write_detail(
-    timings, stream_stats, cc_stats, sf_val, subset, prov, partial=False
+    timings, stream_stats, cc_stats, sf_val, subset, prov, partial=False,
+    disk_timeline=None,
 ):
     d = {
         "metric": "catalog_wall_clock",
@@ -148,6 +208,8 @@ def _write_detail(
         "n_failed": sum(1 for v in timings.values() if v < 0),
         **prov,
     }
+    if disk_timeline:
+        d["disk_timeline"] = list(disk_timeline)
     if partial:
         d["partial"] = True
     if subset is not None:
@@ -258,6 +320,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     stream_stats: dict[str, dict] = {}
     cc_stats: dict[str, dict] = {}
+    # Free-disk timeline (VERDICT r12 item 3): one sample per query,
+    # taken AFTER that query's hygiene pass, so a decade-pass artifact
+    # shows the shuffle-plateau shape and when/whether the sweep fired
+    # — without grepping stderr logs.
+    disk_timeline: list[dict] = []
     t_all = time.perf_counter()
     for name in sorted(queries):
         fn = queries[name]
@@ -355,6 +422,19 @@ def main() -> None:
                 sys.stderr.write(
                     f"jvm gc (low disk): {free >> 30} GB free after wait\n"
                 )
+                if free < SHUFFLE_GC_FREE_BYTES:
+                    # GC wait didn't reclaim enough — the stale-file
+                    # plateau (see STALE_SHUFFLE_AGE_SEC). Sweep it
+                    # in-harness instead of by hand (r12 needed a
+                    # manual out-of-band sweep at query ~200).
+                    n_rm, b_rm = _sweep_stale_shuffle(spark)
+                    if n_rm:
+                        free = shutil.disk_usage(REPO_ROOT).free
+                        sys.stderr.write(
+                            f"stale-shuffle sweep: {n_rm} files / "
+                            f"{b_rm >> 30} GB unlinked, "
+                            f"{free >> 30} GB free\n"
+                        )
             if free < MIN_FREE_BYTES:
                 # spare the kmeans materialize-once caches (retraining
                 # them costs ~minutes at data scale); the storage-family
@@ -365,12 +445,26 @@ def main() -> None:
             # from a dying JVM must not abort the remaining pass
             # (ADVICE r10: System.gc() raises Py4JError, not OSError)
             sys.stderr.write(f"hygiene skipped: {e}\n")
+        try:
+            import shutil as _sh
+
+            disk_timeline.append(
+                {
+                    "q": name,
+                    "t_sec": round(time.perf_counter() - t_all, 1),
+                    "free_gb": round(
+                        _sh.disk_usage(REPO_ROOT).free / (1 << 30), 1
+                    ),
+                }
+            )
+        except OSError:
+            pass
         # Incremental artifact: a pass that dies at query N (ENOSPC,
         # OOM-kill) still leaves the full per-query map on disk — the
         # summary/history line stays completion-only.
         _write_detail(
             timings, stream_stats, cc_stats, sf_val, subset, prov,
-            partial=True,
+            partial=True, disk_timeline=disk_timeline,
         )
     total = round(time.perf_counter() - t_all, 3)
 
@@ -389,6 +483,7 @@ def main() -> None:
         "queries": timings,
         "stream_stats": stream_stats,
         "cc_stats": cc_stats,
+        "disk_timeline": disk_timeline,
         "sf": sf_val,
         # r7: r5's sf10 history line silently carried a 28-query failed
         # tail (-1 markers only) that the round-6 wall-clock comparison

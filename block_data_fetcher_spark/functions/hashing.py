@@ -485,6 +485,20 @@ LAST_CC_STATS: dict[str, object] = {}
 # this constant is purely a cost dial.
 CC_STALL_DECAY = 4
 
+# Scale routing (VERDICT r12 item 4): above this many SYMMETRIC edge
+# rows, min_label_components skips label propagation entirely and runs
+# alternating-star from round one. Label-prop's only edge over star is
+# fewer/cheaper rounds on tiny bounded-diameter graphs; its per-round
+# cost is a full-|E| join either way, and the r12 sf100 decade pass
+# measured the big-graph outcome directly — the ~2M-edge dup graph
+# stalled after 2 label rounds and rode the star escape to 863.7 s,
+# 1.98× the 435.7 s of running star outright (q_cc_star, same graph).
+# Every shipped fixture's dup graph is ≤ ~2k symmetric rows (sf0.1:
+# 809 pairs), three orders of magnitude under the cutoff, so fixture
+# behavior (and the round-count pins in tests) is unchanged; sf100
+# (~2M rows) routes to star with no stalled warm-up rounds.
+CC_LABEL_PROP_MAX_EDGES = 200_000
+
 
 def min_label_components(
     spark: SparkSession,
@@ -524,7 +538,31 @@ def min_label_components(
         # candidate build), reused every round from checkpoint blocks
         .transform(iter_checkpoint)
     )
-    _size_rounds_to(spark, edges.count())
+    n_sym = edges.count()
+    _size_rounds_to(spark, n_sym)
+    if n_sym > CC_LABEL_PROP_MAX_EDGES:
+        # Big graph: go straight to alternating-star (O(log d) rounds,
+        # giant-component safe) instead of burning label rounds that
+        # the stall trigger would abandon anyway. The checkpointed
+        # symmetric edges are reused — star re-canonicalizes them with
+        # one (long, long) distinct over checkpoint blocks, far cheaper
+        # than recomputing the candidate build from `pairs`. Result is
+        # the identical fixpoint (component-min labels), so the
+        # recursive-CTE oracle is unchanged.
+        # Reset telemetry: star's label-prop-finisher branch keys off
+        # LAST_CC_STATS["algo"], which a PREVIOUS call in this process
+        # may have left at "label_prop" — without the clear, a routed
+        # run would mis-report the stale escape stats.
+        LAST_CC_STATS.clear()
+        out = star_components(
+            spark,
+            nodes,
+            edges.select(
+                F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
+            ),
+        )
+        LAST_CC_STATS.update(routed="edge_threshold", edge_rows=n_sym)
+        return out
     labels = nodes.select(
         "doc_id", F.col("doc_id").alias("cluster_id")
     ).transform(lambda d: iter_checkpoint(d, eager=False))

@@ -150,6 +150,15 @@ def get_spark(
         )
         if p
     ]
+    # spark.jars is itself comma-separated, so a jar path containing a
+    # comma cannot be expressed — reject loudly instead of silently
+    # splitting it into two bogus classpath entries (ADVICE r12).
+    bad = [p for p in extra_jars if "," in p]
+    if bad:
+        raise ValueError(
+            f"SPARK_GRAFT_EXTRA_JARS paths may not contain ',' "
+            f"(spark.jars is comma-delimited): {bad}"
+        )
     if extra_jars:
         builder = builder.config("spark.jars", ",".join(extra_jars))
     return builder.getOrCreate()

@@ -163,6 +163,13 @@ def q_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # classic "\\N" ext-file null marker and nullif it back on read;
     # only the LAST field (text) may rely on concat_ws's drop
     # behavior, where a missing trailer cannot shift anything.
+    # Known sentinel collision (ADVICE r12): the round-trip is exact
+    # for doc_id (a long's string form can never be "\\N") but a
+    # legitimate lang VALUE equal to the literal two chars \N would
+    # read back as NULL — the same ambiguity every \N-marked text
+    # dump (Hive/MySQL LOAD DATA) carries. The fixture lang domain is
+    # ISO codes, so the collision is unreachable here; a general
+    # writer would escape a leading backslash in lang before writing.
     null_mark = "\\N"
     (
         docs.select(

@@ -216,11 +216,57 @@ _STREAM_SCRATCH: list[str] = []
 _ATEXIT_ARMED = False
 
 
+# Minimum free bytes /dev/shm must have before a checkpoint dir is
+# placed there (headroom for the state-store delta files the query will
+# write; the biggest bounded-run delta measured at sf100 is a few GB —
+# q_stream_session's 95M state rows).
+_SHM_CKPT_MIN_FREE = 16 << 30
+
+
+def _checkpoint_base() -> str | None:
+    """Directory to host streaming CHECKPOINT dirs (offset WAL, commit
+    log, state-store deltas), or None for the tempfile default.
+
+    Every catalog/bench stream here is a BOUNDED availableNow run whose
+    checkpoint is drained and discarded within the same process —
+    crash-durability of the checkpoint buys nothing, but its fsync cost
+    is very real: the r12 round-close window measured 126–189 ms fsync
+    latency right after a 4 h sf100 pass, and q_stream_stream_join went
+    3.6 s → 29.2 s purely on checkpoint fsyncs (VERDICT r12 item 5). A
+    tmpfs mount makes those fsyncs memory-speed, which is semantically
+    safe exactly because the run is bounded and single-process. On a
+    real cluster a recoverable job would instead point
+    ``SPARK_GRAFT_CKPT_DIR`` at durable shared storage — the env var is
+    the override for both that case and for decade-scale local passes
+    that prefer disk over RAM headroom.
+
+    Sink DATA dirs deliberately stay on disk (they can be events-sized
+    at sf100); only ``ckpt_``-prefixed dirs route here."""
+    env = os.environ.get("SPARK_GRAFT_CKPT_DIR")
+    if env:
+        return env if os.path.isdir(env) else None
+    shm = "/dev/shm"
+    try:
+        import shutil as _sh
+
+        if os.path.isdir(shm) and (
+            _sh.disk_usage(shm).free >= _SHM_CKPT_MIN_FREE
+        ):
+            return shm
+    except OSError:
+        pass
+    return None
+
+
 def _mkdtemp(prefix: str) -> str:
     """tempfile.mkdtemp (per-process unique — already concurrency-safe)
-    plus lifecycle tracking so stream scratch doesn't leak."""
+    plus lifecycle tracking so stream scratch doesn't leak. Checkpoint
+    dirs (``ckpt_`` prefix) are routed to :func:`_checkpoint_base` —
+    tmpfs when available — so bounded-run checkpoint fsyncs never pay
+    disk latency; data sinks always stay on the tempfile default."""
     global _ATEXIT_ARMED
-    d = tempfile.mkdtemp(prefix=prefix)
+    base = _checkpoint_base() if prefix.startswith("ckpt_") else None
+    d = tempfile.mkdtemp(prefix=prefix, dir=base)
     _STREAM_SCRATCH.append(d)
     if not _ATEXIT_ARMED:
         import atexit

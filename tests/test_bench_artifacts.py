@@ -62,3 +62,39 @@ def test_bench_summary_and_detail_carry_contract_fields(tmp_path):
     )
     assert "q_group_count" not in detail["cc_stats"]
     assert detail["subset"] is True
+    # free-disk timeline (r13, VERDICT r12 item 3): one sample per
+    # query so decade-pass artifacts show the shuffle plateau shape
+    tl = detail["disk_timeline"]
+    assert [e["q"] for e in tl] == sorted(detail["queries"])
+    assert all(e["free_gb"] > 0 and e["t_sec"] >= 0 for e in tl)
+
+
+def test_sweep_stale_shuffle_unlinks_only_old_shuffle_files(
+    tmp_path, monkeypatch
+):
+    """The in-harness stale-shuffle sweep (r13, VERDICT r12 item 3)
+    must remove shuffle_* files older than the age bound and NOTHING
+    else — younger shuffle files and rdd_/broadcast_ blocks (checkpoint
+    lineage, cached frames) stay."""
+    import time as _t
+
+    sys.path.insert(0, REPO)
+    import bench
+
+    sub = tmp_path / "blockmgr-test" / "0a"
+    sub.mkdir(parents=True)
+    old_shuffle = sub / "shuffle_1_2_0.data"
+    new_shuffle = sub / "shuffle_9_0_0.data"
+    old_rdd = sub / "rdd_3_7"
+    for p in (old_shuffle, new_shuffle, old_rdd):
+        p.write_bytes(b"x" * 16)
+    stale = _t.time() - bench.STALE_SHUFFLE_AGE_SEC - 60
+    os.utime(old_shuffle, (stale, stale))
+    os.utime(old_rdd, (stale, stale))
+    monkeypatch.setattr(
+        bench, "_blockmgr_dirs", lambda _spark: [str(tmp_path)]
+    )
+    n, freed = bench._sweep_stale_shuffle(spark=None)
+    assert (n, freed) == (1, 16)
+    assert not old_shuffle.exists()
+    assert new_shuffle.exists() and old_rdd.exists()

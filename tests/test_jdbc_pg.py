@@ -52,8 +52,15 @@ def pg():
         pytest.skip("postgres binaries / setpriv not available")
     root = tempfile.mkdtemp(prefix="bdf_pg_")
     data, sock = f"{root}/data", f"{root}/sock"
-    subprocess.run(["mkdir", "-p", data, sock], check=True)
-    subprocess.run(["chown", "-R", "nobody:nogroup", root], check=True)
+    try:
+        # chown to nobody needs root; on a non-root runner this must
+        # SKIP like every other missing-prerequisite path, not ERROR
+        # (ADVICE r12).
+        subprocess.run(["mkdir", "-p", data, sock], check=True)
+        subprocess.run(["chown", "-R", "nobody:nogroup", root], check=True)
+    except (subprocess.CalledProcessError, OSError) as e:
+        shutil.rmtree(root, ignore_errors=True)
+        pytest.skip(f"cannot prepare nobody-owned pg dirs: {e}")
     r = _as_nobody(
         f"{PG_BIN}/initdb", "-D", data, "-U", "pguser", "--auth=trust"
     )

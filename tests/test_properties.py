@@ -1126,3 +1126,41 @@ def test_min_label_shallow_graph_converges_without_escape(spark):
     assert got == want
     stats = dict(hashing.LAST_CC_STATS)
     assert not stats["escaped"] and stats["reason"] == "converged", stats
+    assert stats["algo"] == "label_prop", stats
+
+
+def test_min_label_routes_to_star_above_edge_threshold(spark, monkeypatch):
+    """r13 (VERDICT r12 item 4): above CC_LABEL_PROP_MAX_EDGES
+    symmetric edge rows, min_label_components must run alternating-star
+    from round one — same fixpoint, no label-prop rounds, no 'escaped'
+    stats (the sf100 decade pass burned two stalled label rounds before
+    admitting star was the right algorithm)."""
+    from block_data_fetcher_spark.functions import hashing
+    from block_data_fetcher_spark.functions.hashing import (
+        min_label_components,
+    )
+
+    edges = [
+        (a, b)
+        for grp in ([0, 1, 2, 3], [10, 11, 12, 13])
+        for a in grp
+        for b in grp
+        if a < b
+    ]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    nodes = spark.createDataFrame(
+        [(i,) for i in [0, 1, 2, 3, 10, 11, 12, 13, 99]], "doc_id long"
+    )
+    # 12 undirected edges -> 24 symmetric rows > 4: routing must fire
+    monkeypatch.setattr(hashing, "CC_LABEL_PROP_MAX_EDGES", 4)
+    got = {
+        r.doc_id: r.cluster_id
+        for r in min_label_components(spark, nodes, pairs).collect()
+    }
+    want = {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 12: 10, 13: 10, 99: 99}
+    assert got == want
+    stats = dict(hashing.LAST_CC_STATS)
+    assert stats["algo"] == "star", stats
+    assert not stats["escaped"], stats
+    assert stats["routed"] == "edge_threshold", stats
+    assert stats["edge_rows"] == 24, stats

@@ -769,3 +769,35 @@ def test_stream_stream_join_multibatch_matches(spark, sf_dir, monkeypatch):
     from block_data_fetcher_spark import scratch
 
     scratch.clear_scratch(spark)
+
+
+def test_checkpoint_dirs_route_to_checkpoint_base(tmp_path, monkeypatch):
+    """r13 (VERDICT r12 item 5): ckpt_* dirs must land under the
+    checkpoint base (tmpfs by default, SPARK_GRAFT_CKPT_DIR override)
+    so bounded-run checkpoint fsyncs never pay disk latency; sink DATA
+    dirs must stay on the tempfile default (they can be events-sized
+    at sf100, too big for RAM)."""
+    import os
+
+    from block_data_fetcher_spark.streaming import jobs
+
+    monkeypatch.setenv("SPARK_GRAFT_CKPT_DIR", str(tmp_path))
+    ckpt = jobs._mkdtemp("ckpt_probe_")
+    sink = jobs._mkdtemp("sink_probe_")
+    try:
+        assert os.path.dirname(ckpt) == str(tmp_path)
+        assert os.path.dirname(sink) != str(tmp_path)
+    finally:
+        jobs.clear_stream_scratch()
+    # default (no env): tmpfs when roomy, else the tempfile default —
+    # never a nonexistent path
+    monkeypatch.delenv("SPARK_GRAFT_CKPT_DIR", raising=False)
+    base = jobs._checkpoint_base()
+    assert base is None or os.path.isdir(base)
+    # a bogus env path must fall back to the default, not crash mkdtemp
+    monkeypatch.setenv("SPARK_GRAFT_CKPT_DIR", str(tmp_path / "missing"))
+    ckpt2 = jobs._mkdtemp("ckpt_probe2_")
+    try:
+        assert os.path.isdir(ckpt2)
+    finally:
+        jobs.clear_stream_scratch()
