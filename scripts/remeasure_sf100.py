@@ -82,7 +82,12 @@ def main() -> int:
     ]
     r9 = _r9_union()
 
+    # Merge-resume: a crashed run (e.g. the first attempt OOMed on
+    # query 7 of 8 after 30 heavy sf100 reps) keeps its completed
+    # entries; re-invoke with --only for the remainder.
     results: dict[str, dict] = {}
+    if os.path.exists(args.out):
+        results = json.load(open(args.out)).get("queries", {})
     for name in targets:
         fn = queries[name]
         walls: list[float] = []
@@ -95,6 +100,14 @@ def main() -> int:
                 df.collect()
             walls.append(round(time.perf_counter() - t0, 3))
             df = None  # release the plan (same rule as bench.py)
+            # Between-rep hygiene (the first attempt died acquiring
+            # execution memory on rep 31 of the session): drop the
+            # previous rep's AQE stages/broadcasts before the next one
+            # allocates its sorters.
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
         warm = sorted(walls[1:]) or walls
         entry = {
             "walls": walls,
@@ -111,19 +124,21 @@ def main() -> int:
             entry["cleared"] = entry["warm_vs_r9"] <= 1.5
         results[name] = entry
         sys.stderr.write(f"{name}: {entry}\n")
-
-    out = {
-        "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
-        "sf": 100.0,
-        "reps": args.reps,
-        "note": (
-            "fresh-JVM quiet-box 5x-warm re-measure per BASELINE.md; "
-            "warm_median vs r9 best-of-union decides the weak flags"
-        ),
-        "queries": results,
-    }
-    with open(args.out, "w") as f:
-        json.dump(out, f, indent=1, sort_keys=True)
+        # Incremental artifact: write after EVERY query so a mid-run
+        # crash never loses completed measurements.
+        out = {
+            "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+            "sf": 100.0,
+            "reps": args.reps,
+            "note": (
+                "fresh-JVM quiet-box 5x-warm re-measure per BASELINE.md;"
+                " warm_median vs r9 best-of-union decides the weak flags"
+            ),
+            "queries": results,
+        }
+        with open(args.out + ".tmp", "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+        os.replace(args.out + ".tmp", args.out)
     print(json.dumps({k: v.get("warm_vs_r9") for k, v in results.items()}))
     return 0
 
