@@ -72,10 +72,19 @@ def main() -> int:
     dup, star = q.get("q_dup_clusters"), q.get("q_cc_star")
     if dup and star and dup > 0 and star > 0:
         checks["dup_clusters_over_cc_star"] = round(dup / star, 2)
-        checks["dup_le_2x_star"] = dup <= 2 * star
+        # r13 bar (VERDICT r12 item 4): with the edge-threshold routing
+        # q_dup_clusters runs star outright at the decade, so the old
+        # <=2x escape allowance tightens to <=1.5x.
+        checks["dup_le_1_5x_star"] = dup <= 1.5 * star
     else:
-        checks["dup_le_2x_star"] = False
-    checks["cc_stats"] = d.get("cc_stats", {})
+        checks["dup_le_1_5x_star"] = False
+    cc = d.get("cc_stats", {})
+    checks["cc_stats"] = cc
+    # r13 bar: no CC-family query may ride the mid-run escape hatch at
+    # the decade — big graphs must be ROUTED to star from round one.
+    checks["cc_no_escapes"] = bool(cc) and not any(
+        v.get("escaped") for v in cc.values() if isinstance(v, dict)
+    )
 
     hard = [
         checks["single_pass"],
@@ -83,7 +92,8 @@ def main() -> int:
         checks["provenance"],
         checks["streams_multi_batch"],
         bool(checks["streams_evicting"]),
-        checks["dup_le_2x_star"],
+        checks["dup_le_1_5x_star"],
+        checks["cc_no_escapes"],
     ]
     out = {"ok": all(bool(x) for x in hard), **checks}
     print(json.dumps(out, sort_keys=True))
