@@ -380,6 +380,29 @@ def main() -> None:
             # when fixtures are mounted elsewhere).
             free = shutil.disk_usage(REPO_ROOT).free
             if free < SHUFFLE_GC_FREE_BYTES:
+                # CHEAP RECLAIM FIRST (r13): completed queries' sink
+                # tables are dead weight the moment their result is
+                # drained (the storage family leaves several
+                # events-sized tables at sf100 — 18 GB by mid-pass in
+                # the r13 run), and deleting files is instant, unlike
+                # waiting on the JVM cleaner below. Spare only the
+                # caches later queries reread (kmeans trajectories,
+                # the materialized IVF index). The r13 pass measured
+                # the cost of ordering this AFTER the GC wait: with
+                # scratch pinning free below the threshold and no
+                # stale shuffles to reclaim, every query burned the
+                # full no-progress wait — ~33 s/query of dead time.
+                scratch.clear_scratch(
+                    spark, keep_substr=("kmeans_assign", "ivf_index")
+                )
+                n_rm, b_rm = _sweep_stale_shuffle(spark)
+                free = shutil.disk_usage(REPO_ROOT).free
+                sys.stderr.write(
+                    f"cheap reclaim: sinks cleared, {n_rm} stale "
+                    f"shuffle files ({b_rm >> 30} GB) unlinked, "
+                    f"{free >> 30} GB free\n"
+                )
+            if free < SHUFFLE_GC_FREE_BYTES:
                 # A single-JVM catalog pass accumulates every query's
                 # shuffle files under spark.local.dir until the
                 # ShuffleDependency objects are GC'd (r10: ~19 GB by
@@ -400,17 +423,24 @@ def main() -> None:
                 # harness_overhead_sec, keeping per-query walls honest.
                 spark.sparkContext._jvm.System.gc()
                 deadline = time.monotonic() + 90
+                # The cleaner thread may take >6 s just to START
+                # deleting (ADVICE r11), so give reclamation a 12 s
+                # grace to BEGIN — but no longer (r13): when there is
+                # simply nothing left to reclaim (sinks and stale
+                # shuffles already swept above), holding the old
+                # until-deadline wait burned up to 90 s per query for
+                # the rest of a below-threshold pass.
+                grace = time.monotonic() + 12
                 prev_free = free
                 stalls = 0
-                # The cleaner thread may take >6 s just to START
-                # deleting (ADVICE r11): the stall counter only ends
-                # the wait once reclamation has been observed at least
-                # once — before that, only the 90 s deadline applies.
                 progressed = False
                 while (
                     free < SHUFFLE_GC_FREE_BYTES
                     and time.monotonic() < deadline
-                    and (not progressed or stalls < 2)
+                    and (
+                        (progressed and stalls < 2)
+                        or (not progressed and time.monotonic() < grace)
+                    )
                 ):
                     time.sleep(3)
                     free = shutil.disk_usage(REPO_ROOT).free
@@ -422,19 +452,6 @@ def main() -> None:
                 sys.stderr.write(
                     f"jvm gc (low disk): {free >> 30} GB free after wait\n"
                 )
-                if free < SHUFFLE_GC_FREE_BYTES:
-                    # GC wait didn't reclaim enough — the stale-file
-                    # plateau (see STALE_SHUFFLE_AGE_SEC). Sweep it
-                    # in-harness instead of by hand (r12 needed a
-                    # manual out-of-band sweep at query ~200).
-                    n_rm, b_rm = _sweep_stale_shuffle(spark)
-                    if n_rm:
-                        free = shutil.disk_usage(REPO_ROOT).free
-                        sys.stderr.write(
-                            f"stale-shuffle sweep: {n_rm} files / "
-                            f"{b_rm >> 30} GB unlinked, "
-                            f"{free >> 30} GB free\n"
-                        )
             if free < MIN_FREE_BYTES:
                 # spare the kmeans materialize-once caches (retraining
                 # them costs ~minutes at data scale); the storage-family

@@ -462,7 +462,12 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_pairs(parallelize(docs, spark)).where(
         F.col("est_sim") >= 0.5
     )
-    return min_label_components(spark, docs.select("doc_id"), pairs)
+    # pairs_canonical: minhash_pairs emits a unique doc_a<doc_b set by
+    # construction (first-collision-band dedup) — same contract
+    # q_cc_star asserts with canonical=True.
+    return min_label_components(
+        spark, docs.select("doc_id"), pairs, pairs_canonical=True
+    )
 
 
 # Last min_label_components run in this process: round count, whether
@@ -485,18 +490,17 @@ LAST_CC_STATS: dict[str, object] = {}
 # this constant is purely a cost dial.
 CC_STALL_DECAY = 4
 
-# Scale routing (VERDICT r12 item 4): above this many SYMMETRIC edge
-# rows, min_label_components skips label propagation entirely and runs
-# alternating-star from round one. Label-prop's only edge over star is
-# fewer/cheaper rounds on tiny bounded-diameter graphs; its per-round
-# cost is a full-|E| join either way, and the r12 sf100 decade pass
-# measured the big-graph outcome directly — the ~2M-edge dup graph
-# stalled after 2 label rounds and rode the star escape to 863.7 s,
-# 1.98× the 435.7 s of running star outright (q_cc_star, same graph).
-# Every shipped fixture's dup graph is ≤ ~2k symmetric rows (sf0.1:
-# 809 pairs), three orders of magnitude under the cutoff, so fixture
-# behavior (and the round-count pins in tests) is unchanged; sf100
-# (~2M rows) routes to star with no stalled warm-up rounds.
+# Scale routing (VERDICT r12 item 4): above this many UNDIRECTED edge
+# pairs, min_label_components skips label propagation entirely and
+# runs alternating-star from round one. Label-prop's only edge over
+# star is fewer/cheaper rounds on tiny bounded-diameter graphs; its
+# per-round cost is a full-|E| join either way, and the r12 sf100
+# decade pass measured the big-graph outcome directly — the dup graph
+# (455M pairs at sf100) stalled after 2 label rounds and rode the
+# star escape to 863.7 s, 1.98× the 435.7 s of running star outright
+# (q_cc_star, same graph). Every shipped fixture's dup graph is ≤ ~1k
+# pairs (sf0.1: 809), five orders of magnitude under the cutoff, so
+# fixture behavior (and the round-count pins in tests) is unchanged.
 CC_LABEL_PROP_MAX_EDGES = 200_000
 
 
@@ -505,6 +509,7 @@ def min_label_components(
     nodes: DataFrame,
     pairs: DataFrame,
     max_rounds: int = 12,
+    pairs_canonical: bool = False,
 ) -> DataFrame:
     """Reusable min-label-propagation connected components (the
     q_dup_clusters loop, extracted so other match graphs — e.g. the
@@ -527,42 +532,48 @@ def min_label_components(
     oracle is unchanged. Unit-pinned on a path graph 4× deeper than
     the budget."""
     spark = _iter_session(spark)
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(
-            pairs.select(
-                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
-            )
-        )
-        # eager: materialized ONCE at full parallelism (the expensive
-        # candidate build), reused every round from checkpoint blocks
-        .transform(iter_checkpoint)
-    )
-    n_sym = edges.count()
-    _size_rounds_to(spark, n_sym)
-    if n_sym > CC_LABEL_PROP_MAX_EDGES:
+    # Canonicalize and checkpoint the UNDIRECTED pair set FIRST — half
+    # the rows of the symmetric union — because the routing decision
+    # and both algorithms derive from it. ``pairs_canonical`` callers
+    # (minhash_pairs output is a unique a<b set by construction) skip
+    # the distinct: at sf100 that exchange carries the whole 455M-pair
+    # candidate graph once more, the exact cost q_cc_star's
+    # canonical=True flag exists to avoid. The first routed decade run
+    # paid for skipping this split: it checkpointed the 910M-row
+    # symmetric union and then let star re-canonicalize it with a
+    # 910M-row distinct — 791 s, 1.66× q_cc_star on the same graph.
+    canon = pairs.select(
+        F.least("doc_a", "doc_b").alias("doc_a"),
+        F.greatest("doc_a", "doc_b").alias("doc_b"),
+    ).where(F.col("doc_a") != F.col("doc_b"))
+    if not pairs_canonical:
+        canon = canon.distinct()
+    # eager: materialized ONCE at full parallelism (the expensive
+    # candidate build), reused by the route taken below
+    canon = iter_checkpoint(canon)
+    n_pairs = canon.count()
+    _size_rounds_to(spark, 2 * n_pairs)
+    if n_pairs > CC_LABEL_PROP_MAX_EDGES:
         # Big graph: go straight to alternating-star (O(log d) rounds,
         # giant-component safe) instead of burning label rounds that
         # the stall trigger would abandon anyway. The checkpointed
-        # symmetric edges are reused — star re-canonicalizes them with
-        # one (long, long) distinct over checkpoint blocks, far cheaper
-        # than recomputing the candidate build from `pairs`. Result is
-        # the identical fixpoint (component-min labels), so the
-        # recursive-CTE oracle is unchanged.
+        # canonical pairs feed star directly (canonical=True — no
+        # distinct, no symmetric blow-up). Result is the identical
+        # fixpoint (component-min labels), so the recursive-CTE oracle
+        # is unchanged.
         # Reset telemetry: star's label-prop-finisher branch keys off
         # LAST_CC_STATS["algo"], which a PREVIOUS call in this process
         # may have left at "label_prop" — without the clear, a routed
         # run would mis-report the stale escape stats.
         LAST_CC_STATS.clear()
-        out = star_components(
-            spark,
-            nodes,
-            edges.select(
-                F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
-            ),
-        )
-        LAST_CC_STATS.update(routed="edge_threshold", edge_rows=n_sym)
+        out = star_components(spark, nodes, canon, canonical=True)
+        LAST_CC_STATS.update(routed="edge_threshold", edge_pairs=n_pairs)
         return out
+    edges = canon.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(
+        canon.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
     labels = nodes.select(
         "doc_id", F.col("doc_id").alias("cluster_id")
     ).transform(lambda d: iter_checkpoint(d, eager=False))

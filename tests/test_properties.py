@@ -1147,11 +1147,14 @@ def test_min_label_routes_to_star_above_edge_threshold(spark, monkeypatch):
         for b in grp
         if a < b
     ]
+    # reversed + duplicate orientations: the default (non-canonical)
+    # path must canonicalize them away — edge_pairs stays 12
+    edges += [(1, 0), (13, 12), (2, 3)]
     pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
     nodes = spark.createDataFrame(
         [(i,) for i in [0, 1, 2, 3, 10, 11, 12, 13, 99]], "doc_id long"
     )
-    # 12 undirected edges -> 24 symmetric rows > 4: routing must fire
+    # 12 undirected pairs > 4: routing must fire
     monkeypatch.setattr(hashing, "CC_LABEL_PROP_MAX_EDGES", 4)
     got = {
         r.doc_id: r.cluster_id
@@ -1163,4 +1166,4 @@ def test_min_label_routes_to_star_above_edge_threshold(spark, monkeypatch):
     assert stats["algo"] == "star", stats
     assert not stats["escaped"], stats
     assert stats["routed"] == "edge_threshold", stats
-    assert stats["edge_rows"] == 24, stats
+    assert stats["edge_pairs"] == 12, stats
