@@ -154,8 +154,12 @@ def _provenance(spark) -> dict:
 
 def _blockmgr_dirs(spark) -> list:
     """This app's block-manager local dirs (where shuffle_* files
-    live), via the JVM's DiskBlockManager; falls back to globbing the
-    temp dir for blockmgr-* if the py4j path is unavailable."""
+    live), via the JVM's DiskBlockManager. If the py4j lookup fails,
+    returns [] — i.e. the stale-shuffle sweep is SKIPPED. The previous
+    fallback globbed tempdir for blockmgr-* and could therefore unlink
+    another live Spark process's shuffle files on a shared box
+    (ADVICE r13) — the exact cross-process interference scratch.py's
+    run-id isolation exists to prevent. No ownership proof, no sweep."""
     try:
         jdirs = (
             spark.sparkContext._jvm.org.apache.spark.SparkEnv.get()
@@ -165,18 +169,28 @@ def _blockmgr_dirs(spark) -> list:
         )
         return [jdirs[i].getAbsolutePath() for i in range(len(jdirs))]
     except Exception:
-        import glob
-        import tempfile
+        sys.stderr.write(
+            "blockmgr lookup failed; skipping stale-shuffle sweep\n"
+        )
+        return []
 
-        return glob.glob(os.path.join(tempfile.gettempdir(), "blockmgr-*"))
 
-
-def _sweep_stale_shuffle(spark) -> tuple[int, int]:
+def _sweep_stale_shuffle(spark, protect_after: float | None = None) -> tuple[int, int]:
     """Unlink shuffle_* files older than STALE_SHUFFLE_AGE_SEC from
     this app's blockmgr dirs (see the constant's rationale). Returns
     (files_removed, bytes_freed). Best-effort: a file the JVM deletes
-    mid-walk is skipped, never an error."""
+    mid-walk is skipped, never an error.
+
+    ``protect_after`` (ADVICE r13): the 45-min age bound rests on the
+    empirical claim that no query approaches 45 min; a future slower
+    query family would leave its own early shuffle files eligible at
+    the next sweep. The run loop passes the PREVIOUS query's start
+    time — files written at or after it can still be live (the current
+    or previous query's shuffle), so they are never deleted no matter
+    how old the age bound says they are."""
     cutoff = time.time() - STALE_SHUFFLE_AGE_SEC
+    if protect_after is not None:
+        cutoff = min(cutoff, protect_after)
     n = freed = 0
     for d in _blockmgr_dirs(spark):
         for root, _dirs, files in os.walk(d):
@@ -326,9 +340,14 @@ def main() -> None:
     # — without grepping stderr logs.
     disk_timeline: list[dict] = []
     t_all = time.perf_counter()
+    # Wall-clock start of the PREVIOUS query — the stale-shuffle
+    # sweep's delete-nothing-newer-than bound (ADVICE r13).
+    prev_q_start: float | None = None
+    q_start = time.time()
     for name in sorted(queries):
         fn = queries[name]
         hashing.LAST_CC_STATS.clear()
+        prev_q_start, q_start = q_start, time.time()
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)
@@ -395,7 +414,9 @@ def main() -> None:
                 scratch.clear_scratch(
                     spark, keep_substr=("kmeans_assign", "ivf_index")
                 )
-                n_rm, b_rm = _sweep_stale_shuffle(spark)
+                n_rm, b_rm = _sweep_stale_shuffle(
+                    spark, protect_after=prev_q_start
+                )
                 free = shutil.disk_usage(REPO_ROOT).free
                 sys.stderr.write(
                     f"cheap reclaim: sinks cleared, {n_rm} stale "

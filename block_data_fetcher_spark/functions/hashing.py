@@ -566,7 +566,13 @@ def min_label_components(
         # may have left at "label_prop" — without the clear, a routed
         # run would mis-report the stale escape stats.
         LAST_CC_STATS.clear()
-        out = star_components(spark, nodes, canon, canonical=True)
+        # n_edges: canon is checkpointed and counted just above — star
+        # must not re-materialize it (ADVICE r13: the first routed
+        # shape paid one redundant full write+read+count of the
+        # ~455M-pair graph before round one).
+        out = star_components(
+            spark, nodes, canon, canonical=True, n_edges=n_pairs
+        )
         LAST_CC_STATS.update(routed="edge_threshold", edge_pairs=n_pairs)
         return out
     edges = canon.select(
@@ -794,6 +800,7 @@ def star_components(
     nodes: DataFrame,
     pairs: DataFrame,
     canonical: bool = False,
+    n_edges: int | None = None,
 ) -> DataFrame:
     """Reusable alternating-star connected components (the q_cc_star
     loop, extracted): O(log diameter) rounds, safe for the long
@@ -806,16 +813,32 @@ def star_components(
     with doc_a < doc_b (true for :func:`minhash_pairs`, whose
     first-collision-band dedup makes its union a set) and skips the
     canonicalization ``distinct()`` — at sf100 that exchange carried
-    the whole candidate graph a second time before round one."""
+    the whole candidate graph a second time before round one.
+
+    ``n_edges`` (ADVICE r13): set by a caller that ALREADY
+    checkpointed and counted the canonical pair set (the
+    edge-threshold route in :func:`min_label_components` does exactly
+    that to make its routing decision). With it, the one-round-zero
+    checkpoint+count here is skipped — at sf100 that redundant
+    write+read+count carries the ~455M-pair candidate graph once more
+    before the first star round. Only meaningful with
+    ``canonical=True``; the pairs must be checkpoint-backed so the
+    star rounds don't re-derive the candidate build from lineage."""
     spark = _iter_session(spark)
-    edges = pairs.select(
-        F.least("doc_a", "doc_b").alias("a"),
-        F.greatest("doc_a", "doc_b").alias("b"),
-    ).where(F.col("a") != F.col("b"))
-    if not canonical:
-        edges = edges.distinct()
-    edges = iter_checkpoint(edges)
-    _size_rounds_to(spark, edges.count())
+    if canonical and n_edges is not None:
+        edges = pairs.select(
+            F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+        )
+        _size_rounds_to(spark, n_edges)
+    else:
+        edges = pairs.select(
+            F.least("doc_a", "doc_b").alias("a"),
+            F.greatest("doc_a", "doc_b").alias("b"),
+        ).where(F.col("a") != F.col("b"))
+        if not canonical:
+            edges = edges.distinct()
+        edges = iter_checkpoint(edges)
+        _size_rounds_to(spark, edges.count())
 
     def sym(e: DataFrame) -> DataFrame:
         return e.unionByName(

@@ -28,6 +28,7 @@ horizon, and `maxFilesPerTrigger` is the ST2 rate-limit analog.
 from __future__ import annotations
 
 import os
+import sys
 import tempfile
 import uuid
 from collections.abc import Iterator
@@ -244,7 +245,24 @@ def _checkpoint_base() -> str | None:
     at sf100); only ``ckpt_``-prefixed dirs route here."""
     env = os.environ.get("SPARK_GRAFT_CKPT_DIR")
     if env:
-        return env if os.path.isdir(env) else None
+        # An EXPLICIT override that doesn't exist must not silently
+        # downgrade to the disk tempdir (ADVICE r13: an operator
+        # pointing a recoverable job at mistyped durable storage would
+        # get a silent durability/latency downgrade). Create it like
+        # Spark creates checkpoint dirs; only if creation fails fall
+        # back — loudly, on stderr.
+        if not os.path.isdir(env):
+            try:
+                os.makedirs(env, exist_ok=True)
+            except OSError as e:
+                sys.stderr.write(
+                    f"SPARK_GRAFT_CKPT_DIR={env!r} is not a directory "
+                    f"and could not be created ({e}); falling back to "
+                    "the tempfile default — checkpoints will NOT land "
+                    "on the configured storage\n"
+                )
+                return None
+        return env
     shm = "/dev/shm"
     try:
         import shutil as _sh

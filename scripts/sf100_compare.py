@@ -1,12 +1,16 @@
-"""Live/terminal comparison of an sf100 single pass against the r9
-union ledger (the on-file decade numbers, ``combined_from_runs: 7``).
+"""Live/terminal comparison of an sf100 single pass against the
+canonical current-box ledger (SF100_LEDGER.json — r14 re-base, built
+by scripts/build_sf100_ledger.py; VERDICT r13 item 5 retired the r9
+best-of-seven union after the r9-checkout A/B proved its residual
+deltas were box drift, not code).
 
 Reads the in-flight (or final) BENCH_DETAIL.json next to the repo root
-and the most recent combined sf100 line from BENCH_HISTORY.jsonl, then
-prints per-query ratios for everything completed so far — so a
-regression surfaces while the pass is still running, not 4 h later.
+and the ledger, then prints per-query ratios for everything completed
+so far — so a regression surfaces while the pass is still running,
+not 4 h later.
 
 Usage: python scripts/sf100_compare.py [--floor 5] [--top 20]
+       [--baseline r9]   # the retired union, for archaeology only
 """
 
 from __future__ import annotations
@@ -24,16 +28,22 @@ def main() -> int:
                     help="ignore queries under this many sec in BOTH runs")
     ap.add_argument("--top", type=int, default=20)
     ap.add_argument("--detail", default=os.path.join(REPO, "BENCH_DETAIL.json"))
+    ap.add_argument("--baseline", default="ledger", choices=["ledger", "r9"])
     args = ap.parse_args()
 
     base = None
-    with open(os.path.join(REPO, "BENCH_HISTORY.jsonl")) as f:
-        for line in f:
-            d = json.loads(line)
-            if d.get("sf") == 100.0 and d.get("combined_from_runs"):
-                base = d
+    if args.baseline == "ledger":
+        path = os.path.join(REPO, "SF100_LEDGER.json")
+        if os.path.exists(path):
+            base = json.load(open(path))
+    if base is None:  # --baseline r9, or ledger not built yet
+        with open(os.path.join(REPO, "BENCH_HISTORY.jsonl")) as f:
+            for line in f:
+                d = json.loads(line)
+                if d.get("sf") == 100.0 and d.get("combined_from_runs"):
+                    base = d
     if base is None:
-        print(json.dumps({"ok": False, "reason": "no combined sf100 baseline"}))
+        print(json.dumps({"ok": False, "reason": "no sf100 baseline"}))
         return 1
 
     det = json.load(open(args.detail))
@@ -64,8 +74,9 @@ def main() -> int:
         ),
         "ratio_median": (round(statistics.median(r[0] for r in ranked), 3)
                           if ranked else None),
+        "baseline": args.baseline,
         "top_ratios": [
-            {"q": k, "ratio": r, "cur_s": c, "r9_s": b}
+            {"q": k, "ratio": r, "cur_s": c, "base_s": b}
             for r, k, c, b in ranked[: args.top]
         ],
         "failed": sorted(k for k, v in cur.items() if v < 0),

@@ -98,3 +98,54 @@ def test_sweep_stale_shuffle_unlinks_only_old_shuffle_files(
     assert (n, freed) == (1, 16)
     assert not old_shuffle.exists()
     assert new_shuffle.exists() and old_rdd.exists()
+
+
+def test_sweep_protect_after_spares_recent_query_files(
+    tmp_path, monkeypatch
+):
+    """ADVICE r13: the 45-min age bound alone would delete a slow
+    query's own early shuffle files; the run loop passes the previous
+    query's start time and the sweep must never unlink anything
+    written at or after it, no matter how stale the age bound says."""
+    import time as _t
+
+    sys.path.insert(0, REPO)
+    import bench
+
+    sub = tmp_path / "blockmgr-test" / "0a"
+    sub.mkdir(parents=True)
+    f = sub / "shuffle_1_0_0.data"
+    f.write_bytes(b"x" * 16)
+    stale = _t.time() - bench.STALE_SHUFFLE_AGE_SEC - 60
+    os.utime(f, (stale, stale))
+    monkeypatch.setattr(
+        bench, "_blockmgr_dirs", lambda _spark: [str(tmp_path)]
+    )
+    # previous query started before the file was written -> protected
+    n, _ = bench._sweep_stale_shuffle(spark=None, protect_after=stale - 1)
+    assert n == 0 and f.exists()
+    # previous query started after -> eligible again
+    n, _ = bench._sweep_stale_shuffle(spark=None, protect_after=stale + 61)
+    assert n == 1 and not f.exists()
+
+
+def test_blockmgr_lookup_failure_skips_sweep(tmp_path, monkeypatch):
+    """ADVICE r13 (medium): when the DiskBlockManager lookup fails,
+    the sweep must be SKIPPED — the old tempdir blockmgr-* glob could
+    unlink a DIFFERENT live Spark process's shuffle files."""
+    sys.path.insert(0, REPO)
+    import tempfile as _tf
+
+    import bench
+
+    monkeypatch.setattr(_tf, "gettempdir", lambda: str(tmp_path))
+    decoy = tmp_path / "blockmgr-otherproc" / "0b"
+    decoy.mkdir(parents=True)
+    other = decoy / "shuffle_5_0_0.data"
+    other.write_bytes(b"y" * 8)
+    old = __import__("time").time() - bench.STALE_SHUFFLE_AGE_SEC - 60
+    os.utime(other, (old, old))
+    assert bench._blockmgr_dirs(None) == []  # py4j path unavailable
+    n, freed = bench._sweep_stale_shuffle(spark=None)
+    assert (n, freed) == (0, 0)
+    assert other.exists()

@@ -1063,6 +1063,20 @@ def test_min_label_escalates_past_round_budget(spark):
         for r in star_components(spark, nodes, path, canonical=True).collect()
     }
     assert star == want
+    # n_edges fast path (ADVICE r13): a caller that already
+    # checkpointed+counted the canonical pairs skips star's own
+    # round-zero materialization yet lands on the identical fixpoint
+    from block_data_fetcher_spark.functions.hashing import iter_checkpoint
+
+    canon = iter_checkpoint(path)
+    n_pairs = canon.count()
+    star2 = {
+        r.doc_id: r.cluster_id
+        for r in star_components(
+            spark, nodes, canon, canonical=True, n_edges=n_pairs
+        ).collect()
+    }
+    assert star2 == want
 
 
 def test_min_label_adaptive_escape_fires_early_on_path(spark):

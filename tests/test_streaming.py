@@ -794,10 +794,19 @@ def test_checkpoint_dirs_route_to_checkpoint_base(tmp_path, monkeypatch):
     monkeypatch.delenv("SPARK_GRAFT_CKPT_DIR", raising=False)
     base = jobs._checkpoint_base()
     assert base is None or os.path.isdir(base)
-    # a bogus env path must fall back to the default, not crash mkdtemp
+    # an explicitly set but not-yet-existing env path is CREATED, not
+    # silently downgraded to the disk tempdir (ADVICE r13: a mistyped
+    # durable-storage override must not silently lose durability)
     monkeypatch.setenv("SPARK_GRAFT_CKPT_DIR", str(tmp_path / "missing"))
     ckpt2 = jobs._mkdtemp("ckpt_probe2_")
     try:
         assert os.path.isdir(ckpt2)
+        assert os.path.dirname(ckpt2) == str(tmp_path / "missing")
     finally:
         jobs.clear_stream_scratch()
+    # only a path that cannot be created falls back (loudly) — e.g.
+    # a child of a FILE
+    blocker = tmp_path / "blocker"
+    blocker.write_text("x")
+    monkeypatch.setenv("SPARK_GRAFT_CKPT_DIR", str(blocker / "sub"))
+    assert jobs._checkpoint_base() is None
