@@ -27,6 +27,7 @@ Usage: python scripts/build_sf100_ledger.py   (writes SF100_LEDGER.json)
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 
@@ -49,15 +50,15 @@ def main() -> int:
         print(json.dumps({"ok": False, "reason": "no sf100 pass lines"}))
         return 1
     # oldest-first; label by position (r12 pass, then r13 pass, ...)
+    # All quiet-box remeasure artifacts, oldest-first by round suffix so
+    # a NEWER warm median supersedes an older one for the same query.
     remeasure = {}
-    rm_path = os.path.join(REPO, "SF100_REMEASURE_r13.json")
-    if os.path.exists(rm_path):
+    rm_paths = sorted(glob.glob(os.path.join(REPO, "SF100_REMEASURE_r*.json")))
+    for rm_path in rm_paths:
         rm = json.load(open(rm_path))
-        remeasure = {
-            k: v["warm_median"]
-            for k, v in rm.get("queries", {}).items()
-            if v.get("warm_median")
-        }
+        for k, v in rm.get("queries", {}).items():
+            if v.get("warm_median"):
+                remeasure[k] = v["warm_median"]
 
     ledger: dict[str, float] = {}
     source: dict[str, str] = {}
