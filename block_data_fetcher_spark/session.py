@@ -79,6 +79,40 @@ def _initial_shuffle_partitions(cores: int) -> int:
     return max(cores, min(1024, total // (32 << 20)))
 
 
+def _fast_local_dir() -> str | None:
+    """spark.local.dir placement for shuffle/blockmgr files (r15,
+    guide §6): shuffle files are ephemeral and latency-critical, so
+    they belong on the fastest local storage that can hold them — the
+    cluster analog of pointing spark.local.dir at local NVMe instead
+    of the OS volume. This sandbox's root disk sustains only
+    ~15-40 MB/s buffered writes (measured r15), and writeback debt
+    from one spilling query stalls unrelated queries; /dev/shm moves
+    >1 GB/s. Gate (same policy as scratch.scratch_base): only when the
+    active fixture is small enough that the whole shuffle footprint
+    fits tmpfs with a wide margin — the sf100 decade pass (shuffle
+    plateau measured in the tens of GB) stays on disk. A caller-set
+    SPARK_LOCAL_DIRS always wins (Spark gives the env precedence over
+    the conf anyway — returning None just keeps the conf unset)."""
+    if os.environ.get("SPARK_LOCAL_DIRS"):
+        return None
+    from . import scratch
+
+    try:
+        if os.path.isdir("/dev/shm"):
+            import shutil
+
+            fixture = scratch._fixture_bytes()
+            free = shutil.disk_usage("/dev/shm").free
+            if (
+                0 < fixture <= scratch._FAST_SCRATCH_MAX_FIXTURE
+                and free >= 64 * fixture
+            ):
+                return "/dev/shm/bdf-local"
+    except OSError:
+        pass
+    return None
+
+
 def get_spark(
     app_name: str = "block-data-fetcher-spark",
     shuffle_partitions: int | None = None,
@@ -137,6 +171,9 @@ def get_spark(
         # without measurable CPU cost.
         .config("spark.cleaner.periodicGC.interval", "5min")
     )
+    fast_local = _fast_local_dir()
+    if fast_local:
+        builder = builder.config("spark.local.dir", fast_local)
     # SPARK_GRAFT_EXTRA_JARS (os.pathsep-separated paths) feeds
     # spark.jars so the classpath gates in sources/formats.py and
     # lakehouse.py attest jars the session will actually load — not

@@ -38,9 +38,38 @@ def test_scratch_dir_defaults_to_application_id(spark, monkeypatch):
     monkeypatch.delenv("BDF_RUN_ID", raising=False)
     path = scratch.scratch_dir(spark, "storage", "x")
     assert spark.sparkContext.applicationId in path
-    # repo-anchored, not cwd-anchored
+    # anchored to a declared scratch base (fast tmpfs or the repo
+    # warehouse — r15 placement rule), never the process cwd
     repo = os.path.dirname(os.path.dirname(os.path.abspath(scratch.__file__)))
-    assert path.startswith(os.path.join(repo, "spark-warehouse"))
+    allowed = (
+        os.path.join(repo, "spark-warehouse"),
+        scratch._FAST_SCRATCH_SHM,
+    )
+    assert path.startswith(allowed)
+    assert not path.startswith(os.getcwd() + os.sep) or path.startswith(
+        allowed
+    )
+
+
+def test_scratch_base_env_override(monkeypatch, tmp_path):
+    from block_data_fetcher_spark import scratch
+
+    monkeypatch.setenv("BDF_SCRATCH_BASE", str(tmp_path))
+    assert scratch.scratch_base() == str(tmp_path)
+
+
+def test_scratch_base_falls_back_to_repo_for_big_fixtures(monkeypatch):
+    """The fast-tmpfs placement must NOT engage for fixtures past the
+    size gate (the sf100 decade posture: scratch peaks at tens of GB,
+    which belongs on disk, not RAM-backed tmpfs)."""
+    from block_data_fetcher_spark import scratch
+
+    monkeypatch.delenv("BDF_SCRATCH_BASE", raising=False)
+    monkeypatch.setattr(
+        scratch, "_fixture_bytes", lambda: scratch._FAST_SCRATCH_MAX_FIXTURE + 1
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(scratch.__file__)))
+    assert scratch.scratch_base() == os.path.join(repo, "spark-warehouse")
 
 
 def test_two_run_ids_write_csv_to_disjoint_dirs(spark, sf_dir, monkeypatch):
