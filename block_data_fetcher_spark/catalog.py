@@ -96,7 +96,9 @@ def fixture_buckets(
     return max(floor, int(size // bytes_per_bucket))
 
 
-def parallelize(df: DataFrame, spark: SparkSession) -> DataFrame:
+def parallelize(
+    df: DataFrame, spark: SparkSession, bytes_per_split: int | None = None
+) -> DataFrame:
     """Ensure per-row-expensive map work (signatures, vector math,
     media decode) fans out across every core.
 
@@ -106,6 +108,15 @@ def parallelize(df: DataFrame, spark: SparkSession) -> DataFrame:
     row-group, where otherwise one task would serialize the whole
     corpus' compute. A round-robin repartition of a small table is
     cheap; the check keeps it off the 100 TB path.
+
+    ``bytes_per_split`` (r15, guide §2): callers whose per-row work is
+    vectorized (Arrow-batch gemm, not per-row decode) cap the fan-out
+    at ceil(input_bytes / bytes_per_split) — fanning a sub-MB fixture
+    across 32 pandas tasks buys only per-task Python round-trip
+    overhead (measured: the √N-k-means assignment stage spends ~10x
+    longer scheduling 32 near-empty tasks than computing). At real
+    scale the natural-splits check still short-circuits first, so the
+    cap never touches the 100 TB path.
 
     The split-count estimate uses the scan's file list and sizes
     (ceil(bytes / maxPartitionBytes) per file, how Spark plans
@@ -122,9 +133,16 @@ def parallelize(df: DataFrame, spark: SparkSession) -> DataFrame:
             str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
         )
         splits = 0
+        total = 0
         for f in df.inputFiles():
             path = urlparse(f).path or f
-            splits += max(1, math.ceil(os.path.getsize(path) / max_bytes))
+            size = os.path.getsize(path)
+            total += size
+            splits += max(1, math.ceil(size / max_bytes))
+            if splits >= target:
+                return df
+        if bytes_per_split:
+            target = min(target, max(1, math.ceil(total / bytes_per_split)))
             if splits >= target:
                 return df
     except Exception:

@@ -1280,8 +1280,26 @@ def _lloyd_final(spark: SparkSession, sf_dir: str, k_of, tag: str) -> DataFrame:
             for cid, row in zip(cents_ids, C)
         ]
     else:
+        # Loop housekeeping (r15, guide §2.4): the iteration jobs run
+        # on a session CLONE with shuffle partitions sized to the
+        # corpus (_size_rounds_to) — the session-wide AQE initial
+        # count is sized to the whole fixture, which makes every
+        # centroid-update aggregate pay a 32-way map output for a
+        # (K·DIM)-row result at bench scale. The gemm assignment is
+        # Arrow-vectorized, so the map fan-out is capped by input
+        # bytes too (parallelize bytes_per_split) instead of always
+        # splitting a sub-MB fixture across every core; at real scale
+        # both knobs defer to the natural file splits / the
+        # cluster-sized conf. Values are unchanged: assignment is
+        # per-row, and the update's round-to-6 centroid quantization
+        # absorbs partial-combine order by design (it already must —
+        # reduce-side fetch order is nondeterministic).
+        from .hashing import _iter_session, _size_rounds_to
+
+        caller_spark = spark
+        spark = _iter_session(spark)
         em = parallelize(
-            table(spark, sf_dir, "embeddings"), spark
+            table(spark, sf_dir, "embeddings"), spark, bytes_per_split=2 << 20
         ).select(
             "vec_id",
             "label",
@@ -1290,6 +1308,7 @@ def _lloyd_final(spark: SparkSession, sf_dir: str, k_of, tag: str) -> DataFrame:
             ),
         ).persist(ITER_STORAGE)
         k = k_of(em.count())
+        _size_rounds_to(spark, k * DIM)
         init = sorted(
             em.where(F.col("vec_id") < k).select("vec_id", "x").collect(),
             key=lambda r: r["vec_id"],
@@ -1342,6 +1361,13 @@ def _lloyd_final(spark: SparkSession, sf_dir: str, k_of, tag: str) -> DataFrame:
         json.dump(cents, f)
     _LLOYD_CENTS[path] = cents
     _KMEANS_BUILT.add(path)
+    # Read back on the CALLER's session: the dynamic-K branch swapped
+    # `spark` for a loop-sized clone (8-way shuffles), and a consumer
+    # plan bound to that clone would inherit the tiny shuffle sizing
+    # for its own corpus-scale joins (the exact conf-leak class
+    # session.scoped exists to prevent).
+    if not isinstance(k_of, int):
+        spark = caller_spark
     return spark.read.parquet(path)
 
 
