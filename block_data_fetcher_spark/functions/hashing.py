@@ -701,6 +701,13 @@ def _iter_session(spark: SparkSession) -> SparkSession:
     return scoped(spark)
 
 
+#: Working sets at or below this row count take the single-partition /
+#: AQE-off loop fast path in _size_rounds_to (dim-scale graphs: the
+#: 25-node nation graph, k-means centroid updates). ~50k rows of loop
+#: state is a few MB — far under even one advisory partition.
+ITER_DIM_SIZED_ROWS = 50_000
+
+
 def _size_rounds_to(spark: SparkSession, n_rows: int) -> None:
     """Size the iteration's shuffle partitions to the measured working
     set (~100k rows/partition, floor 8, capped at the session's
@@ -712,6 +719,24 @@ def _size_rounds_to(spark: SparkSession, n_rows: int) -> None:
         cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
     except Exception:
         cur = 200
+    if n_rows <= ITER_DIM_SIZED_ROWS:
+        # Dim-sized working set (r15, guide §2.4): a ≤50k-row loop
+        # state fits one shuffle block, so every extra partition is
+        # pure task-launch overhead, and AQE's per-Exchange query-stage
+        # wall (plan → materialize → re-plan, once per shuffle per
+        # round) dominates the round itself. One static partition with
+        # AQE off runs the whole loop as a single conventional DAG —
+        # measured 8.0 s → 1.4 s on the 4-round Bellman-Ford loop over
+        # the 600-edge nation graph, identical results. The threshold
+        # keys on the MEASURED working set, so any corpus-scale graph
+        # (sf100 CC candidate pairs: 455M) keeps AQE and the sized
+        # partitioning below.
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum", "1"
+        )
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        return
     parts = max(8, min(cur, n_rows // 100_000 + 1))
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     # AQE's initialPartitionNum (512 session-wide, r7) supersedes the
