@@ -94,7 +94,15 @@ AUDIO_FEATURES_SCHEMA = (
 def synth_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One deterministic PCM16 WAV per document, encoded through the
     real RIFF writer inside Arrow batches (write-side twin of decode)."""
-    docs = parallelize(table(spark, sf_dir, "documents"), spark).select("doc_id")
+    # bytes-capped fan-out (r15, guide §2): this path is TWO chained
+    # mapInPandas stages (encode → decode/features) whose per-row work
+    # is a few µs on fixture-sized payloads, so 32 near-empty Python
+    # tasks × 2 boundary crossings are pure overhead (A/B: warm wall
+    # 3.9 s → 1.6 s at sf0.1). At real media scale the natural file
+    # splits exceed the cap and per-row decode cost dominates anyway.
+    docs = parallelize(
+        table(spark, sf_dir, "documents"), spark, bytes_per_split=2 << 20
+    ).select("doc_id")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
