@@ -178,6 +178,30 @@ def events_stream(
     )
 
 
+def _events_bytes(sf_dir: str) -> int | None:
+    """On-disk size of the events source, or None if unreadable.
+
+    `events.parquet` may be a single file (every shipped fixture) or
+    a directory of part files (any Spark-written fixture) — a
+    directory is walked and its data-file sizes summed, so a future
+    multi-file fixture sizes correctly instead of silently hitting
+    the OSError floor (r6 verdict nit)."""
+    import os
+
+    path = os.path.join(sf_dir, "events.parquet")
+    try:
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _dirs, files in os.walk(path)
+                for f in files
+                if not f.startswith(("_", "."))  # skip _SUCCESS/.crc
+            )
+        return os.path.getsize(path)
+    except OSError:
+        return None
+
+
 def _stream_partitions(sf_dir: str) -> int:
     """State-store partition count sized to the SOURCE (the analog of
     sizing to |executors| at stream start on a real cluster — the
@@ -185,29 +209,51 @@ def _stream_partitions(sf_dir: str) -> int:
     fixture scales, where more partitions are pure per-task overhead,
     growing toward the core count once the events file is large
     enough that state-op parallelism dominates (r6: the flat 8 capped
-    sf10's 6M-event state stages at a quarter of the cores).
-
-    `events.parquet` may be a single file (every shipped fixture) or
-    a directory of part files (any Spark-written fixture) — a
-    directory is walked and its data-file sizes summed, so a future
-    multi-file fixture sizes correctly instead of silently hitting
-    the OSError floor of 8 (r6 verdict nit)."""
-    import os
-
-    path = os.path.join(sf_dir, "events.parquet")
-    try:
-        if os.path.isdir(path):
-            size = sum(
-                os.path.getsize(os.path.join(root, f))
-                for root, _dirs, files in os.walk(path)
-                for f in files
-                if not f.startswith(("_", "."))  # skip _SUCCESS/.crc
-            )
-        else:
-            size = os.path.getsize(path)
-    except OSError:
+    sf10's 6M-event state stages at a quarter of the cores)."""
+    size = _events_bytes(sf_dir)
+    if size is None:
         return 8
     return min(32, max(8, int(size // (4 << 20))))
+
+
+_PROVIDER_ROCKSDB = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+_PROVIDER_HEAP = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "HDFSBackedStateStoreProvider"
+)
+
+#: Source sizes at or below this take the JVM-heap state store; above
+#: it, RocksDB. Overridable for a deployment whose executors have more
+#: (or less) heap headroom than the 64 MB-source ≈ tens-of-MB-state
+#: rule of thumb assumes.
+_HEAP_STATE_MAX_SRC_BYTES = int(
+    os.environ.get("BDF_STREAM_HEAP_STATE_MAX_SRC_BYTES", 64 << 20)
+)
+
+
+def _state_provider(sf_dir: str) -> str:
+    """State-store provider sized to the SOURCE (r15, guide §5.1).
+
+    RocksDB is the production posture for state that scales with the
+    data — the default HDFSBackedStateStoreProvider keeps EVERY key of
+    every active state-store version in JVM heap, and an availableNow
+    read of one large file is one trigger holding the whole horizon
+    (r9: q_stream_dedup's 100M-key state OOMed the context at sf100).
+    But RocksDB pays a fixed native-init + commit-churn cost per store
+    instance per trigger that dwarfs fixture-scale state: A/B over the
+    17-query stream family at sf0.1 (2 MB source, ≤10k state rows)
+    measured 62.8 s RocksDB vs 43.0 s heap, same results. Size the
+    choice by the same source-bytes signal as _stream_partitions: a
+    ≤64 MB source bounds state to tens of MB — trivially heap-safe —
+    while anything bigger keeps the RocksDB spill posture. Unreadable
+    source ⇒ RocksDB (the safe side)."""
+    size = _events_bytes(sf_dir)
+    if size is not None and size <= _HEAP_STATE_MAX_SRC_BYTES:
+        return _PROVIDER_HEAP
+    return _PROVIDER_ROCKSDB
 
 
 # Temp sink/checkpoint dirs created by this process — removed at
@@ -357,7 +403,11 @@ def _await_bounded(q, name: str, timeout: int = 3600) -> None:
 
 
 def _run_to_memory(
-    df: DataFrame, name: str, mode: str, partitions: int = 8
+    df: DataFrame,
+    name: str,
+    mode: str,
+    partitions: int = 8,
+    provider: str = _PROVIDER_ROCKSDB,
 ) -> DataFrame:
     """Run a stream to a memory sink with availableNow — bounded,
     deterministic, returns the sink table. ``complete`` for windowed
@@ -375,25 +425,15 @@ def _run_to_memory(
     the checkpoint, deliberately — state cannot be re-sharded by
     config after the fact).
 
-    State store provider: RocksDB, engine-wide (r9, found by the first
-    full sf100 run): the default HDFSBackedStateStoreProvider keeps
-    EVERY key of every active state-store version in JVM heap, so
-    q_stream_dedup's 100M-key dedup state at sf100 OOMed the context —
-    the watermark bounds state only across triggers, and an
-    availableNow read of one large file is one trigger holding the
-    whole horizon. RocksDB keeps state in native memory with disk
-    spill (and on a cluster, ~per-executor-bounded block cache), which
-    is the production posture for any state that scales with the data
-    — dedup keys, stream-stream join buffers, session windows. The
+    State store ``provider`` is likewise caller-sized (see
+    :func:`_state_provider` for the RocksDB-vs-heap rationale); the
     conf is captured per-query at start(), so setting it here covers
     every catalog stream without touching a global."""
     spark = df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
     spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
+        "spark.sql.streaming.stateStore.providerClass", provider
     )
     try:
         sink = f"{name}_{uuid.uuid4().hex[:8]}"
@@ -439,7 +479,12 @@ def _read_sink_or_empty(spark: SparkSession, out: str, schema) -> DataFrame:
     return spark.createDataFrame([], plain)
 
 
-def _run_to_parquet(df: DataFrame, name: str, partitions: int = 8) -> DataFrame:
+def _run_to_parquet(
+    df: DataFrame,
+    name: str,
+    partitions: int = 8,
+    provider: str = _PROVIDER_ROCKSDB,
+) -> DataFrame:
     """Run an append-mode stream to a parquet FILE sink and return a
     scan of the result path — for the streams whose output is
     O(input). The memory sink variant (:func:`_run_to_memory`)
@@ -452,9 +497,7 @@ def _run_to_parquet(df: DataFrame, name: str, partitions: int = 8) -> DataFrame:
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
     spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
+        "spark.sql.streaming.stateStore.providerClass", provider
     )
     try:
         out = _mkdtemp(prefix=f"sink_{name}_") + "/out"
@@ -475,7 +518,10 @@ def _run_to_parquet(df: DataFrame, name: str, partitions: int = 8) -> DataFrame:
 
 
 def _run_complete_to_parquet(
-    df: DataFrame, name: str, partitions: int = 8
+    df: DataFrame,
+    name: str,
+    partitions: int = 8,
+    provider: str = _PROVIDER_ROCKSDB,
 ) -> DataFrame:
     """Complete-mode runner for aggregates whose RESULT table is
     data-scale (sf100: q_stream_session's ~tens-of-millions of session
@@ -488,9 +534,7 @@ def _run_complete_to_parquet(
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
     spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
+        "spark.sql.streaming.stateStore.providerClass", provider
     )
     try:
         out = _mkdtemp(prefix=f"sink_{name}_") + "/out"
@@ -522,7 +566,7 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
         .select(F.col("w.start").alias("hour"), "cnt", "sum_value")
     )
-    return _run_to_memory(agg, "stream_tumbling", "complete", _stream_partitions(sf_dir))
+    return _run_to_memory(agg, "stream_tumbling", "complete", _stream_partitions(sf_dir), _state_provider(sf_dir))
 
 
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -544,7 +588,8 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type"
     )
     return _run_to_parquet(
-        dedup, "stream_dedup", _stream_partitions(sf_dir)
+        dedup, "stream_dedup", _stream_partitions(sf_dir),
+        _state_provider(sf_dir)
     )
 
 
@@ -556,7 +601,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
         .select(F.col("w.start").alias("w_start"), F.col("w.end").alias("w_end"), "cnt")
     )
-    return _run_to_memory(agg, "stream_sliding", "complete", _stream_partitions(sf_dir))
+    return _run_to_memory(agg, "stream_sliding", "complete", _stream_partitions(sf_dir), _state_provider(sf_dir))
 
 
 def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -612,7 +657,7 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return _run_to_memory(rolled, "stream_stateful", "update", _stream_partitions(sf_dir))
+    return _run_to_memory(rolled, "stream_stateful", "update", _stream_partitions(sf_dir), _state_provider(sf_dir))
 
 
 def q_stream_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -750,7 +795,7 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = ev.join(profile, "user_id", "left").select(
         "event_id", "user_id", "event_type", "lifetime_events"
     )
-    return _run_to_parquet(joined, "stream_static_join", _stream_partitions(sf_dir))
+    return _run_to_parquet(joined, "stream_static_join", _stream_partitions(sf_dir), _state_provider(sf_dir))
 
 
 def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -795,7 +840,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).select("click_id", "purchase_id", "c_user", "value")
     # Output is one row per funnel match — data-scale: file sink.
-    return _run_to_parquet(joined, "stream_stream_join", _stream_partitions(sf_dir))
+    return _run_to_parquet(joined, "stream_stream_join", _stream_partitions(sf_dir), _state_provider(sf_dir))
 
 
 def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -820,7 +865,7 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("total_value").desc(), F.col("user_id").asc())
         .limit(3)
     )
-    return _run_to_memory(ranked, "stream_topk", "complete", _stream_partitions(sf_dir))
+    return _run_to_memory(ranked, "stream_topk", "complete", _stream_partitions(sf_dir), _state_provider(sf_dir))
 
 
 def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -875,7 +920,7 @@ def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "leftOuter",
     ).select("click_id", "c_user", "c_ts", "purchase_id", "value")
     # Output is one row per click — data-scale: file sink.
-    return _run_to_parquet(joined, "stream_stream_left_join", _stream_partitions(sf_dir))
+    return _run_to_parquet(joined, "stream_stream_left_join", _stream_partitions(sf_dir), _state_provider(sf_dir))
 
 
 def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1102,7 +1147,7 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("day"), "cnt", "sum_value")
     )
-    out = _run_to_memory(agg, "stream_late", "append", _stream_partitions(sf_dir))
+    out = _run_to_memory(agg, "stream_late", "append", _stream_partitions(sf_dir), _state_provider(sf_dir))
     out = out.cache()
     out.count()
     shutil.rmtree(root, ignore_errors=True)
@@ -1338,7 +1383,7 @@ def q_stream_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
             token_count("text").alias("n_tokens"),
         )
     )
-    return _run_to_memory(curated, "stream_curate", "append", _stream_partitions(sf_dir))
+    return _run_to_memory(curated, "stream_curate", "append", _stream_partitions(sf_dir), _state_provider(sf_dir))
 
 
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1356,7 +1401,7 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Result table is data-scale (one row per session): complete-mode
     # snapshot written distributed, never collected (r9 sf100 fix).
-    return _run_complete_to_parquet(agg, "stream_session", _stream_partitions(sf_dir))
+    return _run_complete_to_parquet(agg, "stream_session", _stream_partitions(sf_dir), _state_provider(sf_dir))
 
 
 # ---------------------------------------------------------------------------

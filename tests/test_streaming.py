@@ -660,6 +660,25 @@ def test_stream_partitions_handles_directory_fixture(spark, sf_dir, tmp_path):
     assert _stream_partitions(str(tmp_path / "nope")) == 8
 
 
+def test_state_provider_sized_by_source(sf_dir, monkeypatch):
+    """r15: the state-store provider is chosen by source size — JVM-heap
+    (HDFSBacked) for fixture-scale sources whose state is trivially
+    heap-safe, RocksDB for anything larger (the r9 sf100 OOM posture)
+    and for any source whose size can't be read."""
+    from block_data_fetcher_spark.streaming import jobs as J
+
+    # every shipped fixture is well under the 64 MB default → heap
+    assert J._state_provider(sf_dir) == J._PROVIDER_HEAP
+
+    # shrinking the threshold below the fixture flips it to RocksDB
+    monkeypatch.setattr(J, "_HEAP_STATE_MAX_SRC_BYTES", 0)
+    assert J._state_provider(sf_dir) == J._PROVIDER_ROCKSDB
+
+    # unreadable source → the safe (RocksDB) side regardless of threshold
+    monkeypatch.setattr(J, "_HEAP_STATE_MAX_SRC_BYTES", 1 << 60)
+    assert J._state_provider("/nonexistent/dir") == J._PROVIDER_ROCKSDB
+
+
 # ----------------------------------------------- multi-batch eviction
 
 
