@@ -8,34 +8,53 @@ ab_r9_checkout), so the residual "regressions" vs that union were
 ledger/box drift, not code. This script re-bases the ledger on
 CURRENT-BOX evidence only:
 
-* ``warm_median`` from SF100_REMEASURE_r13.json where a query was
-  re-measured (5x-warm fresh-JVM quiet-box — the highest-quality
-  number we have), else
-* ``min(r12 pass, r13 pass)`` over the single-pass sf100 lines in
-  BENCH_HISTORY.jsonl — both are real achieved-on-this-box walls from
-  full 254-query passes; taking the min of TWO recent runs avoids the
-  r13 sink-pressure window inflating a baseline without re-creating
-  the best-of-seven pathology.
+* ``warm_median`` from the newest SF100_REMEASURE_r<N>.json that
+  covers the query (5x-warm fresh-JVM quiet-box — the highest-quality
+  number we have; files are applied in ascending NUMERIC round order
+  so a newer round's median supersedes an older one's), else
+* the minimum over every COMPLETE single-pass sf100 line in
+  BENCH_HISTORY.jsonl (``n_failed == 0``; crashed/partial-load passes
+  contribute unrepresentative walls and are skipped — ADVICE r14) —
+  each is a real achieved-on-this-box wall from a full 254-query pass.
 
 Queries present in only one pass keep that pass's number. Failures
 (<= 0) never enter the ledger. Output carries per-query provenance
-("remeasure" | "r12_pass" | "r13_pass") so a future re-base can tell
-which numbers are quiet-box medians and which are in-pass walls.
+("remeasure" | "pass_<ts>" — the timestamp of the contributing pass)
+so a future re-base can tell which numbers are quiet-box medians and
+which are in-pass walls.
 
-Usage: python scripts/build_sf100_ledger.py   (writes SF100_LEDGER.json)
+Usage: python scripts/build_sf100_ledger.py [--exclude-ts TS ...]
+(writes SF100_LEDGER.json). Pass --exclude-ts with the timestamp of
+the run about to be COMPARED against the ledger, so the comparison is
+never self-referential (ADVICE r14: the r14 ledger included the r14
+pass itself, making 63 of its SF100_COMPARE ratios exactly 1.0).
 """
 
 from __future__ import annotations
 
+import argparse
 import glob
 import json
 import os
+import re
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--exclude-ts",
+        action="append",
+        default=[],
+        help="timestamp(s) of pass lines to exclude (the run being "
+        "compared against the rebuilt ledger must not contribute "
+        "its own baselines)",
+    )
+    args = ap.parse_args()
+
     passes: list[dict] = []
+    skipped: list[dict] = []
     with open(os.path.join(REPO, "BENCH_HISTORY.jsonl")) as f:
         for line in f:
             d = json.loads(line)
@@ -45,15 +64,30 @@ def main() -> int:
                 and not d.get("subset")
                 and not d.get("partial")
             ):
+                # ADVICE r14: a crashed pass (n_failed > 0) mixes
+                # partial-load-session walls into the ledger; only
+                # complete passes qualify. Excluded-ts lines are the
+                # run about to be compared — self-comparison makes
+                # the reported median partly tautological.
+                if d.get("n_failed", 0) != 0 or str(d.get("ts")) in set(
+                    args.exclude_ts
+                ):
+                    skipped.append(
+                        {"ts": d.get("ts"), "n_failed": d.get("n_failed")}
+                    )
+                    continue
                 passes.append(d)
     if not passes:
         print(json.dumps({"ok": False, "reason": "no sf100 pass lines"}))
         return 1
-    # oldest-first; label by position (r12 pass, then r13 pass, ...)
-    # All quiet-box remeasure artifacts, oldest-first by round suffix so
-    # a NEWER warm median supersedes an older one for the same query.
+    # All quiet-box remeasure artifacts, ascending NUMERIC round order
+    # so a NEWER warm median supersedes an older one for the same
+    # query (lexicographic sort puts r9 after r14 — ADVICE r14).
     remeasure = {}
-    rm_paths = sorted(glob.glob(os.path.join(REPO, "SF100_REMEASURE_r*.json")))
+    rm_paths = sorted(
+        glob.glob(os.path.join(REPO, "SF100_REMEASURE_r*.json")),
+        key=lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1)),
+    )
     for rm_path in rm_paths:
         rm = json.load(open(rm_path))
         for k, v in rm.get("queries", {}).items():
@@ -85,6 +119,7 @@ def main() -> int:
              "value": p.get("value")}
             for p in passes
         ],
+        "skipped_passes": skipped,
         "n_queries": len(ledger),
         "queries": ledger,
         "source": source,

@@ -32,16 +32,30 @@ def main() -> int:
     args = ap.parse_args()
 
     base = None
+    baseline_used = args.baseline
     if args.baseline == "ledger":
+        # ADVICE r14: never silently substitute the retired r9 union
+        # for a missing ledger while still labelling the output
+        # "ledger" — that is exactly the false-weak-flag source the
+        # re-base retired. Missing ledger is an error; run
+        # scripts/build_sf100_ledger.py first.
         path = os.path.join(REPO, "SF100_LEDGER.json")
-        if os.path.exists(path):
-            base = json.load(open(path))
-    if base is None:  # --baseline r9, or ledger not built yet
+        if not os.path.exists(path):
+            print(json.dumps({
+                "ok": False,
+                "reason": "SF100_LEDGER.json missing; build it with "
+                "scripts/build_sf100_ledger.py (or pass --baseline r9 "
+                "explicitly)",
+            }))
+            return 1
+        base = json.load(open(path))
+    else:  # --baseline r9, requested explicitly
         with open(os.path.join(REPO, "BENCH_HISTORY.jsonl")) as f:
             for line in f:
                 d = json.loads(line)
                 if d.get("sf") == 100.0 and d.get("combined_from_runs"):
                     base = d
+        baseline_used = "r9_union"
     if base is None:
         print(json.dumps({"ok": False, "reason": "no sf100 baseline"}))
         return 1
@@ -74,7 +88,7 @@ def main() -> int:
         ),
         "ratio_median": (round(statistics.median(r[0] for r in ranked), 3)
                           if ranked else None),
-        "baseline": args.baseline,
+        "baseline": baseline_used,
         "top_ratios": [
             {"q": k, "ratio": r, "cur_s": c, "base_s": b}
             for r, k, c, b in ranked[: args.top]
