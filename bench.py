@@ -489,6 +489,14 @@ def main() -> None:
             disk_timeline.append(
                 {
                     "q": name,
+                    # Per-query DURATION (same value as the queries map;
+                    # -1.0 = failed). VERDICT r15 item 2: the driver's
+                    # per-query parser reads this timeline from captured
+                    # output, and the cumulative t_sec below cannot be
+                    # differenced from a truncated tail — so each entry
+                    # now also carries its own duration. Additions-only:
+                    # t_sec keeps its cumulative meaning.
+                    "sec": timings.get(name),
                     "t_sec": round(time.perf_counter() - t_all, 1),
                     "free_gb": round(
                         _sh.disk_usage(REPO_ROOT).free / (1 << 30), 1

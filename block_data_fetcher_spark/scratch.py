@@ -64,10 +64,52 @@ _FAST_SCRATCH_MAX_FIXTURE = 256 << 20
 _FAST_SCRATCH_SHM = "/dev/shm/bdf-scratch"
 
 
+# The fixture dir the engine is ACTUALLY querying (ADVICE r15): the
+# driver contract passes sf_dir as a call argument — it is not obliged
+# to export SPARK_GRAFT_SF_DIR — so sizing placement from the
+# env-var-with-default alone would let a driver running a LARGE fixture
+# route data-scale scratch onto RAM-backed tmpfs. Every catalog query
+# notes its sf_dir here (api._tuned) before any scratch path is built;
+# the noted dir takes precedence over the defaulted env var.
+_NOTED_SF_DIR: str | None = None
+
+# Per-process memoization (VERDICT r15 item 6 / ADVICE r15): the shm
+# free-space check must not be re-evaluated per call — as the run
+# itself consumes shm, `free` can dip below the 64x margin mid-process
+# and flip later scratch_dir() calls to a DIFFERENT base while earlier
+# writes live under the first one (the FAILED_READ_FILE class the
+# run-keyed scratch fix exists to prevent). The decision is computed
+# once per (fixture dir, fixture bytes) and cached; fixture sizes are
+# cached per dir (the walk is cheap at fixture scale but runs on every
+# get_spark/scratch_base call otherwise).
+_FIXTURE_BYTES_CACHE: dict[str, int] = {}
+_BASE_DECISION: dict[tuple[str, int], str] = {}
+
+
+def note_fixture_dir(sf_dir: str | None) -> None:
+    """Record the fixture dir of the query being built (called by the
+    api layer with the driver's actual sf_dir argument)."""
+    global _NOTED_SF_DIR
+    _NOTED_SF_DIR = sf_dir
+
+
+def _fixture_dir() -> str:
+    """The active fixture dir: the last noted per-call sf_dir wins;
+    the env var (with its small default) is only the fallback for
+    paths that run before any query has been built (sweep_stale,
+    session construction in bench/tests — both set the env var)."""
+    return _NOTED_SF_DIR or os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+
+
 def _fixture_bytes() -> int:
     """Total parquet bytes under the active fixture dir (same sizing
-    source as session._initial_shuffle_partitions)."""
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    source as session._initial_shuffle_partitions). Cached per dir."""
+    sf_dir = _fixture_dir()
+    cached = _FIXTURE_BYTES_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
     total = 0
     try:
         for root, _dirs, files in os.walk(sf_dir):
@@ -79,27 +121,33 @@ def _fixture_bytes() -> int:
                         pass
     except OSError:
         pass
+    _FIXTURE_BYTES_CACHE[sf_dir] = total
     return total
 
 
 def scratch_base() -> str:
     """Base directory hosting run-keyed scratch roots (see placement
-    rule above). Deterministic per-process for a fixed environment."""
+    rule above). The shm-vs-disk decision is made ONCE per (fixture
+    dir, fixture size) and memoized, so all paths within a run resolve
+    to the same base even if /dev/shm free space drops mid-run."""
     env = os.environ.get("BDF_SCRATCH_BASE")
     if env:
         return env
+    fixture = _fixture_bytes()
+    key = (_fixture_dir(), fixture)
+    cached = _BASE_DECISION.get(key)
+    if cached is not None:
+        return cached
+    base = os.path.join(_REPO_ROOT, "spark-warehouse")
     try:
-        if os.path.isdir("/dev/shm"):
-            fixture = _fixture_bytes()
+        if os.path.isdir("/dev/shm") and 0 < fixture <= _FAST_SCRATCH_MAX_FIXTURE:
             free = shutil.disk_usage("/dev/shm").free
-            if (
-                0 < fixture <= _FAST_SCRATCH_MAX_FIXTURE
-                and free >= 64 * fixture
-            ):
-                return _FAST_SCRATCH_SHM
+            if free >= 64 * fixture:
+                base = _FAST_SCRATCH_SHM
     except OSError:
         pass
-    return os.path.join(_REPO_ROOT, "spark-warehouse")
+    _BASE_DECISION[key] = base
+    return base
 
 
 def scratch_root(spark: SparkSession) -> str:

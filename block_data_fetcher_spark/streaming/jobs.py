@@ -179,16 +179,21 @@ def events_stream(
 
 
 def _events_bytes(sf_dir: str) -> int | None:
-    """On-disk size of the events source, or None if unreadable.
+    """On-disk size of the events source (see :func:`_source_bytes`)."""
+    return _source_bytes(sf_dir, "events.parquet")
 
-    `events.parquet` may be a single file (every shipped fixture) or
-    a directory of part files (any Spark-written fixture) — a
-    directory is walked and its data-file sizes summed, so a future
-    multi-file fixture sizes correctly instead of silently hitting
-    the OSError floor (r6 verdict nit)."""
+
+def _source_bytes(sf_dir: str, filename: str) -> int | None:
+    """On-disk size of a streamed source file, or None if unreadable.
+
+    The source may be a single file (every shipped fixture) or a
+    directory of part files (any Spark-written fixture) — a directory
+    is walked and its data-file sizes summed, so a future multi-file
+    fixture sizes correctly instead of silently hitting the OSError
+    floor (r6 verdict nit)."""
     import os
 
-    path = os.path.join(sf_dir, "events.parquet")
+    path = os.path.join(sf_dir, filename)
     try:
         if os.path.isdir(path):
             return sum(
@@ -234,7 +239,12 @@ _HEAP_STATE_MAX_SRC_BYTES = int(
 )
 
 
-def _state_provider(sf_dir: str) -> str:
+def _state_provider(
+    sf_dir: str,
+    *,
+    source: str = "events.parquet",
+    weight: int = 1,
+) -> str:
     """State-store provider sized to the SOURCE (r15, guide §5.1).
 
     RocksDB is the production posture for state that scales with the
@@ -249,9 +259,17 @@ def _state_provider(sf_dir: str) -> str:
     choice by the same source-bytes signal as _stream_partitions: a
     ≤64 MB source bounds state to tens of MB — trivially heap-safe —
     while anything bigger keeps the RocksDB spill posture. Unreadable
-    source ⇒ RocksDB (the safe side)."""
-    size = _events_bytes(sf_dir)
-    if size is not None and size <= _HEAP_STATE_MAX_SRC_BYTES:
+    source ⇒ RocksDB (the safe side).
+
+    ``source`` is the file the query actually STREAMS (ADVICE r15:
+    q_stream_curate streams documents.parquet — sizing it by the
+    events file reads the wrong signal). ``weight`` scales the sizing
+    conservatively for state that can hold a MULTIPLE of the source
+    within one availableNow trigger: stream-stream joins buffer both
+    sides' horizons, so they pass weight=2 — halving the effective
+    heap threshold."""
+    size = _source_bytes(sf_dir, source)
+    if size is not None and size * weight <= _HEAP_STATE_MAX_SRC_BYTES:
         return _PROVIDER_HEAP
     return _PROVIDER_ROCKSDB
 
@@ -840,7 +858,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).select("click_id", "purchase_id", "c_user", "value")
     # Output is one row per funnel match — data-scale: file sink.
-    return _run_to_parquet(joined, "stream_stream_join", _stream_partitions(sf_dir), _state_provider(sf_dir))
+    return _run_to_parquet(joined, "stream_stream_join", _stream_partitions(sf_dir), _state_provider(sf_dir, weight=2))
 
 
 def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -920,7 +938,7 @@ def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "leftOuter",
     ).select("click_id", "c_user", "c_ts", "purchase_id", "value")
     # Output is one row per click — data-scale: file sink.
-    return _run_to_parquet(joined, "stream_stream_left_join", _stream_partitions(sf_dir), _state_provider(sf_dir))
+    return _run_to_parquet(joined, "stream_stream_left_join", _stream_partitions(sf_dir), _state_provider(sf_dir, weight=2))
 
 
 def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1383,7 +1401,7 @@ def q_stream_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
             token_count("text").alias("n_tokens"),
         )
     )
-    return _run_to_memory(curated, "stream_curate", "append", _stream_partitions(sf_dir), _state_provider(sf_dir))
+    return _run_to_memory(curated, "stream_curate", "append", _stream_partitions(sf_dir), _state_provider(sf_dir, source="documents.parquet"))
 
 
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -37,6 +37,7 @@ import glob
 import json
 import os
 import re
+import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -84,10 +85,17 @@ def main() -> int:
     # so a NEWER warm median supersedes an older one for the same
     # query (lexicographic sort puts r9 after r14 — ADVICE r14).
     remeasure = {}
-    rm_paths = sorted(
-        glob.glob(os.path.join(REPO, "SF100_REMEASURE_r*.json")),
-        key=lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1)),
-    )
+    # The glob also admits non-numeric suffixes (SF100_REMEASURE_rX.json)
+    # — skip those instead of crashing on .group(1) of a None match
+    # (ADVICE r15).
+    rm_candidates = []
+    for p in glob.glob(os.path.join(REPO, "SF100_REMEASURE_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", p)
+        if m:
+            rm_candidates.append((int(m.group(1)), p))
+        else:
+            print(f"ignoring non-numeric remeasure artifact: {p}", file=sys.stderr)
+    rm_paths = [p for _, p in sorted(rm_candidates)]
     for rm_path in rm_paths:
         rm = json.load(open(rm_path))
         for k, v in rm.get("queries", {}).items():

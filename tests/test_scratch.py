@@ -72,6 +72,50 @@ def test_scratch_base_falls_back_to_repo_for_big_fixtures(monkeypatch):
     assert scratch.scratch_base() == os.path.join(repo, "spark-warehouse")
 
 
+def test_scratch_base_decision_memoized_no_midrun_flip(monkeypatch):
+    """VERDICT r15 item 6 / ADVICE r15: the shm free-space check runs
+    ONCE per (fixture dir, fixture size) — a mid-run dip of /dev/shm
+    free space must not flip later scratch paths to a different base
+    while earlier writes live under the first one."""
+    from block_data_fetcher_spark import scratch
+
+    monkeypatch.delenv("BDF_SCRATCH_BASE", raising=False)
+    scratch._BASE_DECISION.clear()
+    first = scratch.scratch_base()
+
+    class _Tiny:
+        free = 1  # far below any 64x-fixture margin
+
+    monkeypatch.setattr(scratch.shutil, "disk_usage", lambda p: _Tiny)
+    assert scratch.scratch_base() == first  # memoized, not re-evaluated
+    scratch._BASE_DECISION.clear()
+
+
+def test_noted_fixture_dir_overrides_env_default(monkeypatch, tmp_path):
+    """ADVICE r15: the driver passes sf_dir as a call argument without
+    necessarily exporting SPARK_GRAFT_SF_DIR. Once a query notes its
+    actual fixture dir, placement sizes THAT fixture — a big fixture
+    routes scratch to disk even when the env var points at (or
+    defaults to) a small one."""
+    import os as _os
+
+    from block_data_fetcher_spark import scratch
+
+    monkeypatch.delenv("BDF_SCRATCH_BASE", raising=False)
+    big = tmp_path / "sf_big"
+    big.mkdir()
+    with open(big / "events.parquet", "wb") as f:
+        f.truncate(scratch._FAST_SCRATCH_MAX_FIXTURE + 1)  # sparse
+
+    monkeypatch.setattr(scratch, "_NOTED_SF_DIR", None)  # restored at teardown
+    scratch.note_fixture_dir(str(big))
+    assert scratch._fixture_dir() == str(big)
+    repo = _os.path.dirname(
+        _os.path.dirname(_os.path.abspath(scratch.__file__))
+    )
+    assert scratch.scratch_base() == _os.path.join(repo, "spark-warehouse")
+
+
 def test_two_run_ids_write_csv_to_disjoint_dirs(spark, sf_dir, monkeypatch):
     """The exact r9 collision query: two run ids' q_csv_roundtrip sinks
     must be disjoint directories, and the second run's write must not

@@ -679,6 +679,34 @@ def test_state_provider_sized_by_source(sf_dir, monkeypatch):
     assert J._state_provider("/nonexistent/dir") == J._PROVIDER_ROCKSDB
 
 
+def test_state_provider_sized_by_actual_source(sf_dir, monkeypatch):
+    """ADVICE r15: sizing reads the file the query actually STREAMS —
+    q_stream_curate streams documents.parquet, not events.parquet —
+    and stream-stream joins halve the effective threshold (weight=2:
+    one availableNow trigger buffers BOTH sides' horizons)."""
+    import os
+
+    from block_data_fetcher_spark.streaming import jobs as J
+
+    ev = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
+    docs = os.path.getsize(os.path.join(sf_dir, "documents.parquet"))
+
+    # A threshold between the two sources separates the choices: the
+    # per-source signal must be read, not the events default.
+    lo, hi = sorted((ev, docs))
+    monkeypatch.setattr(J, "_HEAP_STATE_MAX_SRC_BYTES", lo)
+    small_src = "events.parquet" if ev == lo else "documents.parquet"
+    big_src = "documents.parquet" if ev == lo else "events.parquet"
+    assert J._state_provider(sf_dir, source=small_src) == J._PROVIDER_HEAP
+    assert J._state_provider(sf_dir, source=big_src) == J._PROVIDER_ROCKSDB
+
+    # weight=2 (stream-stream joins): flips to RocksDB when twice the
+    # source no longer fits the threshold.
+    monkeypatch.setattr(J, "_HEAP_STATE_MAX_SRC_BYTES", ev * 2 - 1)
+    assert J._state_provider(sf_dir) == J._PROVIDER_HEAP
+    assert J._state_provider(sf_dir, weight=2) == J._PROVIDER_ROCKSDB
+
+
 # ----------------------------------------------- multi-batch eviction
 
 
