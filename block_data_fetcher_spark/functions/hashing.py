@@ -866,9 +866,21 @@ def star_components(
         _size_rounds_to(spark, edges.count())
 
     def sym(e: DataFrame) -> DataFrame:
-        return e.unionByName(
-            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        )
+        # One explode, not a self-union (r16, guide §2.4): inside a
+        # composite round the small star's input is the UNCHECKPOINTED
+        # large-star pipeline, and a union re-executes that whole
+        # subtree (window + exchange) once per branch — up to 4
+        # evaluations of the large star per round once the old
+        # small-star union doubled it again. Explode emits both
+        # directions in one pass over one evaluation.
+        return e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("a"), F.col("b").alias("b")),
+                    F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+                )
+            ).alias("p")
+        ).select("p.a", "p.b")
 
     def star(e: DataFrame, large: bool, dedup: bool = True) -> DataFrame:
         s = sym(e)
@@ -876,14 +888,25 @@ def star_components(
         with_m = s.withColumn(
             "m", F.least(F.min("b").over(w), F.col("a"))
         )
-        cond = F.col("b") > F.col("a") if large else F.col("b") < F.col("a")
-        out = with_m.where(cond).select(
-            F.col("b").alias("u"), F.col("m").alias("v")
-        )
-        if not large:
-            out = out.unionByName(
-                with_m.select(F.col("a").alias("u"), F.col("m").alias("v"))
+        if large:
+            out = with_m.where(F.col("b") > F.col("a")).select(
+                F.col("b").alias("u"), F.col("m").alias("v")
             )
+        else:
+            # Small star emits (b, m) for neighbors b < a AND (a, m)
+            # for every row — formerly a union whose branches each
+            # re-ran the window subtree; same multiset via one
+            # conditional explode over ONE window pass.
+            uv = lambda x: F.struct(  # noqa: E731
+                F.col(x).alias("u"), F.col("m").alias("v")
+            )
+            out = with_m.select(
+                F.explode(
+                    F.when(
+                        F.col("b") < F.col("a"), F.array(uv("b"), uv("a"))
+                    ).otherwise(F.array(uv("a")))
+                ).alias("p")
+            ).select("p.u", "p.v")
         out = out.select(
             F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
         ).where(F.col("a") != F.col("b"))

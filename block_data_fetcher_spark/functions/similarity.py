@@ -551,17 +551,27 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         unit(F.col("x")).alias("u"),
     )
     pairs = triangle_pairs(cells, "cell")
+    # Mirror each undirected pair into its two directed edges with ONE
+    # explode instead of a self-union (r16, guide §2.4): the union's
+    # two branches each re-executed the whole triangle join — the
+    # dominant N^1.5 dot-product work ran TWICE (two BroadcastHashJoin
+    # subtrees under Union in the r15 plan). Same multiset of rows,
+    # one join execution.
     directed = pairs.select(
-        F.col("vec_a").alias("vec_id"),
-        F.col("vec_b").alias("neighbor"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("vec_a").alias("vec_id"),
+                    F.col("vec_b").alias("neighbor"),
+                ),
+                F.struct(
+                    F.col("vec_b").alias("vec_id"),
+                    F.col("vec_a").alias("neighbor"),
+                ),
+            )
+        ).alias("e"),
         "cos_sim",
-    ).unionByName(
-        pairs.select(
-            F.col("vec_b").alias("vec_id"),
-            F.col("vec_a").alias("neighbor"),
-            "cos_sim",
-        )
-    )
+    ).select("e.vec_id", "e.neighbor", "cos_sim")
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor").asc()
     )

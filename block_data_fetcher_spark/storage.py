@@ -695,13 +695,52 @@ def build_versioned_table(
         )
 
     def write_buckets(df: DataFrame, version: int, buckets: list[int]) -> dict:
-        files = {}
-        for b in buckets:
-            f = os.path.join(base, f"b{b}_v{version}.parquet")
+        files = {
+            b: os.path.join(base, f"b{b}_v{version}.parquet") for b in buckets
+        }
+        if len(buckets) == 1:
+            # The COW commit path (one changed bucket): a filtered
+            # write reads less than a partitioned write would.
+            b = buckets[0]
             df.where(F.col("bucket") == b).coalesce(1).write.mode(
                 "overwrite"
-            ).parquet(f)
-            files[b] = f
+            ).parquet(files[b])
+            return files
+        # Full-version commit: ONE partitioned write instead of one
+        # filtered write job per bucket (r16, guide §2.4/§6). `bucket`
+        # derives from user_id % TT_BUCKETS — not pushable to the scan
+        # — so the per-bucket loop re-scanned and re-aggregated the
+        # whole events table TT_BUCKETS times (8x read amplification
+        # at any scale). A duplicated partition column keeps `bucket`
+        # in the data files (partitionBy strips its own column), and
+        # repartition by it lands each bucket in exactly one task =
+        # one part-file per bucket dir, the same layout as before; the
+        # staged dirs are then renamed to the manifest's b{b}_v{v}
+        # names. An empty bucket writes no staged dir — fall back to
+        # the old filtered write so the manifest never references a
+        # missing path.
+        import shutil
+
+        stage = os.path.join(base, f"_stage_v{version}")
+        (
+            df.where(F.col("bucket").isin(buckets))
+            .withColumn("_pb", F.col("bucket"))
+            .repartition(TT_BUCKETS, "_pb")
+            .write.partitionBy("_pb")
+            .mode("overwrite")
+            .parquet(stage)
+        )
+        for b in buckets:
+            src = os.path.join(stage, f"_pb={b}")
+            if os.path.isdir(files[b]):
+                shutil.rmtree(files[b])
+            if os.path.isdir(src):
+                os.rename(src, files[b])
+            else:
+                df.where(F.col("bucket") == b).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(files[b])
+        shutil.rmtree(stage, ignore_errors=True)
         return files
 
     v1 = totals(ev.where(F.col("ts") < split))
