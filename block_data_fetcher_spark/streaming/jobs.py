@@ -1124,26 +1124,47 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
     root = _mkdtemp(prefix="stream_late_")
-    for name, part, mtime in (
-        ("a_ontime", F.col("event_id") % 10 != 0, 1_000_000_000),
-        (
-            "b_merge",
-            (F.col("event_id") % 10 == 0) & (F.col("event_id") % 20 == 0),
-            1_000_000_100,
-        ),
-        (
-            "c_dropped",
-            (F.col("event_id") % 10 == 0) & (F.col("event_id") % 20 != 0),
-            1_000_000_200,
-        ),
-    ):
-        d = os.path.join(root, "_" + name)
-        ev.where(part).coalesce(1).write.parquet(d)
-        src = glob.glob(os.path.join(d, "part-*.parquet"))[0]
+    slices = {"a_ontime": 1_000_000_000, "b_merge": 1_000_000_100,
+              "c_dropped": 1_000_000_200}
+    # ONE partitioned write instead of a filtered write job per slice
+    # (r16, guide §2.4/§6): the slice predicates key on event_id % n —
+    # not pushable — so the old per-slice loop scanned the full events
+    # table three times. The slice column is disjoint and total, each
+    # slice lands in exactly one task via repartition, and the staged
+    # part files are renamed to the mtime-ordered names the file
+    # stream source admits batch by batch. Rows per file are identical
+    # to the filtered writes (row order within a file may differ —
+    # irrelevant to a batch-at-a-time windowed aggregate).
+    stage = os.path.join(root, "_stage")
+    (
+        ev.withColumn(
+            "slice",
+            F.when(F.col("event_id") % 10 != 0, F.lit("a_ontime"))
+            .when(F.col("event_id") % 20 == 0, F.lit("b_merge"))
+            .otherwise(F.lit("c_dropped")),
+        )
+        .repartition(len(slices), "slice")
+        .write.partitionBy("slice")
+        .parquet(stage)
+    )
+    preds = {
+        "a_ontime": F.col("event_id") % 10 != 0,
+        "b_merge": (F.col("event_id") % 10 == 0) & (F.col("event_id") % 20 == 0),
+        "c_dropped": (F.col("event_id") % 10 == 0) & (F.col("event_id") % 20 != 0),
+    }
+    for name, mtime in slices.items():
+        hits = glob.glob(os.path.join(stage, f"slice={name}", "part-*.parquet"))
         dst = os.path.join(root, f"{name}_events.parquet")
-        shutil.move(src, dst)
+        if hits:
+            shutil.move(hits[0], dst)
+        else:
+            # An empty slice writes no staged dir; the stream source
+            # still needs the file so each micro-batch keeps its slot.
+            d = os.path.join(stage, "_empty_" + name)
+            ev.where(preds[name]).coalesce(1).write.parquet(d)
+            shutil.move(glob.glob(os.path.join(d, "part-*.parquet"))[0], dst)
         os.utime(dst, (mtime, mtime))
-        shutil.rmtree(d)
+    shutil.rmtree(stage)
 
     stream = (
         spark.readStream.schema(
